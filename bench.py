@@ -1,0 +1,73 @@
+"""Benchmark harness — the engine's feedback loop.
+
+Runs the headline query suite at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line. Protocol follows the reference's benchmark runner (10-run /
+2-warm-up there; here 1 warm-up then timed runs, since the driver
+re-runs the whole script per round): each query is forced end-to-end
+with a noop sink so the measured time is full plan execution, not
+driver-side collection.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+# Headline set: the reference's 4 benchmark queries + the silver-contract
+# projection (the "processing" stage analogue) + running-total mart.
+HEADLINE = [
+    "q1_daily_revenue",
+    "q2_top_nations",
+    "q3_hourly_demand",
+    "q4_priority_share",
+    "q5_running_revenue",
+    "q13_silver_lineitem",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    t0 = time.time()
+    from real_time_data_engineering_spark.registry import all_specs
+    from real_time_data_engineering_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    specs = all_specs()
+    startup = time.time() - t0
+
+    def run(name: str) -> float:
+        t = time.time()
+        specs[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t
+
+    run(HEADLINE[0])  # warm-up: JIT + codegen + parquet footer cache
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        times[name] = round(run(name), 3)
+
+    total = round(sum(times.values()), 3)
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "startup_sec": round(startup, 3),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Query registry — the engine's declared capability surface.
+
+Every operator from SURVEY.md §2 (plus the LLM-data-pipeline extensions)
+is exposed here as a named query over the driver corpus, paired with an
+ANSI-SQL oracle that DuckDB runs on the same parquet files. The driver
+hash-compares both sides (order-insensitive, columns sorted by name), so
+the registry is the machine-checked contract of what the engine can do.
+
+Oracle-parity discipline (applies to every query in this package):
+
+* **Exact arithmetic internally.** Money/measure doubles are cast to
+  DECIMAL before any sum/product — decimal arithmetic is exact and
+  order-independent, so Spark's partial aggregation over 32 (or 10 000)
+  partitions equals DuckDB's single-threaded fold bit-for-bit.
+* **Final outputs only in stable types**: BIGINT, DOUBLE (cast from an
+  exact decimal, or produced by one identical double division on both
+  sides), STRING, DATE, BOOLEAN. Never ROUND() a double — Spark rounds
+  the shortest-decimal rendering (HALF_UP on BigDecimal) while DuckDB
+  rounds the binary value, and they disagree on values like 2.675.
+* **Timestamps are stringified** with an explicit microsecond format —
+  raw timestamp hashing across engines is needlessly fragile.
+* **Deterministic order-sensitivity**: any LIMIT/top-k/window orders by
+  a unique tie-break key; mode() uses an explicit (count DESC, value
+  ASC) rule on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """One declared capability: a Spark query and (usually) its oracle."""
+
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _REGISTRY[name] = QuerySpec(name=name, spark=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return deco
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    _load()
+    return dict(_REGISTRY)
+
+
+def get(name: str) -> QuerySpec:
+    _load()
+    return _REGISTRY[name]
+
+
+_LOADED = False
+
+
+def _load() -> None:
+    """Import all query modules (registration side effects)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from . import analytics, dedup_text, medallion, similarity, streaming_like  # noqa: F401
+
+    _LOADED = True

@@ -1,0 +1,589 @@
+"""Core analytic operator coverage (SURVEY.md §2) on the driver corpus.
+
+Each query maps one or more reference operators onto the TPC-H-ish
+tables per FIXTURES.md §F8: ``orders.o_orderdate`` is the event-time
+axis, ``lineitem`` the fact, ``customer/nation/region`` the broadcast
+dims, ``events`` the stream table. Reference citations sit on each
+function; the paired DuckDB SQL is the machine-checked oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.parity import money, ratio, sum_money
+from ..sources.readers import load_table
+from . import register
+
+# ---------------------------------------------------------------------------
+# q1 — daily revenue rollup (reference A1 int_daily_summary.sql:10-34 and
+# benchmark q1_daily_revenue.sql). groupBy date → count/sum/avg.
+# ---------------------------------------------------------------------------
+_Q1_ORACLE = """
+SELECT CAST(o_orderdate AS DATE) AS order_date,
+       COUNT(*) AS total_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_revenue,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           AS avg_revenue
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("q1_daily_revenue", _Q1_ORACLE)
+def q1_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily rollup: the reference's headline benchmark query (A1)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        F.count("*").alias("total_orders"),
+        sum_money("o_totalprice").alias("total_revenue"),
+        ratio(F.sum(money("o_totalprice")), F.count("*")).alias("avg_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q2 — top-10 by revenue through the dim chain (reference J1 2×-join
+# enrichment fct_trips.sql:57-67 + T1 top-k q2_top_locations.sql:23-34).
+# nation/region are broadcast dims; orders⋈customer shuffles on the key —
+# at 100 TB that join is the big one, so it is NOT force-broadcast.
+# ---------------------------------------------------------------------------
+_Q2_ORACLE = """
+SELECT n.n_name, r.r_name,
+       COUNT(*) AS total_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+ORDER BY total_revenue DESC, n_name
+LIMIT 10
+"""
+
+
+@register("q2_top_nations", _Q2_ORACLE)
+def q2_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k zones analogue: joins through customer→nation→region."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(F.count("*").alias("total_orders"), sum_money("o_totalprice").alias("total_revenue"))
+        .orderBy(F.desc("total_revenue"), "n_name")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q3 — hourly demand heatmap (reference A2 int_hourly_patterns.sql:10-25 +
+# P8 time dims; DOW-offset pitfall handled by emitting the day NAME, and
+# is_weekend computed with each engine's native numbering).
+# ---------------------------------------------------------------------------
+_Q3_ORACLE = """
+SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS event_hour,
+       dayname(CAST(ts AS DATE)) AS day_name,
+       (dayofweek(CAST(ts AS DATE)) IN (0, 6)) AS is_weekend,
+       COUNT(*) AS total_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@register("q3_hourly_demand", _Q3_ORACLE)
+def q3_hourly_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly rollup with day-name + weekend flag (A2/P8)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.hour("ts").cast("long").alias("event_hour"),
+        F.date_format("ts", "EEEE").alias("day_name"),
+        F.dayofweek("ts").isin(1, 7).alias("is_weekend"),
+    ).agg(F.count("*").alias("total_events"), sum_money("value").alias("total_value"))
+
+
+# ---------------------------------------------------------------------------
+# q4 — percent-of-total breakdown (reference A7/W4
+# q4_payment_breakdown.sql:25-37: count(*)*100.0/sum(count(*)) over ()).
+# ---------------------------------------------------------------------------
+_Q4_ORACLE = """
+WITH b AS (
+  SELECT o_orderpriority, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_revenue
+  FROM orders GROUP BY 1
+)
+SELECT o_orderpriority, n AS total_orders, total_revenue,
+       CAST(100 * n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS pct_of_total
+FROM b
+"""
+
+
+@register("q4_priority_share", _Q4_ORACLE)
+def q4_priority_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payment-breakdown analogue: share of total via empty-frame window."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("total_orders"), sum_money("o_totalprice").alias("total_revenue")
+    )
+    w = Window.partitionBy()
+    return b.select(
+        "o_orderpriority",
+        "total_orders",
+        "total_revenue",
+        ratio(F.lit(100) * F.col("total_orders"), F.sum("total_orders").over(w)).alias("pct_of_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q5 — running total + day-over-day delta (reference W2/W3
+# mart_daily_revenue.sql:34-37). Decimal running sum stays exact.
+# ---------------------------------------------------------------------------
+_Q5_ORACLE = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS order_date,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT order_date,
+       CAST(rev AS DOUBLE) AS daily_revenue,
+       CAST(SUM(rev) OVER (ORDER BY order_date
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_revenue,
+       CAST(rev - lag(rev) OVER (ORDER BY order_date) AS DOUBLE) AS revenue_delta
+FROM d
+"""
+
+
+@register("q5_running_revenue", _Q5_ORACLE)
+def q5_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue + lag delta over the date axis (W2/W3)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        F.sum(money("o_totalprice")).alias("rev")
+    )
+    w = Window.orderBy("order_date")
+    return d.select(
+        "order_date",
+        F.col("rev").cast("double").alias("daily_revenue"),
+        F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double").alias("running_revenue"),
+        (F.col("rev") - F.lag("rev").over(w)).cast("double").alias("revenue_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q6 — mode() per group with explicit tie-break (reference A4
+# mart_location_performance.sql:10-36; SURVEY flags tie nondeterminism, so
+# BOTH sides use row_number ordered by (count DESC, value ASC)).
+# ---------------------------------------------------------------------------
+_Q6_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2
+), r AS (
+  SELECT user_id, event_type, cnt,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type ASC) AS rn
+  FROM c
+)
+SELECT user_id, event_type AS mode_event_type, cnt AS mode_count FROM r WHERE rn = 1
+"""
+
+
+@register("q6_mode_per_user", _Q6_ORACLE)
+def q6_mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode(): most frequent event_type per user (A4)."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), F.asc("event_type"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event_type"), F.col("cnt").alias("mode_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q7 — per-entity feature aggregates (reference A5
+# feast/materialize_features.py:52-64: avg fare, avg distance, conditional
+# tip %, trip count per location).
+# ---------------------------------------------------------------------------
+_Q7_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_value,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+       CAST(SUM(CASE WHEN event_type = 'purchase'
+                     THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase_value,
+       CAST(100 * COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS purchase_share_pct
+FROM events
+GROUP BY 1
+"""
+
+
+@register("q7_user_features", _Q7_ORACLE)
+def q7_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store materialization: entity-keyed aggregates (A5)."""
+    e = load_table(spark, sf_dir, "events")
+    is_purchase = F.col("event_type") == "purchase"
+    n_purchases = F.count(F.when(is_purchase, 1))
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        ratio(F.sum(money("value")), F.count("*")).alias("avg_value"),
+        n_purchases.alias("n_purchases"),
+        F.sum(F.when(is_purchase, money("value"))).cast("double").alias("purchase_value"),
+        ratio(F.lit(100) * n_purchases, F.count("*")).alias("purchase_share_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q8 — distinct counts (reference A8 validate.py:229-233: count(DISTINCT)
+# vs count(*)). Exact here; approx_count_distinct is the 100 TB variant
+# (see operators.rollups.approx_distinct_profile).
+# ---------------------------------------------------------------------------
+_Q8_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(COUNT(*) AS DOUBLE) / CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS events_per_user
+FROM events
+GROUP BY 1
+"""
+
+
+@register("q8_distinct_counts", _Q8_ORACLE)
+def q8_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count reconciliation (A8)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        ratio(F.count("*"), F.countDistinct("user_id")).alias("events_per_user"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q9 — z-score daily anomaly flags (reference A9
+# anomaly_daily_trips.py:19-40). Stats built from exact integer sums; the
+# identical double expression runs last on both engines.
+# ---------------------------------------------------------------------------
+_Q9_ORACLE = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt FROM events GROUP BY 1
+), s AS (
+  SELECT day, cnt,
+         COUNT(*) OVER () AS n,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS sx,
+         CAST(SUM(cnt * cnt) OVER () AS BIGINT) AS sx2
+  FROM d
+)
+SELECT day, cnt AS daily_events,
+       (CAST(cnt AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+         / sqrt(CAST(n * sx2 - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS z_score,
+       abs((CAST(cnt AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+         / sqrt(CAST(n * sx2 - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))) > 2.0
+           AS is_anomaly
+FROM s
+"""
+
+
+@register("q9_daily_anomaly", _Q9_ORACLE)
+def q9_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly flags over the daily series (A9), exact-stats form."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(F.to_date("ts").alias("day")).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy()
+    s = d.select(
+        "day",
+        "cnt",
+        F.count("*").over(w).alias("n"),
+        F.sum("cnt").over(w).alias("sx"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("sx2"),
+    )
+    mean = F.col("sx").cast("double") / F.col("n").cast("double")
+    std = F.sqrt(
+        (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double")
+        / (F.col("n") * (F.col("n") - F.lit(1))).cast("double")
+    )
+    z = (F.col("cnt").cast("double") - mean) / std
+    return s.select(
+        "day",
+        F.col("cnt").alias("daily_events"),
+        z.alias("z_score"),
+        (F.abs(z) > F.lit(2.0)).alias("is_anomaly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10 — generated date-spine dimension (reference dim_dates.sql:6-37 via
+# dbt_utils.date_spine): one row per day over the orders range with
+# calendar attributes.
+# ---------------------------------------------------------------------------
+_Q10_ORACLE = """
+WITH r AS (
+  SELECT MIN(CAST(o_orderdate AS DATE)) AS d0, MAX(CAST(o_orderdate AS DATE)) AS d1 FROM orders
+), spine AS (
+  SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS date_key
+  FROM r
+)
+SELECT date_key,
+       CAST(EXTRACT(year FROM date_key) AS BIGINT) AS year,
+       CAST(EXTRACT(month FROM date_key) AS BIGINT) AS month,
+       CAST(EXTRACT(day FROM date_key) AS BIGINT) AS day_of_month,
+       dayname(date_key) AS day_name,
+       monthname(date_key) AS month_name,
+       (dayofweek(date_key) IN (0, 6)) AS is_weekend
+FROM spine
+"""
+
+
+@register("q10_date_spine", _Q10_ORACLE)
+def q10_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dim_dates: generated calendar over the data's date range (F3)."""
+    o = load_table(spark, sf_dir, "orders")
+    r = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"), F.max(F.to_date("o_orderdate")).alias("d1")
+    )
+    spine = r.select(F.explode(F.sequence("d0", "d1")).alias("date_key"))
+    return spine.select(
+        "date_key",
+        F.year("date_key").cast("long").alias("year"),
+        F.month("date_key").cast("long").alias("month"),
+        F.dayofmonth("date_key").cast("long").alias("day_of_month"),
+        F.date_format("date_key", "EEEE").alias("day_name"),
+        F.date_format("date_key", "MMMM").alias("month_name"),
+        F.dayofweek("date_key").isin(1, 7).alias("is_weekend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11 — JSON extraction at the ingest boundary (reference §2.7 JSON
+# surface: from_json / JSON_VALUE / ->> ; here get_json_object over the
+# events.props payload).
+# ---------------------------------------------------------------------------
+_Q11_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS avg_k
+FROM events
+GROUP BY 1
+"""
+
+
+@register("q11_json_extract", _Q11_ORACLE)
+def q11_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONPath scalar extraction + rollup (§2.7 JSON surface)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        ratio(F.sum(k), F.count("*")).alias("avg_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12 — keep-latest dedup by natural key (reference W1 ROW_NUMBER dedup,
+# flink/sql/06-silver.sql:42-58: partition by natural key, order by
+# ingestion time DESC, keep rn=1; event_id DESC is the deterministic
+# tie-break for equal timestamps).
+# ---------------------------------------------------------------------------
+_Q12_ORACLE = """
+WITH r AS (
+  SELECT event_id, user_id, event_type, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT event_id, user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+       CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS value
+FROM r WHERE rn = 1
+"""
+
+
+@register("q12_dedup_latest", _Q12_ORACLE)
+def q12_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-copy-wins dedup over a natural key (W1/ST5 batch form)."""
+    from ..functions.parity import ts_str
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            ts_str("ts").alias("ts_str"),
+            money("value").cast("double").alias("value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13 — the Silver contract on lineitem (reference P1 rename/cast, P2
+# quality filter, P3 md5 surrogate key — stg_yellow_trips.sql:15-59).
+# ---------------------------------------------------------------------------
+_Q13_ORACLE = """
+SELECT md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+                     CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR),
+                     CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR))) AS line_id,
+       l_orderkey AS order_key,
+       l_partkey AS part_key,
+       l_suppkey AS supp_key,
+       CAST(l_linenumber AS INT) AS line_number,
+       CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS quantity,
+       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS extended_price,
+       CAST(CAST(l_discount AS DECIMAL(12,2)) AS DOUBLE) AS discount,
+       CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS net_revenue,
+       l_returnflag AS return_flag,
+       l_linestatus AS line_status,
+       CAST(l_shipdate AS DATE) AS ship_date,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year
+FROM lineitem
+WHERE l_quantity >= 0 AND l_extendedprice >= 0
+  AND CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '2002-01-01'
+"""
+
+
+@register("q13_silver_lineitem", _Q13_ORACLE)
+def q13_silver_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silver projection: rename/cast/filter + md5 surrogate key (P1-P3)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = money("l_quantity")
+    p = money("l_extendedprice")
+    d = money("l_discount")
+    return li.filter(
+        (F.col("l_quantity") >= 0)
+        & (F.col("l_extendedprice") >= 0)
+        & (F.to_date("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("2002-01-01").cast("date"))
+    ).select(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+                q.cast("string"),
+                p.cast("string"),
+            )
+        ).alias("line_id"),
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_partkey").alias("part_key"),
+        F.col("l_suppkey").alias("supp_key"),
+        F.col("l_linenumber").cast("int").alias("line_number"),
+        q.cast("double").alias("quantity"),
+        p.cast("double").alias("extended_price"),
+        d.cast("double").alias("discount"),
+        (p * (F.lit(1) - d)).cast("double").alias("net_revenue"),
+        F.col("l_returnflag").alias("return_flag"),
+        F.col("l_linestatus").alias("line_status"),
+        F.to_date("l_shipdate").alias("ship_date"),
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14 — referential-integrity anti-joins (reference J5: dbt relationships
+# test compiles to exactly this shape; staging.yml:33-48).
+# ---------------------------------------------------------------------------
+_Q14_ORACLE = """
+SELECT 'orders_without_customer' AS check_name,
+       COUNT(*) AS n_orphans
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem_without_order' AS check_name,
+       COUNT(*) AS n_orphans
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+"""
+
+
+@register("q14_referential_check", _Q14_ORACLE)
+def q14_referential_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join orphan counts — the relationships test (J5)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    orphan_orders = o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(
+        F.count("*").alias("n_orphans")
+    ).select(F.lit("orders_without_customer").alias("check_name"), "n_orphans")
+    orphan_lines = li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").agg(
+        F.count("*").alias("n_orphans")
+    ).select(F.lit("lineitem_without_order").alias("check_name"), "n_orphans")
+    return orphan_orders.unionByName(orphan_lines)
+
+
+# ---------------------------------------------------------------------------
+# q15 — top-k per group (guide's canonical OLAP pattern; generalizes the
+# reference's T1 top-10 to a windowed per-group form).
+# ---------------------------------------------------------------------------
+_Q15_ORACLE = """
+WITH r AS (
+  SELECT p_brand, p_partkey, p_name,
+         CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS retail_price,
+         CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+                                 ORDER BY CAST(p_retailprice AS DECIMAL(12,2)) DESC,
+                                          p_partkey ASC) AS BIGINT) AS price_rank
+  FROM part
+)
+SELECT p_brand, p_partkey, p_name, retail_price, price_rank FROM r WHERE price_rank <= 3
+"""
+
+
+@register("q15_topk_per_brand", _Q15_ORACLE)
+def q15_topk_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 priciest parts per brand via ranked window (T1 generalized)."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc(money("p_retailprice")), F.asc("p_partkey"))
+    return (
+        p.withColumn("price_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("price_rank") <= 3)
+        .select(
+            "p_brand",
+            "p_partkey",
+            "p_name",
+            money("p_retailprice").cast("double").alias("retail_price"),
+            "price_rank",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — agg-over-agg (reference A3 mart_hourly_demand.sql:9-26: group the
+# hourly rows again by hour-of-day → days_observed / avg / total).
+# ---------------------------------------------------------------------------
+_Q16_ORACLE = """
+WITH h AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS event_hour,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_hour,
+       COUNT(*) AS days_observed,
+       CAST(SUM(n) AS BIGINT) AS total_events,
+       CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_events_per_day
+FROM h GROUP BY 1
+"""
+
+
+@register("q16_hourly_demand_summary", _Q16_ORACLE)
+def q16_hourly_demand_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-level aggregation over the hourly rollup (A3)."""
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy(
+        F.to_date("ts").alias("day"), F.hour("ts").cast("long").alias("event_hour")
+    ).agg(F.count("*").alias("n"))
+    return h.groupBy("event_hour").agg(
+        F.count("*").alias("days_observed"),
+        F.sum("n").alias("total_events"),
+        ratio(F.sum("n"), F.count("*")).alias("avg_events_per_day"),
+    )

@@ -1,0 +1,55 @@
+"""Batch readers for the engine.
+
+Parquet is the canonical columnar store (reference stores Iceberg/Delta/
+Hudi-backed zstd parquet; we read/write plain parquet + metadata). All
+readers take explicit schemas — schema inference never runs in a
+production path.
+
+At 100 TB the scan layer is where efficiency is won: `spark.read
+.parquet` gives Catalyst a relation it can push filters into and prune
+columns from, so every downstream `select`/`filter` reaches the parquet
+footer as PushedFilters/ReadSchema. Nothing here materializes data.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import SEED_SCHEMAS, TABLE_NAMES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one corpus table (lazy parquet relation, pushdown-capable).
+
+    ``events.ts`` is TIMESTAMP(NANOS) on disk; with the session's
+    ``nanosAsLong`` conf it scans as int64 nanos, which we truncate to
+    microsecond timestamps — the same floor DuckDB applies — so both
+    engines observe identical instants.
+    """
+    if name == "events":
+        # Set on the *caller's* session (the driver passes its own, which
+        # won't have our session-factory conf) — runtime-settable SQLConf.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES) -> None:
+    """Register every corpus table as a temp view for the SQL API."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def load_seed_csv(spark: SparkSession, path: str, seed_name: str) -> DataFrame:
+    """CSV seed with typed columns (reference dbt seeds + ``+column_types``,
+    pipelines/00-batch-baseline/dbt_project/dbt_project.yml:24-39)."""
+    return spark.read.csv(path, header=True, schema=SEED_SCHEMAS[seed_name])
