@@ -1,1 +1,314 @@
-"""Deduplication + text-analysis queries on `documents` (filled incrementally)."""
+"""Dedup + text-analysis queries on `documents` — the LLM-pipeline surface.
+
+These extend the reference's capability set per BASELINE.json's north
+star: exact dedup, MinHash-LSH, SimHash, n-gram Jaccard, language-ID,
+quality scoring, token counting, fingerprinting. Each parity-checked
+query has a string-for-string DuckDB mirror (md5-based hashing, token
+joins), so even the fuzzy-dedup paths are machine-verified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.parity import ratio
+from ..functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    char_count,
+    est_bpe_tokens,
+    fingerprint,
+    marker_hits,
+    punct_count,
+    token_count,
+)
+from ..operators import dedup as D
+from ..sources.readers import load_table
+from . import register
+
+# ---------------------------------------------------------------------------
+# d1 — exact dedup over a doubled corpus (every doc ingested twice, like a
+# replayed Kafka topic): fingerprint → keeper + copy count. Generalizes
+# reference W1/S9 (ROW_NUMBER dedup / Hudi upsert-by-key storage).
+# ---------------------------------------------------------------------------
+_D1_ORACLE = """
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+)
+SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM doubled
+GROUP BY 1
+"""
+
+
+@register("d1_exact_dedup", _D1_ORACLE)
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup of a twice-ingested corpus (hash-groupBy)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
+    return D.exact_dedup(doubled)
+
+
+# ---------------------------------------------------------------------------
+# d2 — exact word-3-gram Jaccard, top-50 most-similar pairs. The verify
+# stage of the fuzzy-dedup ladder, run on pairs sharing ≥1 shingle.
+# ---------------------------------------------------------------------------
+_D2_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+), tok AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks
+), tri AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+  FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY 1
+), common AS (
+  SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS n_common
+  FROM tri x JOIN tri y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT d1, d2, n_common,
+         CAST(n_common AS DOUBLE) / CAST(s1.n + s2.n - n_common AS DOUBLE) AS jaccard
+  FROM common
+  JOIN sizes s1 ON s1.doc_id = d1
+  JOIN sizes s2 ON s2.doc_id = d2
+), ranked AS (
+  SELECT d1, d2, n_common, jaccard,
+         ROW_NUMBER() OVER (ORDER BY jaccard DESC, d1 ASC, d2 ASC) AS rn
+  FROM scored
+)
+SELECT d1, d2, n_common, jaccard FROM ranked WHERE rn <= 50
+"""
+
+
+@register("d2_ngram_jaccard_topk", _D2_ORACLE)
+def d2_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 near-duplicate pairs by exact 3-gram Jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, n=3)
+    w = Window.orderBy(F.desc("jaccard"), F.asc("d1"), F.asc("d2"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("d1", "d2", "n_common", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d3 — language-ID heuristic: marker-token evidence per language, argmax
+# with (hits DESC, lang ASC) tie-break, 'und' when no evidence.
+# ---------------------------------------------------------------------------
+
+
+def _lang_case_sql() -> str:
+    hits = {
+        lang: (
+            "(SELECT COUNT(*) FROM unnest(string_split_regex(lower(trim(text)), '\\s+')) AS u(tok) "
+            f"WHERE tok IN ({', '.join(repr(m) for m in markers)}))"
+            if markers
+            else "0"
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    return (
+        "SELECT doc_id, lang AS labeled_lang, "
+        + ", ".join(f"CAST({expr} AS BIGINT) AS hits_{lang}" for lang, expr in hits.items())
+        + " FROM documents"
+    )
+
+
+_D3_ORACLE = f"""
+WITH h AS ({_lang_case_sql()}),
+u AS (
+  SELECT doc_id, labeled_lang, lang, hits
+  FROM h UNPIVOT (hits FOR lang IN (hits_en AS 'en', hits_es AS 'es', hits_de AS 'de',
+                                    hits_fr AS 'fr', hits_zh AS 'zh'))
+), r AS (
+  SELECT doc_id, labeled_lang, lang, hits,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
+  FROM u
+)
+SELECT doc_id, labeled_lang,
+       CASE WHEN hits = 0 THEN 'und' ELSE lang END AS predicted_lang,
+       hits AS marker_hits
+FROM r WHERE rn = 1
+"""
+
+
+@register("d3_lang_id", _D3_ORACLE)
+def d3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID with deterministic argmax."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[marker_hits("text", m).alias(f"hits_{lang}") for lang, m in LANG_MARKERS.items()],
+    )
+    stacked = h.select(
+        "doc_id",
+        "labeled_lang",
+        F.expr(
+            "stack({n}, {args}) AS (lang, hits)".format(
+                n=len(LANG_MARKERS),
+                args=", ".join(f"'{lang}', hits_{lang}" for lang in LANG_MARKERS),
+            )
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("lang"))
+    return (
+        stacked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "labeled_lang",
+            F.when(F.col("hits") == 0, F.lit("und")).otherwise(F.col("lang")).alias("predicted_lang"),
+            F.col("hits").alias("marker_hits"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# d4 — per-document text statistics + composite quality score.
+# quality = 0.4·min(tokens,100)/100 + 0.3·stopword_ratio + 0.3·(1 − punct_ratio)
+# (every term an int/int double division; fixed multiply-add order).
+# ---------------------------------------------------------------------------
+_STOP_IN = ", ".join(repr(s) for s in STOPWORDS)
+_D4_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks,
+         text
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(length(norm) AS BIGINT) AS n_chars,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST((SELECT COUNT(*) FROM unnest(toks) AS u(tok) WHERE tok IN ({_STOP_IN})) AS BIGINT)
+             AS n_stopwords,
+         CAST(ceil(CAST(length(norm) AS BIGINT) / 4.0) AS BIGINT) AS est_bpe_tokens,
+         md5(norm) AS fingerprint
+  FROM base
+)
+SELECT doc_id, n_tokens, n_chars, n_punct, n_stopwords, est_bpe_tokens, fingerprint,
+       CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+       CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+       0.4 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100.0)
+         + 0.3 * (CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+         + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)) AS quality_score
+FROM m
+"""
+
+
+@register("d4_text_stats", _D4_ORACLE)
+def d4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char/punct/stopword stats, BPE estimate, quality score."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        char_count("text").alias("n_chars"),
+        punct_count("text").alias("n_punct"),
+        marker_hits("text", STOPWORDS).alias("n_stopwords"),
+        est_bpe_tokens("text").alias("est_bpe_tokens"),
+        fingerprint("text").alias("fingerprint"),
+    )
+    stop_ratio = ratio(F.col("n_stopwords"), F.col("n_tokens"))
+    punct_ratio = ratio(F.col("n_punct"), F.col("n_chars"))
+    return m.select(
+        "*",
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        (
+            F.lit(0.4) * (F.least(F.col("n_tokens"), F.lit(100)).cast("double") / F.lit(100.0))
+            + F.lit(0.3) * stop_ratio
+            + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        ).alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d5 — MinHash-LSH candidate pairs with estimated Jaccard (the scale path
+# of fuzzy dedup; md5-based permutations mirror exactly in DuckDB).
+# k=16 signatures, 4 bands × 4 rows.
+# ---------------------------------------------------------------------------
+_D5_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+), tok AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks
+), tri AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+  FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+), seeds AS (
+  SELECT unnest(generate_series(0, 15)) AS seed
+), sigs AS (
+  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS sig
+  FROM tri CROSS JOIN seeds
+  GROUP BY 1, 2
+), banded AS (
+  SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
+         md5(string_agg(sig, '|' ORDER BY seed)) AS band_hash
+  FROM sigs GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT c.d1, c.d2,
+       CAST(SUM(CASE WHEN s1.sig = s2.sig THEN 1 ELSE 0 END) AS DOUBLE) / 16.0 AS est_jaccard
+FROM cand c
+JOIN sigs s1 ON s1.doc_id = c.d1
+JOIN sigs s2 ON s2.doc_id = c.d2 AND s2.seed = s1.seed
+GROUP BY 1, 2
+"""
+
+
+@register("d5_minhash_lsh", _D5_ORACLE)
+def d5_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs + signature-estimated Jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_candidate_pairs(docs, n=3, k=16, bands=4)
+
+
+# ---------------------------------------------------------------------------
+# d6 — engine-agnostic 16-bit SimHash signatures (md5 nibble votes); the
+# 64-bit xxhash64 variant is the production path (property-tested).
+# ---------------------------------------------------------------------------
+_D6_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+), h AS (
+  SELECT doc_id, md5(w) AS d FROM tok
+), votes AS (
+  SELECT doc_id,
+         {vote_cols}
+  FROM h GROUP BY 1
+)
+SELECT doc_id, {bit_concat} AS simhash_bits FROM votes
+""".format(
+    vote_cols=",\n         ".join(
+        f"SUM(CASE WHEN substr(d, {j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(16)
+    ),
+    bit_concat=" || ".join(f"(CASE WHEN b{j} >= 0 THEN '1' ELSE '0' END)" for j in range(16)),
+)
+
+
+@register("d6_simhash", _D6_ORACLE)
+def d6_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signature per document (cross-engine form)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash16_hex(docs)
