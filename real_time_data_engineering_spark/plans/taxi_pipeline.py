@@ -1,0 +1,43 @@
+"""The full taxi medallion pipeline wired as a DAG.
+
+Reference DAG: README.md:520-578 / SURVEY.md §3.2. Materialization
+policy mirrors dbt_project.yml:41-53 — staging/intermediate as views,
+fct + marts as tables (partitioned where the reference partitions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import gold, silver
+from ..sources import seeds
+from .dag import DagRunner, Model
+
+
+def build_runner(
+    spark: SparkSession, raw_trips: DataFrame, warehouse_dir: str | None = None
+) -> DagRunner:
+    r = DagRunner(spark, warehouse_dir)
+    r.add(Model("stg_yellow_trips", lambda b: silver.silver_transform(b["raw_trips"]), ("raw_trips",), "table", ("pickup_date",)))
+    r.add(Model("stg_taxi_zones", lambda b: gold.stg_taxi_zones(seeds.taxi_zones(spark))))
+    r.add(Model("dim_locations", lambda b: gold.dim_locations(b["stg_taxi_zones"]), ("stg_taxi_zones",)))
+    r.add(Model("dim_payment_types", lambda b: gold.dim_payment_types(seeds.payment_type_lookup(spark))))
+    r.add(Model("dim_rate_codes", lambda b: gold.dim_rate_codes(seeds.rate_code_lookup(spark))))
+    r.add(Model("dim_vendors", lambda b: gold.dim_vendors(seeds.vendor_lookup(spark))))
+    r.add(Model("dim_dates", lambda b: gold.dim_dates(spark)))
+    r.add(Model("int_trip_metrics", lambda b: gold.int_trip_metrics(b["stg_yellow_trips"]), ("stg_yellow_trips",)))
+    r.add(Model("fct_trips", lambda b: gold.fct_trips(b["int_trip_metrics"], b["dim_locations"]), ("int_trip_metrics", "dim_locations"), "table", ("pickup_date",)))
+    r.add(Model("int_daily_summary", lambda b: gold.int_daily_summary(b["int_trip_metrics"]), ("int_trip_metrics",)))
+    r.add(Model("int_hourly_patterns", lambda b: gold.int_hourly_patterns(b["int_trip_metrics"]), ("int_trip_metrics",)))
+    r.add(Model("mart_daily_revenue", lambda b: gold.mart_daily_revenue(b["int_daily_summary"], b["dim_dates"]), ("int_daily_summary", "dim_dates"), "table"))
+    r.add(Model("mart_hourly_demand", lambda b: gold.mart_hourly_demand(b["int_hourly_patterns"]), ("int_hourly_patterns",), "table"))
+    r.add(Model("mart_location_performance", lambda b: gold.mart_location_performance(b["fct_trips"]), ("fct_trips",), "table"))
+    r.add(Model("anomaly_daily_trips", lambda b: gold.anomaly_daily_trips(b["int_daily_summary"]), ("int_daily_summary",)))
+    return r
+
+
+def run_pipeline(
+    spark: SparkSession, raw_trips: DataFrame, warehouse_dir: str | None = None
+):
+    runner = build_runner(spark, raw_trips, warehouse_dir)
+    return runner.run({"raw_trips": raw_trips})

@@ -1,0 +1,110 @@
+"""Full-pipeline run over synthetic dirty data + the reference's
+invariant suite (FIXTURES.md §F7, validate.py + Soda checks) and the
+dbt-style check accounting."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from real_time_data_engineering_spark.checks import asserts as A
+from real_time_data_engineering_spark.plans.taxi_pipeline import run_pipeline
+from real_time_data_engineering_spark.testing.taxi_datagen import generate_raw_trips
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    raw = generate_raw_trips(spark, n_valid=2000)
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    return run_pipeline(spark, raw, warehouse_dir=wh).built
+
+
+def test_rowcount_monotonicity(built):
+    """validate.py:106-116 — count(stg) ≥ count(int) = count(fct)."""
+    stg = built["stg_yellow_trips"].count()
+    itm = built["int_trip_metrics"].count()
+    fct = built["fct_trips"].count()
+    assert stg >= itm
+    assert itm == fct
+
+
+def test_daily_rows_and_dims(built):
+    """validate.py:119-134 — daily grain ≤ 31 rows; 265 unique zones."""
+    daily = built["int_daily_summary"].count()
+    assert 1 <= daily <= 31
+    assert built["mart_daily_revenue"].count() == daily
+    dim = built["dim_locations"]
+    assert dim.count() == 265
+    assert dim.select("location_id").distinct().count() == 265
+
+
+def test_trip_id_unique(built):
+    assert A.unique(built["stg_yellow_trips"], "trip_id", "silver").passed
+
+
+def test_money_invariants(built):
+    """silver_checks.yml:9-12 — min(fare) ≥ 0 after cleaning."""
+    row = built["stg_yellow_trips"].agg(F.min("fare_amount").alias("m")).first()
+    assert row["m"] >= 0
+
+
+def test_idempotent_rebuild(spark, built, tmp_path):
+    """validate.py:43-78 — rebuilding from the same input yields identical
+    counts (3-run idempotency collapsed to 2 here)."""
+    raw = generate_raw_trips(spark, n_valid=2000)
+    again = run_pipeline(spark, raw, warehouse_dir=str(tmp_path / "wh2")).built
+    for m in ("stg_yellow_trips", "fct_trips", "mart_daily_revenue"):
+        assert built[m].count() == again[m].count()
+
+
+def test_dbt_style_check_suite(built):
+    """The 94-test analogue: generic + singular + contract checks, with
+    dbt-style PASS/WARN/ERROR accounting — must have zero errors."""
+    stg, fct = built["stg_yellow_trips"], built["fct_trips"]
+    metrics = built["int_trip_metrics"]
+    dim = built["dim_locations"]
+    results = [
+        A.not_null(stg, ["trip_id", "pickup_datetime", "dropoff_datetime", "pickup_date"], "stg"),
+        A.unique(stg, "trip_id", "stg"),
+        A.accepted_values(stg, "vendor_id", [1, 2, 6], "stg"),
+        A.accepted_values(stg, "rate_code_id", [1, 2, 3, 4, 5, 6, 99], "stg"),
+        A.accepted_values(stg, "payment_type_id", [0, 1, 2, 3, 4, 5, 6], "stg"),
+        A.relationships(fct, "pickup_location_id", dim, "location_id", "fct"),
+        A.accepted_range(metrics, "trip_duration_minutes", 1, 720, "int"),
+        A.accepted_range(metrics, "pickup_hour", 0, 23, "int"),
+        A.positive_value(stg, "fare_amount", "stg"),
+        A.positive_value(stg, "total_amount", "stg"),
+        A.singular(
+            stg,
+            (F.col("fare_amount") > F.col("total_amount") + 0.01) & (F.col("total_amount") > 0),
+            "fare_not_exceeds_total",
+        ),
+        A.singular(
+            stg, F.col("dropoff_datetime") < F.col("pickup_datetime"), "trip_duration_positive"
+        ),
+    ]
+    summary, flat = A.run_checks(results)
+    errors = [r for r in flat if not r.passed and r.severity == "error"]
+    assert not errors, f"{summary}: {[r.name for r in errors]}"
+
+
+def test_contract_enforcement(built):
+    """core.yml contracts: silver schema must match exactly."""
+    from real_time_data_engineering_spark.schemas import SILVER_TRIP
+
+    res = A.expect_schema(built["stg_yellow_trips"], SILVER_TRIP, "stg_yellow_trips")
+    assert res.passed, res.detail
+
+
+def test_anomaly_model_shape(built):
+    an = built["anomaly_daily_trips"]
+    assert an.count() == built["int_daily_summary"].count()
+    assert set(an.columns) >= {"z_score", "is_anomaly_zscore", "is_anomaly_iqr", "is_anomaly"}
+
+
+def test_mart_location_performance_modes(built):
+    mlp = built["mart_location_performance"]
+    row = mlp.first()
+    assert row.most_common_dropoff is not None
+    assert 0 <= row.most_common_hour <= 23
