@@ -1,0 +1,36 @@
+"""CDC envelope parsing (reference ST7/S14: Debezium over Kafka).
+
+The reference's CDC pipeline registers a Debezium Postgres connector
+(register-connector.json:4-21) and parses the envelope in Flink SQL
+with JSON_VALUE (06-silver-cdc.sql:58-90): keep op ∈ (c, r, u), drop
+deletes, extract the after-image, convert epoch-microsecond timestamps.
+Here that's one `from_json` + filter + projection — fully declarative,
+so Catalyst pushes whatever it can into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+UPSERT_OPS = ("c", "r", "u")  # create, read(snapshot), update — deletes dropped
+
+
+def parse_envelope(df: DataFrame, payload_col: str, schema: T.StructType) -> DataFrame:
+    """payload JSON string → (before, after, op, ts_ms) columns."""
+    return df.withColumn("_env", F.from_json(F.col(payload_col), schema)).select(
+        "*", F.col("_env.before").alias("before"), F.col("_env.after").alias("after"),
+        F.col("_env.op").alias("op"), F.col("_env.ts_ms").alias("ts_ms"),
+    ).drop("_env")
+
+
+def apply_upserts(parsed: DataFrame) -> DataFrame:
+    """Keep creates/reads/updates; surface the after-image columns."""
+    kept = parsed.filter(F.col("op").isin(*UPSERT_OPS) & F.col("after").isNotNull())
+    return kept.select("op", "ts_ms", F.col("after.*"))
+
+
+def micros_to_ts(c: Column | str) -> Column:
+    """Debezium epoch-µs → timestamp (06-silver-cdc.sql:79-86)."""
+    return F.timestamp_micros(F.col(c) if isinstance(c, str) else c)

@@ -1,0 +1,184 @@
+"""Structured-Streaming ingest: Bronze → Silver with DLQ, watermark
+dedup, and tumbling rollups.
+
+Reference semantics re-expressed Spark-first (SURVEY.md §2.8):
+
+* ST1 watermark          — ``withWatermark(event_time, bound)``
+* ST2 bounded/continuous — one code path; ``availableNow`` vs default
+  micro-batch trigger (the reference runs the same SQL in Flink batch
+  and streaming modes)
+* ST3 exactly-once       — checkpoint + idempotent file sink commits
+* ST4 DLQ                — filter split on parse result; invalid rows
+  carry the raw payload + error context to a dead-letter sink
+* ST5 streaming dedup    — ``dropDuplicatesWithinWatermark`` on the
+  natural key (batch path uses the identical key via ROW_NUMBER)
+* ST6 maintained MV      — a streaming aggregation continuously
+  updating a table ≡ RisingWave/Materialize MVs; contract is
+  "MV contents equal batch recompute", which the tests assert
+* ST8 one-stream fan-out — ``foreachBatch`` writing bronze + silver
+  from a single micro-batch (re-using the *batch* silver transform:
+  micro-batch = batch is the point of Structured Streaming)
+
+No Kafka broker exists in this container, so sources are file streams
+with explicit schemas; the Kafka reader is gated and takes the same
+downstream path (`value` string column in, table out).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.silver import NATURAL_KEY, silver_transform
+from ..schemas import RAW_TRIP_WIRE, TS_PATTERN
+
+
+def read_file_stream(spark: SparkSession, path: str, schema: T.StructType, fmt: str = "parquet") -> DataFrame:
+    """File-source stream (the test stand-in for a Kafka topic)."""
+    return spark.readStream.format(fmt).schema(schema).load(path)
+
+
+def read_kafka_stream(
+    spark: SparkSession, bootstrap: str, topic: str, starting_offsets: str = "earliest"
+) -> DataFrame:
+    """Kafka source (reference S3/S4 options). Requires the Kafka
+    connector jars on the classpath — gated so file-based tests never
+    touch it."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "false")
+        .load()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bronze: JSON value → typed columns + ingestion metadata, DLQ split
+# (bronze_ingest.py:134-168 + create-topics.sh DLQ topic).
+# ---------------------------------------------------------------------------
+
+
+def parse_bronze(values: DataFrame, value_col: str = "value") -> tuple[DataFrame, DataFrame]:
+    """Split a raw JSON-string stream into (bronze, dead_letters).
+
+    A row is dead when the JSON fails to parse (both required timestamps
+    NULL after from_json) — mirroring the reference's DLQ contract that
+    only unparseable events divert.
+    """
+    parsed = values.withColumn("_data", F.from_json(F.col(value_col), RAW_TRIP_WIRE))
+    is_dead = F.col("_data").isNull() | (
+        F.col("_data.tpep_pickup_datetime").isNull() & F.col("_data.tpep_dropoff_datetime").isNull()
+    )
+    dead = parsed.filter(is_dead).select(
+        F.col(value_col).alias("raw_payload"),
+        F.lit("unparseable_event").alias("error_class"),
+        F.current_timestamp().alias("dlq_ts"),
+    )
+    bronze = (
+        parsed.filter(~is_dead)
+        .select(
+            F.col("_data.*"),
+            F.current_timestamp().alias("ingestion_ts"),
+        )
+        .withColumn("tpep_pickup_datetime", F.to_timestamp("tpep_pickup_datetime", TS_PATTERN))
+        .withColumn("tpep_dropoff_datetime", F.to_timestamp("tpep_dropoff_datetime", TS_PATTERN))
+    )
+    return bronze, dead
+
+
+def stream_dedup(bronze: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """ST5: watermarked keep-one-per-natural-key.
+
+    The reference bounds late data at 10 *seconds* (00-init.sql:40-43)
+    — far too tight for real late data, so the bound is a parameter.
+    State size is keys-within-watermark only; at 100 TB/day the key
+    cardinality inside the TTL window is what sizes the state store.
+    """
+    return bronze.withWatermark("tpep_pickup_datetime", watermark).dropDuplicatesWithinWatermark(
+        list(NATURAL_KEY)
+    )
+
+
+def run_bronze_to_silver(
+    spark: SparkSession,
+    source: DataFrame,
+    bronze_path: str,
+    silver_path: str,
+    dlq_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """ST8 fan-out: one stream → bronze + DLQ + silver, availableNow.
+
+    ``foreachBatch`` re-uses the exact batch `silver_transform` — the
+    engine has ONE silver implementation for both execution modes
+    (unlike the reference's 8 copies). Checkpointing + deterministic
+    batch ids give effectively-once file commits.
+    """
+    bronze, dead = parse_bronze(source)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        b, d = parse_bronze(batch_df) if "value" in batch_df.columns else (batch_df, None)
+        b.persist()
+        b.write.mode("append").parquet(bronze_path)
+        silver = silver_transform(b)
+        silver.write.mode("append").partitionBy("pickup_date").parquet(silver_path)
+        b.unpersist()
+
+    q_dead = (
+        dead.writeStream.format("parquet")
+        .option("path", dlq_path)
+        .option("checkpointLocation", f"{checkpoint_dir}/dlq")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_main = (
+        source.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", f"{checkpoint_dir}/main")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_dead.awaitTermination()
+    q_main.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# ST6/A6: streaming tumbling-window rollup (the Druid hourly cube).
+# ---------------------------------------------------------------------------
+
+
+def hourly_rollup_stream(events: DataFrame, ts_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
+    """Hourly count + sums keyed by window × event_type; append-mode safe
+    because the watermark closes windows."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            F.col("total_value").cast("double").alias("total_value"),
+        )
+    )
+
+
+def run_to_memory(df: DataFrame, name: str) -> None:
+    """Drive a streaming frame to completion into an in-memory table
+    (test/bench harness; `complete` for aggregations)."""
+    mode = "complete" if df.isStreaming and _has_aggregate(df) else "append"
+    q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+
+
+def _has_aggregate(df: DataFrame) -> bool:
+    try:
+        return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return True

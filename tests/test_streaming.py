@@ -1,0 +1,179 @@
+"""Structured-Streaming layer tests: file-source streams driven to
+completion with availableNow / processAllAvailable (no Kafka broker in
+the container; the value-column path is identical either way).
+
+Core assertion throughout: streaming result == batch result over the
+same rows (Spark's micro-batch contract, and the reference's
+"MV contents equal batch recompute" contract for ST6)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+from real_time_data_engineering_spark.sources.readers import load_table
+from real_time_data_engineering_spark.streaming import ingest as si
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def json_events_dir(spark, tmp_path_factory):
+    """A directory of JSON taxi events incl. malformed rows (DLQ food)."""
+    d = tmp_path_factory.mktemp("events_json")
+    good = {
+        "VendorID": 1,
+        "tpep_pickup_datetime": "2024-01-08T10:00:00",
+        "tpep_dropoff_datetime": "2024-01-08T10:30:00",
+        "passenger_count": 2,
+        "trip_distance": 10.0,
+        "RatecodeID": 1,
+        "store_and_fwd_flag": "N",
+        "PULocationID": 100,
+        "DOLocationID": 200,
+        "payment_type": 1,
+        "fare_amount": 25.0,
+        "extra": 0.5,
+        "mta_tax": 0.5,
+        "tip_amount": 5.0,
+        "tolls_amount": 0.0,
+        "improvement_surcharge": 0.5,
+        "total_amount": 31.5,
+        "congestion_surcharge": 0.0,
+        "Airport_fee": 0.0,
+    }
+    lines = []
+    for i in range(50):
+        row = dict(good)
+        row["PULocationID"] = 1 + (i % 10)
+        row["tpep_pickup_datetime"] = f"2024-01-{8 + i % 3:02d}T10:{i % 60:02d}:00"
+        row["tpep_dropoff_datetime"] = f"2024-01-{8 + i % 3:02d}T10:{(i % 60):02d}:30"
+        lines.append(json.dumps(row))
+    lines.append("this is not json at all {{{")
+    lines.append(json.dumps({"foo": "bar"}))  # parseable but no timestamps
+    (d / "batch0.txt").write_text("\n".join(lines))
+    return str(d)
+
+
+def test_bronze_silver_dlq_fanout(spark, json_events_dir, tmp_path):
+    """ST2/ST4/ST8: one availableNow stream → bronze + silver + DLQ files."""
+    source = si.read_file_stream(
+        spark, json_events_dir, T.StructType([T.StructField("value", T.StringType())]), fmt="text"
+    ).withColumnRenamed("text", "value")
+    paths = {k: str(tmp_path / k) for k in ("bronze", "silver", "dlq", "ckpt")}
+    si.run_bronze_to_silver(
+        spark, source, paths["bronze"], paths["silver"], paths["dlq"], paths["ckpt"]
+    )
+    bronze = spark.read.parquet(paths["bronze"])
+    silver = spark.read.parquet(paths["silver"])
+    dlq = spark.read.parquet(paths["dlq"])
+    assert bronze.count() == 50
+    assert dlq.count() == 2
+    assert dlq.filter(F.col("error_class") == "unparseable_event").count() == 2
+    # silver applied the same batch transform: typed, keyed, partitioned
+    assert silver.count() == 50
+    assert "trip_id" in silver.columns
+    assert silver.select("pickup_date").distinct().count() == 3
+    # exactly-once replay: re-running with the same checkpoint adds nothing
+    source2 = si.read_file_stream(
+        spark, json_events_dir, T.StructType([T.StructField("value", T.StringType())]), fmt="text"
+    ).withColumnRenamed("text", "value")
+    si.run_bronze_to_silver(
+        spark, source2, paths["bronze"], paths["silver"], paths["dlq"], paths["ckpt"]
+    )
+    assert spark.read.parquet(paths["bronze"]).count() == 50
+    assert spark.read.parquet(paths["dlq"]).count() == 2
+
+
+def test_streaming_hourly_rollup_equals_batch(spark):
+    """ST6/A6: the streaming tumbling rollup over the events corpus must
+    equal the batch computation of the same aggregation."""
+    batch_events = load_table(spark, SF_DIR, "events")
+    # File-stream the events parquet (ts arrives as int64 nanos under the
+    # session conf; normalize exactly like the batch reader).
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_DIR)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = si.hourly_rollup_stream(stream)
+    q = agg.writeStream.format("memory").queryName("hourly_mv").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.hour_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM hourly_mv").collect()
+    }
+    # batch twin: same aggregation expressed on the batch frame
+    batch = (
+        batch_events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "total_value")
+    )
+    want = {(r.hour_start, r.event_type): (r.n_events, r.total_value) for r in batch.collect()}
+    assert got == want
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """ST5: duplicate natural keys inside the watermark collapse to one."""
+    import real_time_data_engineering_spark.testing.taxi_datagen as dg
+
+    raw = dg.generate_raw_trips(spark, n_valid=200)
+    src_dir = str(tmp_path / "raw")
+    raw.write.parquet(src_dir)
+    stream = spark.readStream.schema(dg.RAW_WITH_INGEST).parquet(src_dir)
+    deduped = si.stream_dedup(stream, watermark="1 hour")
+    q = deduped.writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT * FROM dedup_out")
+    from real_time_data_engineering_spark.operators.silver import NATURAL_KEY
+
+    assert out.groupBy(*NATURAL_KEY).count().filter(F.col("count") > 1).count() == 0
+    # the injected duplicate pair collapsed
+    assert out.count() < raw.count()
+
+
+def test_cdc_parser_golden(spark):
+    """ST7 golden rows: c/u/r kept with after-image, d dropped."""
+    from real_time_data_engineering_spark.sources import cdc
+
+    schema = T.StructType(
+        [
+            T.StructField("before", T.StringType()),
+            T.StructField("after", T.StructType([T.StructField("id", T.LongType()), T.StructField("ts_us", T.LongType())])),
+            T.StructField("op", T.StringType()),
+            T.StructField("ts_ms", T.LongType()),
+        ]
+    )
+    rows = [
+        (json.dumps({"before": None, "after": {"id": 1, "ts_us": 1704067200000000}, "op": "c", "ts_ms": 1}),),
+        (json.dumps({"before": None, "after": {"id": 2, "ts_us": 1704067200000000}, "op": "r", "ts_ms": 2}),),
+        (json.dumps({"before": {"id": 3}, "after": {"id": 3, "ts_us": 1704067200000000}, "op": "u", "ts_ms": 3}),),
+        (json.dumps({"before": {"id": 4}, "after": None, "op": "d", "ts_ms": 4}),),
+    ]
+    df = spark.createDataFrame(rows, "payload string")
+    out = cdc.apply_upserts(cdc.parse_envelope(df, "payload", schema))
+    got = {r.id: r.op for r in out.collect()}
+    assert got == {1: "c", 2: "r", 3: "u"}
+    ts = out.select(cdc.micros_to_ts("ts_us").alias("t")).first()["t"]
+    assert ts == dt.datetime(2024, 1, 1, 0, 0, 0)
