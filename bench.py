@@ -19,15 +19,27 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-# Headline set: the reference's 4 benchmark queries + the silver-contract
-# projection (the "processing" stage analogue) + running-total mart.
+# Headline set: the reference's 4 benchmark queries, the silver-contract
+# projection (the "processing" stage analogue), the window marts, and one
+# representative of each extension family (dedup / similarity / text /
+# CDC / sessionization / tumbling rollup / multimodal).
 HEADLINE = [
     "q1_daily_revenue",
     "q2_top_nations",
     "q3_hourly_demand",
     "q4_priority_share",
     "q5_running_revenue",
+    "q6_mode_per_user",
     "q13_silver_lineitem",
+    "q17_cdc_apply",
+    "q18_sessionization",
+    "q19_hourly_rollup",
+    "d1_exact_dedup",
+    "d2_ngram_jaccard_topk",
+    "d4_text_stats",
+    "d5_minhash_lsh",
+    "s1_cosine_topk",
+    "m1_media_features",
 ]
 
 

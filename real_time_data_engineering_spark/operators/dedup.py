@@ -88,7 +88,7 @@ def jaccard_pairs(
     )
 
 
-def minhash_signatures(
+def minhash_signatures_wide(
     df: DataFrame, n: int = 3, k: int = 16, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """k-permutation MinHash over word shingles, engine-agnostic.
@@ -97,14 +97,30 @@ def minhash_signatures(
     element is the lexicographic MIN of the 32-hex-char digests — order
     on fixed-width hex strings equals order on the underlying 128-bit
     integers, so this is a true min-hash and DuckDB can mirror it
-    exactly. Output: (doc_id, seed, sig).
+    exactly.
+
+    All k mins are computed in ONE aggregation over the exploded
+    shingles (k agg columns, not k× exploded rows): a single shuffle
+    keyed by document with map-side partial mins — the shape that holds
+    at 100 TB, where k× row inflation would k× the shuffle.
+    Output: wide (doc_id, sig_0..sig_{k-1}).
     """
     sh = shingle_exploded(df, n, text_col, id_col)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed")
-    return (
-        sh.select(F.col(id_col), F.col("shingle"), seeds)
-        .groupBy(id_col, "seed")
-        .agg(F.min(F.md5(F.concat_ws("|", F.col("seed").cast("string"), "shingle"))).alias("sig"))
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures(
+    df: DataFrame, n: int = 3, k: int = 16, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Long-form (doc_id, seed, sig) view of the wide signatures."""
+    wide = minhash_signatures_wide(df, n, k, text_col, id_col)
+    stack_args = ", ".join(f"{i}, sig_{i}" for i in range(k))
+    return wide.select(
+        F.col(id_col), F.expr(f"stack({k}, {stack_args}) AS (seed, sig)")
     )
 
 
@@ -124,19 +140,22 @@ def minhash_candidate_pairs(
     survivors.
     """
     rows = k // bands
-    sigs = minhash_signatures(df, n, k, text_col, id_col)
-    banded = (
-        # floor, not cast: DuckDB's double→int cast rounds while Spark's
-        # truncates — floor() agrees on both engines.
-        sigs.withColumn("band", F.floor(F.col("seed") / rows).cast("int"))
-        .groupBy(id_col, "band")
-        # within one band, order by seed → deterministic concat
-        .agg(F.md5(F.concat_ws("|", F.array_join(F.array_sort(F.collect_list(F.struct("seed", "sig"))).getField("sig"), "|"))).alias("band_hash"))
+    wide = minhash_signatures_wide(df, n, k, text_col, id_col).cache()
+    # band_hash per band straight from the wide columns (no extra shuffle);
+    # band index = floor(seed / rows) on both engines.
+    stack_args = ", ".join(
+        "{b}, md5(concat_ws('|', {cols}))".format(
+            b=b, cols=", ".join(f"sig_{i}" for i in range(b * rows, (b + 1) * rows))
+        )
+        for b in range(bands)
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    banded = wide.select(
+        F.col(id_col), F.expr(f"stack({bands}, {stack_args}) AS (band, band_hash)")
+    )
+    a, b_ = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
-            b,
+            b_,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
@@ -144,20 +163,19 @@ def minhash_candidate_pairs(
         .select(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
         .distinct()
     )
-    s1 = sigs.select(F.col(id_col).alias("d1"), F.col("seed"), F.col("sig").alias("sig1"))
-    s2 = sigs.select(F.col(id_col).alias("d2"), F.col("seed"), F.col("sig").alias("sig2"))
-    est = (
+    # estimated Jaccard = fraction of equal signature positions — one
+    # 16-term expression over the two wide rows, no per-seed join.
+    s1 = wide.select(F.col(id_col).alias("d1"), *[F.col(f"sig_{i}").alias(f"a{i}") for i in range(k)])
+    s2 = wide.select(F.col(id_col).alias("d2"), *[F.col(f"sig_{i}").alias(f"b{i}") for i in range(k)])
+    matches = None
+    for i in range(k):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    return (
         cand.join(s1, "d1")
-        .join(s2, ["d2", "seed"])
-        .groupBy("d1", "d2")
-        .agg(
-            (
-                F.sum(F.when(F.col("sig1") == F.col("sig2"), 1).otherwise(0)).cast("double")
-                / F.lit(float(k))
-            ).alias("est_jaccard")
-        )
+        .join(s2, "d2")
+        .select("d1", "d2", (matches.cast("double") / F.lit(float(k))).alias("est_jaccard"))
     )
-    return est
 
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

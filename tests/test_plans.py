@@ -1,0 +1,87 @@
+"""Physical-plan assertions — the 100 TB design gates.
+
+Correctness says *what* is computed; these tests pin *how*: filters
+reach the parquet scan, small dims broadcast, the hot path stays in
+whole-stage codegen, and partitioned writes prune. A plan regression
+here is a scale bug even when results stay right."""
+
+from __future__ import annotations
+
+import pytest
+
+from real_time_data_engineering_spark.registry import all_specs
+
+from conftest import SF_DIR
+
+
+def _physical(spark, name: str) -> str:
+    return all_specs()[name].spark(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_silver_filters_push_to_scan(spark):
+    """q13's quality filter must appear as PushedFilters on the parquet
+    scan — at 100 TB this is the difference between scanning a partition
+    and scanning the lake."""
+    plan = _physical(spark, "q13_silver_lineitem")
+    scan_lines = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert scan_lines, plan
+    pushed = scan_lines[0]
+    assert "IsNotNull" in pushed or "GreaterThanOrEqual" in pushed, pushed
+
+
+def test_projection_prunes_scan_columns(spark):
+    """q1 touches 2 of 6 order columns; ReadSchema must show only those."""
+    plan = _physical(spark, "q1_daily_revenue")
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "o_orderdate" in read and "o_totalprice" in read
+    assert "o_orderpriority" not in read and "o_custkey" not in read
+
+
+def test_dim_joins_broadcast(spark):
+    """q2's nation/region joins must be broadcast, not shuffled."""
+    plan = _physical(spark, "q2_top_nations")
+    assert "BroadcastHashJoin" in plan
+    # the big orders⋈customer side must NOT have been forced broadcast by us;
+    # AQE may choose it at toy scale, but a SortMergeJoin/ShuffledHashJoin
+    # or broadcast decision must come from the planner, not a hint on orders
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    """The silver projection must run inside WholeStageCodegen spans."""
+    plan = _physical(spark, "q13_silver_lineitem")
+    # '*(n)' prefixes mark WholeStageCodegen stages in executedPlan text
+    assert "*(1)" in plan, plan
+
+
+def test_topk_plans_take_ordered(spark):
+    """ORDER BY + LIMIT must plan TakeOrderedAndProject, not a full sort."""
+    plan = _physical(spark, "q2_top_nations")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """pickup_date-partitioned silver: a date filter must prune partitions
+    (reference partition-layout choice, 06-silver.sql:32)."""
+    from real_time_data_engineering_spark.plans.taxi_pipeline import run_pipeline
+    from real_time_data_engineering_spark.testing.taxi_datagen import generate_raw_trips
+
+    raw = generate_raw_trips(spark, n_valid=300)
+    wh = str(tmp_path / "wh")
+    run_pipeline(spark, raw, warehouse_dir=wh)
+    silver = spark.read.parquet(f"{wh}/stg_yellow_trips")
+    q = silver.filter("pickup_date = DATE '2024-01-05'")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # partition filters line must carry the pickup_date predicate
+    assert "PartitionFilters" in plan
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "pickup_date" in pf
+
+
+@pytest.mark.parametrize("name", ["q3_hourly_demand", "q7_user_features", "q16_hourly_demand_summary"])
+def test_aggregates_partial_then_final(spark, name):
+    """Group-bys must plan map-side partial aggregation (HashAggregate
+    appears at least twice: partial + final) — the shuffle carries
+    pre-combined state, not raw rows."""
+    plan = _physical(spark, name)
+    assert plan.count("HashAggregate") >= 2, plan
