@@ -38,6 +38,8 @@ HEADLINE = [
     "d2_ngram_jaccard_topk",
     "d4_text_stats",
     "d5_minhash_lsh",
+    "d7_embedding_neardup",
+    "d8_fingerprint_neardup",
     "s1_cosine_topk",
     "m1_media_features",
 ]

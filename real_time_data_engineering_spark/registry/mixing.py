@@ -1,0 +1,145 @@
+"""Training-data mixing / curation queries (LLM-pipeline surface).
+
+The last mile of a 100 TB pretraining pipeline: deterministic
+hash-based sampling (reproducible across runs and engines — no RNG
+state), per-source token budgeting, and shard assignment for training
+export. Everything is a narrow projection or a windowed cumsum — one
+shuffle per stratum boundary, no Python.
+
+Determinism contract shared with the DuckDB oracles: the sampling
+coin is md5(doc_id) — hex chars compare identically in both engines —
+and tie-breaks are unique keys, never floating-point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import char_count, est_bpe_tokens
+from ..sources.readers import load_table
+from . import register
+
+# ---------------------------------------------------------------------------
+# d9 — stratified deterministic sampling: per-source rates via the first
+# md5 nibble ('0'..'f' sort identically in ASCII on both engines), so a
+# rate of n/16 is "nibble <= the (n-1)th hex char". Rates rotate by
+# source index mod 4 → {2,4,8,12}/16.
+# ---------------------------------------------------------------------------
+_RATE_NIBBLE = {0: "1", 1: "3", 2: "7", 3: "b"}
+
+_D9_ORACLE = """
+WITH t AS (
+  SELECT doc_id, source, lang,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS coin,
+         CAST(substr(source, 4) AS INT) % 4 AS rate_class
+  FROM documents
+)
+SELECT doc_id, source, lang, rate_class
+FROM t
+WHERE coin <= CASE rate_class WHEN 0 THEN '1' WHEN 1 THEN '3'
+                              WHEN 2 THEN '7' ELSE 'b' END
+"""
+
+
+@register("d9_stratified_sample", _D9_ORACLE)
+def d9_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic hash sampling at {2,4,8,12}/16 rates.
+
+    No RNG: the sampling coin is a content-independent hash of the key,
+    so the sample is stable under reruns, retries, and repartitioning —
+    the property that matters for reproducible training mixes.
+    Pure narrow projection + filter: no shuffle at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    coin = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    rate_class = F.pmod(F.substring("source", 4, 10).cast("int"), F.lit(4))
+    thr = F.when(rate_class == 0, "1").when(rate_class == 1, "3").when(rate_class == 2, "7").otherwise("b")
+    return (
+        docs.select("doc_id", "source", "lang", rate_class.alias("rate_class"), coin.alias("_coin"), thr.alias("_thr"))
+        .filter(F.col("_coin") <= F.col("_thr"))
+        .select("doc_id", "source", "lang", "rate_class")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d10 — token-budget mix: each source contributes documents (in
+# deterministic md5 order) until its 2000-token budget is exhausted.
+# One windowed cumsum per source partition.
+# ---------------------------------------------------------------------------
+_D10_ORACLE = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(ceil(CAST(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS BIGINT) / 4.0)
+              AS BIGINT) AS est_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS ord
+  FROM documents
+), c AS (
+  SELECT doc_id, source, est_tokens,
+         SUM(est_tokens) OVER (PARTITION BY source ORDER BY ord
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, est_tokens, cum_tokens FROM c WHERE cum_tokens <= 2000
+"""
+
+
+@register("d10_token_budget_mix", _D10_ORACLE)
+def d10_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget selection (2000 BPE-estimate tokens).
+
+    The mixing primitive behind "x% web, y% books, capped at N tokens
+    each": a cumsum window per source over a deterministic hash order.
+    One shuffle keyed by source; skewed mega-sources would be ranged
+    into sub-strata first at 100 TB (same window, finer key).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        est_bpe_tokens("text").alias("est_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("_ord"),
+    )
+    w = Window.partitionBy("source").orderBy("_ord").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        t.withColumn("cum_tokens", F.sum("est_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 2000)
+        .select("doc_id", "source", "est_tokens", "cum_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d11 — shard assignment for training export: hash-uniform shard id per
+# document + per-shard accounting. ascii() of md5 nibbles is the
+# cross-engine hex→int bridge.
+# ---------------------------------------------------------------------------
+_N_SHARDS = 8
+
+_D11_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+          + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % {_N_SHARDS} AS shard,
+         CAST(ceil(CAST(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS BIGINT) / 4.0)
+              AS BIGINT) AS est_tokens
+  FROM documents
+)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(est_tokens) AS BIGINT) AS total_tokens
+FROM t GROUP BY shard
+"""
+
+
+@register("d11_shard_assignment", _D11_ORACLE)
+def d11_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard id (md5-derived, {_N_SHARDS} shards) + per-shard
+    doc/token accounting — the pre-flight stats for a sharded training
+    export (`df.repartition(n, shard).write`). Hash sharding keeps
+    shards size-uniform regardless of source skew."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = F.pmod(F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1)), F.lit(_N_SHARDS))
+    return (
+        docs.select(shard.alias("shard"), est_bpe_tokens("text").alias("est_tokens"))
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_docs"), F.sum("est_tokens").alias("total_tokens"))
+    )

@@ -53,3 +53,21 @@ def load_seed_csv(spark: SparkSession, path: str, seed_name: str) -> DataFrame:
     """CSV seed with typed columns (reference dbt seeds + ``+column_types``,
     pipelines/00-batch-baseline/dbt_project/dbt_project.yml:24-39)."""
     return spark.read.csv(path, header=True, schema=SEED_SCHEMAS[seed_name])
+
+
+def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin repartition IFF the input is under-parallel.
+
+    Small compact parquet files scan as one partition (one row group =
+    one task), which serializes CPU-heavy narrow operators (per-doc
+    hashing, shingling, LSH bit computation). Shuffling a few MB of
+    rows to ``defaultParallelism`` partitions buys full-core fan-out.
+    Conditional on the *current* partition count, so on a real cluster
+    reading thousands of splits this is a no-op — it never becomes a
+    100 TB shuffle.
+    """
+    sc = df.sparkSession.sparkContext
+    n = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df

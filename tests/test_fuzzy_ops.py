@@ -83,3 +83,48 @@ def test_exact_dedup_collapses_duplicates(spark, documents):
     assert survivors.count() == documents.count()
     # keep-first policy: every survivor is the original (small) id
     assert survivors.filter(F.col("doc_id") >= 10_000).count() == 0
+
+
+def test_lsh_neardup_finds_planted_duplicates(spark, embeddings):
+    """Plant jittered copies (cosine ≈ 1) of every vector; the LSH
+    candidate→rerank path must recover every planted pair while
+    generating far fewer candidates than the N²/2 brute-force space."""
+    jitter = F.transform(
+        "embedding",
+        lambda x, j: x * (1.0 + ((F.col("vec_id") + j) % 7 - 3).cast("double") / 1000.0),
+    )
+    copies = embeddings.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        jitter.cast("array<float>").alias("embedding"),
+        "label",
+    )
+    corpus = embeddings.select("vec_id", "embedding", "label").unionByName(copies)
+    n = corpus.count()
+
+    cand = S.lsh_candidate_pairs(corpus, planes=64, bands=8)
+    n_cand = cand.count()
+    assert n_cand < 0.2 * n * (n - 1) / 2, f"LSH bucketing degenerated: {n_cand} candidates"
+
+    found = S.embedding_neardup_lsh(corpus, threshold=0.999, planes=64, bands=8)
+    got = {(r.v1, r.v2) for r in found.collect()}
+    planted = {(r.vec_id, r.vec_id + 100000) for r in embeddings.select("vec_id").collect()}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.95, f"planted near-dup recall {recall}"
+    # every reported pair must genuinely clear the threshold (verify step)
+    assert found.filter(F.col("cosine") < 0.999).count() == 0
+
+
+def test_winnow_fingerprints_detect_shared_substrings(spark, documents):
+    """A doc and its copy share every selected hash (resemblance 1.0);
+    winnow selection keeps ~1/16 of windows."""
+    base = documents.limit(20).cache()
+    copies = base.select((F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars")
+    corpus = base.unionByName(copies)
+    pairs = D.fingerprint_neardup_pairs(corpus, k=8, min_resemblance=0.99)
+    got = {(r.d1, r.d2): r.resemblance for r in pairs.collect()}
+    for r in base.collect():
+        assert got.get((r.doc_id, r.doc_id + 100000)) == 1.0
+    # selection rate sanity: ~1/16 of windows, loose bounds
+    sel = D.winnow_fingerprints(base).count()
+    total = sum(max(len(" ".join(r.text.lower().split())) - 7, 0) for r in base.collect())
+    assert 0.02 < sel / total < 0.15
