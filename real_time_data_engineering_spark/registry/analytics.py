@@ -587,3 +587,51 @@ def q16_hourly_demand_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("total_events"),
         ratio(F.sum("n"), F.count("*")).alias("avg_events_per_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q20 — multi-grain rollup via GROUPING SETS: the reference materializes
+# each grain as its own dbt model (daily summary, hourly patterns, grand
+# totals — SURVEY.md §2.4 "no grouping sets anywhere"); Spark computes
+# all three grains in ONE pass over the fact (one shuffle, partial aggs
+# shared), which is the idiomatic consolidation at scale.
+# ---------------------------------------------------------------------------
+_Q20_ORACLE = """
+SELECT
+    CASE WHEN GROUPING(o_orderpriority) = 0 THEN o_orderpriority ELSE NULL END AS priority,
+    CASE WHEN GROUPING(m) = 0 THEN m ELSE NULL END AS order_month,
+    CAST(GROUPING(o_orderpriority) * 2 + GROUPING(m) AS BIGINT) AS grain_id,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM (
+  SELECT o_orderpriority, strftime(date_trunc('month', o_orderdate), '%Y-%m') AS m,
+         o_totalprice
+  FROM orders
+)
+GROUP BY GROUPING SETS ((o_orderpriority), (m), ())
+"""
+
+
+@register("q20_grouping_sets", _Q20_ORACLE)
+def q20_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three aggregation grains (priority / month / grand total) in one
+    GROUPING SETS pass — one scan + one shuffle instead of three models."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("m"),
+        "o_totalprice",
+    )
+    g = o.groupingSets(
+        [["o_orderpriority"], ["m"], []], "o_orderpriority", "m"
+    ).agg(
+        (F.grouping("o_orderpriority") * 2 + F.grouping("m")).cast("long").alias("grain_id"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+    )
+    return g.select(
+        F.when(F.col("grain_id").isin(0, 1), F.col("o_orderpriority")).alias("priority"),
+        F.when(F.col("grain_id").isin(0, 2), F.col("m")).alias("order_month"),
+        "grain_id",
+        "n_orders",
+        "revenue",
+    )

@@ -81,8 +81,11 @@ WHERE op IN ('c', 'r', 'u')
 def q17_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Debezium envelope parse → upsert stream (deletes dropped)."""
     from ..sources.cdc import apply_upserts, micros_to_ts, parse_envelope
+    from ..sources.readers import ensure_min_partitions
 
-    e = load_table(spark, sf_dir, "events")
+    # JSON synth + from_json is CPU-heavy narrow work; fan the compact
+    # single-row-group scan out to all cores (no-op on real splits).
+    e = ensure_min_partitions(load_table(spark, sf_dir, "events"))
     us = F.unix_micros("ts")
     payload = F.concat(
         F.lit('{"before":null,"after":{"event_id":'),

@@ -12,6 +12,7 @@ import datetime as dt
 import json
 
 import pytest
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -177,3 +178,69 @@ def test_cdc_parser_golden(spark):
     assert got == {1: "c", 2: "r", 3: "u"}
     ts = out.select(cdc.micros_to_ts("ts_us").alias("t")).first()["t"]
     assert ts == dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def test_stateful_sessionization_matches_batch(spark):
+    """Custom stateful operator (applyInPandasWithState): closed sessions
+    emitted by the stream must equal the batch q18 sessionization for
+    every session that closes before the final watermark."""
+    from real_time_data_engineering_spark.streaming.stateful import sessionize_stream
+
+    gap_sec = 1800
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_DIR)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    sess = sessionize_stream(stream, gap_sec=gap_sec, watermark="0 seconds")
+    q = sess.writeStream.format("memory").queryName("sessions_out").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.session_start, r.n_events, r.duration_sec)
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+
+    # batch twin (same gap constant as q18) over the same corpus
+    batch_events = load_table(spark, SF_DIR, "events")
+    max_ts = batch_events.agg(F.max(F.unix_micros("ts"))).first()[0]
+    # rebuild per-session start/end in batch to know which ones CLOSED:
+    # a session is closed iff its end + gap <= max event time (watermark
+    # reached past it after processAllAvailable with 0s delay).
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    l = batch_events.select("user_id", "ts", "event_id", F.lag("ts").over(w).alias("prev"))
+    new_s = F.when(
+        F.col("prev").isNull() | ((F.unix_micros("ts") - F.unix_micros("prev")) > gap_sec * 1_000_000), 1
+    ).otherwise(0)
+    s = l.select(
+        "user_id", "ts",
+        F.sum(new_s).over(w.rowsBetween(W.unboundedPreceding, 0)).alias("session_num"),
+    )
+    want_df = s.groupBy("user_id", "session_num").agg(
+        F.min("ts").alias("session_start"),
+        F.count("*").alias("n_events"),
+        F.expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000").alias("duration_sec"),
+        F.max(F.unix_micros("ts")).alias("end_us"),
+    )
+    want = {
+        (r.user_id, r.session_start, r.n_events, r.duration_sec)
+        for r in want_df.filter(F.col("end_us") + gap_sec * 1_000_000 <= max_ts).collect()
+    }
+    assert want, "corpus should contain closed sessions"
+    assert got >= want, f"missing {len(want - got)} closed sessions"
+    # nothing emitted that batch doesn't recognize as a session start
+    all_sessions = {
+        (r.user_id, r.session_start, r.n_events, r.duration_sec) for r in want_df.collect()
+    }
+    assert got <= all_sessions
