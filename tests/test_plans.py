@@ -8,6 +8,7 @@ here is a scale bug even when results stay right."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from real_time_data_engineering_spark.registry import all_specs
 
@@ -85,3 +86,49 @@ def test_aggregates_partial_then_final(spark, name):
     pre-combined state, not raw rows."""
     plan = _physical(spark, name)
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting is routing-only: result sets must be identical, and the
+    big side's rows for one hot key must spread across salt buckets."""
+    from real_time_data_engineering_spark.operators.skew import salted_join
+    from real_time_data_engineering_spark.sources.readers import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    # manufacture skew: map half the keys onto one hot key
+    skewed = li.withColumn(
+        "l_partkey", F.when(F.col("l_partkey") % 2 == 0, F.lit(1)).otherwise(F.col("l_partkey"))
+    )
+    part = load_table(spark, SF_DIR, "part").select("p_partkey", "p_brand")
+    dim = part.withColumnRenamed("p_partkey", "l_partkey")
+    plain = skewed.join(dim, "l_partkey").groupBy("p_brand").count()
+    salted = salted_join(skewed, dim, "l_partkey", salts=8).groupBy("p_brand").count()
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Two tables bucketed on the join key must SortMergeJoin with zero
+    Exchange — the co-located-join contract."""
+    from real_time_data_engineering_spark.operators.skew import write_bucketed
+    from real_time_data_engineering_spark.sources.readers import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    od = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "b_lineitem", "l_orderkey", buckets=4, sort_by="l_orderkey")
+    write_bucketed(
+        od.withColumnRenamed("o_orderkey", "l_orderkey"), "b_orders", "l_orderkey", buckets=4,
+        sort_by="l_orderkey",
+    )
+    try:
+        j = spark.table("b_lineitem").join(spark.table("b_orders"), "l_orderkey")
+        # disable auto-broadcast so the co-location (not a broadcast) is
+        # what removes the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        n = j.count()
+        assert n == spark.table("b_lineitem").count()  # FK: every line has an order
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
