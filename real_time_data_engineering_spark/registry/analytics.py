@@ -635,3 +635,22 @@ def q20_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "revenue",
     )
+
+
+@register(
+    "q21_approx_distinct",
+    None,
+    doc="HLL++ approx distinct + approx quantiles — the 100 TB form of q8 "
+    "(sketches shuffle O(1) state per group instead of the value set). "
+    "Rows-only check: sketch internals differ across engines by design; "
+    "the error bound vs exact q8 is property-tested in tests.",
+)
+def q21_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based reconciliation: approx_count_distinct (HLL++, rsd 2%)
+    and percentile_approx over the same grouping as exact q8."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles"),
+    )

@@ -128,3 +128,15 @@ def test_winnow_fingerprints_detect_shared_substrings(spark, documents):
     sel = D.winnow_fingerprints(base).count()
     total = sum(max(len(" ".join(r.text.lower().split())) - 7, 0) for r in base.collect())
     assert 0.02 < sel / total < 0.15
+
+
+def test_approx_distinct_tracks_exact(spark):
+    """HLL++ at rsd=2% must land within 5% of the exact distinct count
+    for every group (property check for the q21 sketch path)."""
+    from real_time_data_engineering_spark.registry import get
+
+    exact = {r.event_type: r.n_users for r in get("q8_distinct_counts").spark(spark, SF_DIR).collect()}
+    approx = {r.event_type: r.n_users_approx for r in get("q21_approx_distinct").spark(spark, SF_DIR).collect()}
+    assert set(exact) == set(approx)
+    for k, v in exact.items():
+        assert abs(approx[k] - v) / v <= 0.05, (k, v, approx[k])

@@ -132,3 +132,22 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_benchmark_protocol_shape(spark, tmp_path):
+    """The p50/p95/p99 protocol (reference queries/README.md:41-74) must
+    produce results.csv-compatible rows with warmups discarded."""
+    from real_time_data_engineering_spark.benchmark import run_protocol, write_results_csv
+
+    rows = run_protocol(spark, SF_DIR, names=["q1_daily_revenue"], iterations=3, warmups=1)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["query"] == "q1_daily_revenue" and r["rows"] > 0
+    assert r["min_sec"] <= r["p50_sec"] <= r["p95_sec"] <= r["p99_sec"]
+    out = str(tmp_path / "results.csv")
+    write_results_csv(rows, out)
+    import csv
+
+    with open(out) as f:
+        got = list(csv.DictReader(f))
+    assert got[0]["query"] == "q1_daily_revenue"

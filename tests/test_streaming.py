@@ -244,3 +244,48 @@ def test_stateful_sessionization_matches_batch(spark):
         (r.user_id, r.session_start, r.n_events, r.duration_sec) for r in want_df.collect()
     }
     assert got <= all_sessions
+
+
+def test_progress_listener_observability(spark):
+    """ST9: the listener must record per-batch rows and durations for a
+    streaming run, and the health record must reconcile with the sink."""
+    import time
+
+    from real_time_data_engineering_spark.streaming import observe
+
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    listener = observe.attach(spark)
+    try:
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(SF_DIR)
+        )
+        q = (
+            stream.select("event_id")
+            .writeStream.format("memory")
+            .queryName("observe_out")
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        # listener events are delivered async; give the bus a moment
+        deadline = time.time() + 10
+        want = spark.sql("SELECT COUNT(*) FROM observe_out").first()[0]
+        while time.time() < deadline and listener.log.rows_processed() < want:
+            time.sleep(0.2)
+        assert listener.log.rows_processed() == want
+        h = listener.log.health()
+        assert h["n_batches"] >= 1 and h["healthy"]
+    finally:
+        observe.detach(spark, listener)
