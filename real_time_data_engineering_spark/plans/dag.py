@@ -31,6 +31,7 @@ class Model:
 class RunResult:
     built: dict[str, DataFrame] = field(default_factory=dict)
     order: list[str] = field(default_factory=list)
+    timings: dict[str, float] = field(default_factory=dict)  # build seconds per model
 
 
 class DagRunner:
@@ -63,8 +64,11 @@ class DagRunner:
         return order
 
     def run(self, inputs: dict[str, DataFrame] | None = None) -> RunResult:
+        import time
+
         res = RunResult(built=dict(inputs or {}))
         for name in self._toposort():
+            t0 = time.perf_counter()
             m = self.models[name]
             df = m.fn(res.built)
             if m.materialization == "table" and self.warehouse_dir:
@@ -77,4 +81,5 @@ class DagRunner:
             df.createOrReplaceTempView(name)
             res.built[name] = df
             res.order.append(name)
+            res.timings[name] = time.perf_counter() - t0
         return res

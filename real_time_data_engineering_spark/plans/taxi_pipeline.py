@@ -33,6 +33,16 @@ def build_runner(
     r.add(Model("mart_hourly_demand", lambda b: gold.mart_hourly_demand(b["int_hourly_patterns"]), ("int_hourly_patterns",), "table"))
     r.add(Model("mart_location_performance", lambda b: gold.mart_location_performance(b["fct_trips"]), ("fct_trips",), "table"))
     r.add(Model("anomaly_daily_trips", lambda b: gold.anomaly_daily_trips(b["int_daily_summary"]), ("int_daily_summary",)))
+
+    def _export(b: dict[str, DataFrame]) -> DataFrame:
+        # S15: "external" materialization — parquet export that stays a
+        # queryable view (export_daily_revenue.sql:13-42)
+        df = b["mart_daily_revenue"]
+        if warehouse_dir:
+            df.write.mode("overwrite").parquet(f"{warehouse_dir}/exports/daily_revenue")
+        return df
+
+    r.add(Model("export_daily_revenue", _export, ("mart_daily_revenue",)))
     return r
 
 

@@ -151,3 +151,45 @@ def test_benchmark_protocol_shape(spark, tmp_path):
     with open(out) as f:
         got = list(csv.DictReader(f))
     assert got[0]["query"] == "q1_daily_revenue"
+
+
+def test_lifecycle_runner_retries_and_metrics(tmp_path):
+    """Stage contract: retry-once-then-succeed is recorded; a stage that
+    exhausts retries halts downstream stages; metrics JSON is emitted."""
+    from real_time_data_engineering_spark.plans.lifecycle import Stage, run_lifecycle
+
+    calls = {"flaky": 0}
+
+    def flaky(ctx):
+        calls["flaky"] += 1
+        if calls["flaky"] == 1:
+            raise RuntimeError("transient")
+        return "ok"
+
+    res = run_lifecycle(
+        [
+            Stage("generate", lambda ctx: 42, retries=0),
+            Stage("process", flaky, retries=2, backoff_sec=0.01),
+            Stage("gold", lambda ctx: ctx["generate"] + 1, retries=0),
+        ]
+    )
+    assert res.ok
+    assert [s["attempts"] for s in res.stages] == [1, 2, 1]
+    assert res.context["gold"] == 43
+    out = str(tmp_path / "metrics.json")
+    res.write_metrics(out)
+    import json
+
+    m = json.load(open(out))
+    assert m["ok"] and set(m["stages"]) == {"generate", "process", "gold"}
+
+    # exhausted retries halt the run
+    res2 = run_lifecycle(
+        [
+            Stage("boom", lambda ctx: 1 / 0, retries=1, backoff_sec=0.01),
+            Stage("never", lambda ctx: 1, retries=0),
+        ]
+    )
+    assert not res2.ok
+    assert [s["stage"] for s in res2.stages] == ["boom"]
+    assert res2.stages[0]["attempts"] == 2
