@@ -66,6 +66,23 @@ def main() -> None:
     for name in HEADLINE:
         times[name] = round(run(name), 3)
 
+    # E2E medallion analogue of the reference's 10k-event benchmark
+    # (BASELINE.md P02: 53 s processing + 18 s gold at the same event
+    # count): generate 10k raw trips, run silver + the 16-model gold
+    # DAG, force every mart.
+    import tempfile
+
+    from real_time_data_engineering_spark.plans.taxi_pipeline import run_pipeline
+    from real_time_data_engineering_spark.testing.taxi_datagen import generate_raw_trips
+
+    raw = generate_raw_trips(spark, n_valid=10_000)
+    t = time.time()
+    with tempfile.TemporaryDirectory() as wh:
+        res = run_pipeline(spark, raw, warehouse_dir=wh)
+        for name in ("fct_trips", "mart_daily_revenue", "mart_hourly_demand", "mart_location_performance"):
+            res.built[name].write.format("noop").mode("overwrite").save()
+        times["taxi_e2e_10k"] = round(time.time() - t, 3)
+
     total = round(sum(times.values()), 3)
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     print(

@@ -50,9 +50,19 @@ def cosine_q(dot: Column, n1: Column, n2: Column) -> Column:
 
 def with_quantized(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
     """Quantize + fan out: compact embedding files scan as one partition,
-    which would serialize every downstream dot product on one core."""
+    which would serialize every downstream dot product on one core.
+
+    Zero-norm vectors (every component quantizes to 0) are EXCLUDED:
+    cosine is undefined for them, and under ANSI mode (Spark 4 default)
+    the division would error rather than silently produce NULL/NaN —
+    a hypothesis-found edge, see tests/test_properties.py.
+    """
     df = ensure_min_partitions(df)
-    return df.withColumn("emb_q", quantized(emb_col)).withColumn("norm_q", norm_sq_q(F.col("emb_q")))
+    return (
+        df.withColumn("emb_q", quantized(emb_col))
+        .withColumn("norm_q", norm_sq_q(F.col("emb_q")))
+        .filter(F.col("norm_q") > 0)
+    )
 
 
 def cosine_topk(
@@ -164,6 +174,8 @@ def embedding_neardup_pairs_blas(
     ids = np.array([r.id for r in rows], dtype=np.int64)
     mat = np.array([r.q for r in rows], dtype=np.int64)
     norms = (mat * mat).sum(axis=1).astype(np.float64)
+    keep = norms > 0  # zero-norm exclusion, same rule as with_quantized
+    ids, mat, norms = ids[keep], mat[keep], norms[keep]
     order = np.argsort(ids, kind="stable")
     ids, mat, norms = ids[order], mat[order], norms[order]
     thr = float(threshold)
@@ -178,6 +190,11 @@ def embedding_neardup_pairs_blas(
             bm = _np.array(list(pdf["q"]), dtype=_np.int64)
             bids = pdf["id"].to_numpy(dtype=_np.int64)
             bnorm = (bm * bm).sum(axis=1).astype(_np.float64)
+            nz = bnorm > 0
+            if not nz.all():
+                bm, bids, bnorm = bm[nz], bids[nz], bnorm[nz]
+                if len(bids) == 0:
+                    continue
             dots = bm @ mat.T
             cos = dots / (_np.sqrt(bnorm)[:, None] * _np.sqrt(norms)[None, :])
             bi, cj = _np.nonzero((cos >= thr) & (bids[:, None] < ids[None, :]))

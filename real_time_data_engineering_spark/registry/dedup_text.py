@@ -332,6 +332,7 @@ WITH qv AS (
   SELECT v.vec_id, CAST(SUM(u.e * u.e) AS BIGINT) AS norm_q
   FROM qv v, unnest(v.emb) AS u(e)
   GROUP BY 1
+  HAVING SUM(u.e * u.e) > 0
 ), u AS (
   SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) AS i FROM qv
 ), dots AS (

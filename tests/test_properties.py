@@ -1,0 +1,107 @@
+"""Property-based invariants (hypothesis) for the dedup/text core.
+
+The oracle gate checks exact values on one corpus; these check the
+algebraic contracts on arbitrary inputs — the reference's invariant
+layer (SURVEY.md §5.6) generalized.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from real_time_data_engineering_spark.operators import dedup as D
+
+TEXTS = st.lists(
+    st.text(alphabet="abcdef ", min_size=0, max_size=40), min_size=1, max_size=12
+)
+
+_settings = settings(
+    max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+
+
+@given(texts=TEXTS)
+@_settings
+def test_exact_dedup_partitions_the_corpus(spark, texts):
+    """Dedup groups partition the ids: every doc in exactly one group,
+    keeper is the min id of its group, copy counts sum to N."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    groups = D.exact_dedup(df).collect()
+    assert sum(g.n_copies for g in groups) == len(texts)
+    # identical normal forms land in the same group; keeper = min id
+    import re
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t).strip().lower()
+
+    by_fp = {}
+    for i, t in enumerate(texts):
+        by_fp.setdefault(norm(t), []).append(i)
+    want = {(min(ids), len(ids)) for ids in by_fp.values()}
+    got = {(g.keeper_doc_id, g.n_copies) for g in groups}
+    assert got == want
+
+
+@given(texts=TEXTS)
+@_settings
+def test_dedup_keep_first_idempotent(spark, texts):
+    """dedup(dedup(x)) == dedup(x) — the cleaning-pass contract."""
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    once = D.dedup_keep_first(df)
+    twice = D.dedup_keep_first(once)
+    assert sorted(once.collect()) == sorted(twice.collect())
+
+
+@given(texts=st.lists(st.text(alphabet="ab cd", min_size=6, max_size=30), min_size=2, max_size=8))
+@_settings
+def test_jaccard_bounds_and_self_similarity(spark, texts):
+    """0 < jaccard ≤ 1 for emitted pairs; a doc paired with its exact
+    copy scores 1.0."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    rows += [(100 + i, t) for i, t in enumerate(texts)]  # plant exact copies
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.d1, r.d2): r.jaccard for r in D.jaccard_pairs(df, n=2).collect()}
+    for (d1, d2), j in pairs.items():
+        assert 0.0 < j <= 1.0
+    for i, t in enumerate(texts):
+        if len(t.split()) >= 2:  # has at least one 2-gram
+            assert pairs.get((i, 100 + i)) == pytest.approx(1.0)
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+        min_size=4,
+        max_size=4,
+    )
+)
+@_settings
+def test_quantized_cosine_is_bounded(spark, vals):
+    """Quantized cosine stays in [-1-ε, 1+ε]; zero-norm vectors are
+    excluded instead of erroring under ANSI mode (hypothesis found the
+    DIVIDE_BY_ZERO crash this guards against)."""
+    import math
+
+    import numpy as np
+
+    from real_time_data_engineering_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(0, vals), (1, list(reversed(vals)))], "vec_id long, embedding array<float>"
+    )
+    out = S.embedding_neardup_pairs(df, threshold=-2.0).collect()
+
+    # mirror the operator's quantization to know which vectors survive
+    def qnorm(v):
+        q = [math.floor(np.float32(x) * 1e6) for x in v]
+        return sum(x * x for x in q)
+
+    both_nonzero = qnorm(vals) > 0 and qnorm(list(reversed(vals))) > 0
+    if both_nonzero:
+        assert len(out) == 1
+        assert -1.0 - 1e-9 <= out[0].cosine <= 1.0 + 1e-9
+    else:
+        assert out == []
