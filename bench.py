@@ -34,6 +34,8 @@ HEADLINE = [
     "q17_cdc_apply",
     "q18_sessionization",
     "q19_hourly_rollup",
+    "q22_asof_order",
+    "q23_range_clicks",
     "d1_exact_dedup",
     "d2_ngram_jaccard_topk",
     "d4_text_stats",

@@ -21,3 +21,11 @@ def differ(spark):
     from real_time_data_engineering_spark.checks.oracle import OracleDiffer
 
     return OracleDiffer(spark, SF_DIR)
+
+
+@pytest.fixture(scope="session")
+def load(spark):
+    """Corpus table loader bound to the unit-test scale factor."""
+    from real_time_data_engineering_spark.sources.readers import load_table
+
+    return lambda name: load_table(spark, SF_DIR, name)
