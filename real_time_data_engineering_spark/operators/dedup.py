@@ -97,6 +97,73 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_canonical(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """`jaccard_pairs`, but the heavy shingle self-join runs on DISTINCT
+    normal forms only — identical result, duplication-proof plan.
+
+    Equal fingerprints (whitespace-collapsed lowercase) imply identical
+    token arrays, hence identical shingle sets: so score one
+    representative per form and expand back to member pairs.
+    With duplication factor k the shingle join shrinks k² in pair-work
+    (the 10x-replica scale run went 100x: 37 s → the rep join of the
+    base corpus) while the quadratic *output* (true duplicate pairs) is
+    produced by cheap fp-key joins that TakeOrderedAndProject prunes.
+
+    Pairs inside one form group score jaccard = 1.0 with n_common =
+    |shingles(form)|; forms with zero shingles (< n tokens) pair with
+    nothing, exactly like the direct formulation.
+    """
+    base = ensure_min_partitions(df).select(
+        F.col(id_col), F.col(text_col), fingerprint(text_col).alias("_fp")
+    )
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
+    reps = (
+        base.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col).alias("_rep"), F.col(text_col), "_fp")
+    )
+    members = base.select("_fp", F.col(id_col))
+
+    rep_pairs = jaccard_pairs(reps, n, text_col, "_rep")
+    fp1 = reps.select(F.col("_rep").alias("d1"), F.col("_fp").alias("_fp1"))
+    fp2 = reps.select(F.col("_rep").alias("d2"), F.col("_fp").alias("_fp2"))
+    m1 = members.select(F.col("_fp").alias("_fp1"), F.col(id_col).alias("_id1"))
+    m2 = members.select(F.col("_fp").alias("_fp2"), F.col(id_col).alias("_id2"))
+    cross = (
+        rep_pairs.join(fp1, "d1")
+        .join(fp2, "d2")
+        .join(m1, "_fp1")
+        .join(m2, "_fp2")
+        .select(
+            F.least("_id1", "_id2").alias("d1"),
+            F.greatest("_id1", "_id2").alias("d2"),
+            "n_common",
+            "jaccard",
+        )
+    )
+
+    rep_sizes = shingle_exploded(reps, n, text_col, "_rep").groupBy("_rep").agg(
+        F.count("*").alias("n_common")
+    )
+    sized_groups = reps.join(rep_sizes, "_rep").select("_fp", "n_common")
+    ix = members.select(F.col("_fp"), F.col(id_col).alias("_id1"))
+    iy = members.select(F.col("_fp"), F.col(id_col).alias("_id2"))
+    intra = (
+        ix.join(iy, "_fp")
+        .filter(F.col("_id1") < F.col("_id2"))
+        .join(sized_groups, "_fp")
+        .select(
+            F.col("_id1").alias("d1"),
+            F.col("_id2").alias("d2"),
+            "n_common",
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
+
+
 def minhash_signatures_wide(
     df: DataFrame, n: int = 3, k: int = 16, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

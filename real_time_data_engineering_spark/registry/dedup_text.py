@@ -24,7 +24,7 @@ from ..functions.text import (
     token_count,
 )
 from ..operators import dedup as D
-from ..sources.readers import load_table
+from ..sources.readers import ensure_min_partitions, load_table
 from . import register
 
 # ---------------------------------------------------------------------------
@@ -93,7 +93,9 @@ SELECT d1, d2, n_common, jaccard FROM ranked WHERE rn <= 50
 def d2_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 near-duplicate pairs by exact 3-gram Jaccard."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(docs, n=3)
+    # canonical variant: shingle join over distinct normal forms only —
+    # same pairs bit-for-bit, duplication-proof (see operators/dedup.py)
+    pairs = D.jaccard_pairs_canonical(docs, n=3)
     # orderBy+limit → TakeOrderedAndProject: each partition keeps its own
     # top-50, the driver merges — unlike a global row_number() window,
     # which would funnel EVERY pair through one task. Same deterministic
@@ -149,7 +151,11 @@ FROM r WHERE rn = 1
 @register("d3_lang_id", _D3_ORACLE)
 def d3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language ID with deterministic argmax."""
-    docs = load_table(spark, sf_dir, "documents")
+    # Fan out first: compact doc parquet scans as ONE row group = one
+    # task, serializing the per-doc tokenize/match CPU on one core
+    # (found at the 10x scale run: 16x superlinear). No-op on a real
+    # multi-split lake scan.
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     h = docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -215,7 +221,7 @@ FROM m
 @register("d4_text_stats", _D4_ORACLE)
 def d4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token/char/punct/stopword stats, BPE estimate, quality score."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))  # see d3 note
     m = docs.select(
         "doc_id",
         token_count("text").alias("n_tokens"),

@@ -36,6 +36,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Corpus-format tolerance: parquet written by other engines (e.g.
+    # DuckDB) carries isAdjustedToUTC=false → TIMESTAMP_NTZ in Spark,
+    # which unix_micros()/window() reject. The engine's session runs in
+    # UTC, where NTZ→LTZ is instant-preserving, so normalize at the scan
+    # (a zero-cost cast — pushdown/pruning are unaffected).
+    ntz = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

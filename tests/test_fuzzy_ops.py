@@ -140,3 +140,17 @@ def test_approx_distinct_tracks_exact(spark):
     assert set(exact) == set(approx)
     for k, v in exact.items():
         assert abs(approx[k] - v) / v <= 0.05, (k, v, approx[k])
+
+
+def test_jaccard_canonical_equals_direct_under_duplication(spark, documents):
+    """The canonicalized (distinct-normal-form) Jaccard must emit the
+    exact pair set of the direct shingle self-join, including the
+    jaccard=1.0 intra-group pairs a duplicated corpus adds — the 10x
+    scale run's d2 rewrite, pinned against silent semantic drift."""
+    base = documents.limit(120).select("doc_id", "text")
+    dup = base.unionByName(
+        base.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    direct = {tuple(r) for r in D.jaccard_pairs(dup, 3).collect()}
+    canon = {tuple(r) for r in D.jaccard_pairs_canonical(dup, 3).collect()}
+    assert canon == direct and len(direct) > 0
