@@ -105,3 +105,68 @@ def test_quantized_cosine_is_bounded(spark, vals):
         assert -1.0 - 1e-9 <= out[0].cosine <= 1.0 + 1e-9
     else:
         assert out == []
+
+
+_EV = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 100)),  # (key, minute)
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(lefts=_EV, rights=_EV)
+@_settings
+def test_asof_join_matches_python_model(spark, lefts, rights):
+    """Union-window as-of == brute-force python model on arbitrary
+    (key, time) multisets: most recent right at t<=left_t per key,
+    largest seq wins ties, unmatched → None."""
+    import datetime as dt
+
+    from real_time_data_engineering_spark.operators.asof import asof_join
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(i, f"k{k}", ts(m)) for i, (k, m) in enumerate(lefts)], "id long, k string, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [(f"k{k}", ts(m), i) for i, (k, m) in enumerate(rights)], "rk string, rt timestamp, seq long"
+    )
+    got = {
+        r.id: r.seq
+        for r in asof_join(left, right, "t", "rt", by=[("k", "rk")], right_cols=["seq"], tie_col="seq").collect()
+    }
+    for i, (k, m) in enumerate(lefts):
+        cand = [(rm, j) for j, (rk, rm) in enumerate(rights) if rk == k and rm <= m]
+        want = max(cand)[1] if cand else None
+        assert got[i] == want, (i, k, m, cand)
+
+
+@given(lefts=_EV, rights=_EV, span=st.integers(1, 30), bucket=st.integers(60, 900))
+@_settings
+def test_interval_point_join_matches_python_model(spark, lefts, rights, span, bucket):
+    """Bucketed interval join == brute-force [lo, hi) containment for
+    arbitrary interval spans and (mis)aligned bucket widths."""
+    import datetime as dt
+
+    from real_time_data_engineering_spark.operators.asof import interval_point_join
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+
+    iv = spark.createDataFrame(
+        [(i, ts(m), ts(m + span)) for i, (_, m) in enumerate(lefts)],
+        "iid long, lo timestamp, hi timestamp",
+    )
+    pt = spark.createDataFrame(
+        [(j, ts(m)) for j, (_, m) in enumerate(rights)], "pid long, pt timestamp"
+    )
+    got = {(r.iid, r.pid) for r in interval_point_join(iv, pt, "lo", "hi", "pt", bucket).collect()}
+    want = {
+        (i, j)
+        for i, (_, m) in enumerate(lefts)
+        for j, (_, pm) in enumerate(rights)
+        if m <= pm < m + span
+    }
+    assert got == want
