@@ -182,3 +182,38 @@ def _has_aggregate(df: DataFrame) -> bool:
         return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
     except Exception:
         return True
+
+
+# ---------------------------------------------------------------------------
+# Streaming point-in-time enrichment: as-of join inside foreachBatch.
+# Reference analogue: the feature-store serve path (pipelines/21-feast,
+# features.py:25-62) made event-time-correct — each micro-batch of
+# events is enriched with the most recent dimension row at or before
+# the event's own timestamp, never a future one. Micro-batch = batch,
+# so the SAME operators/asof.asof_join runs in both modes; the static
+# side is re-planned per batch (stream-static semantics), so a dim
+# maintained by SCD2/CDC upstream is picked up without restarts.
+# ---------------------------------------------------------------------------
+
+
+def run_asof_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    sink_path: str,
+    checkpoint_dir: str,
+    **asof_kwargs,
+) -> None:
+    """Drive `stream` to parquet at `sink_path`, each batch as-of-joined
+    against `dim` (kwargs forwarded to operators.asof.asof_join)."""
+    from ..operators.asof import asof_join
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        asof_join(batch_df, dim, **asof_kwargs).write.mode("append").parquet(sink_path)
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -289,3 +289,45 @@ def test_progress_listener_observability(spark):
         assert h["n_batches"] >= 1 and h["healthy"]
     finally:
         observe.detach(spark, listener)
+
+
+def test_streaming_asof_enrich_equals_batch(spark, tmp_path):
+    """Stream-side as-of enrichment (foreachBatch) must equal the batch
+    as-of join over the same inputs — one operator, two execution modes."""
+    from real_time_data_engineering_spark.operators.asof import asof_join
+
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_DIR)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("event_id", "user_id", "ts")
+    )
+    orders = load_table(spark, SF_DIR, "orders").select("o_custkey", "o_orderdate", "o_orderkey")
+    kwargs = dict(
+        left_time="ts",
+        right_time="o_orderdate",
+        by=[("user_id", "o_custkey")],
+        right_cols=["o_orderkey"],
+        tie_col="o_orderkey",
+    )
+    si.run_asof_enrich(
+        stream, orders, str(tmp_path / "enriched"), str(tmp_path / "ckpt"), **kwargs
+    )
+    got = {
+        (r.event_id, r.o_orderkey)
+        for r in spark.read.parquet(str(tmp_path / "enriched")).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "ts")
+    want = {(r.event_id, r.o_orderkey) for r in asof_join(ev, orders, **kwargs).collect()}
+    assert got == want
