@@ -69,3 +69,62 @@ def compact_parquet(
     shutil.rmtree(old)
     after = table_stats(path)
     return {"before": before, "after": after, "target_files": n_out}
+
+
+def incremental_overwrite(
+    df,
+    path: str,
+    partition_col: str,
+) -> list[str]:
+    """Incremental model maintenance: rewrite ONLY the partitions the
+    new batch touches (dbt `incremental` + `insert_overwrite` strategy,
+    the reference's fct_trips materialization — fct_trips.sql config +
+    nyc_taxi_dbt incremental models).
+
+    Uses dynamic partition-overwrite: `overwrite` + `partitionBy` under
+    `partitionOverwriteMode=dynamic` replaces exactly the partitions
+    present in `df` and leaves every other partition's files untouched
+    — at 100 TB a daily increment rewrites one date, not the table.
+    Returns the list of partition values rewritten.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    from pyspark.sql import functions as F
+
+    return [str(r[0]) for r in df.select(F.col(partition_col)).distinct().collect()]
+
+
+def merge_upsert(
+    existing,
+    updates,
+    key_cols: list[str],
+    precombine_col: str,
+):
+    """Keyed upsert (reference S9: Hudi COPY_ON_WRITE upsert, record key
+    + precombine field, pipelines/22-hudi-cdc-storage silver_transform
+    .py:101-114; Delta `MERGE INTO` analogue on plain DataFrames).
+
+    Result = one row per key: the row with the greatest precombine
+    value, updates beating existing on exact ties. Storage-agnostic —
+    callers pair it with `incremental_overwrite` to persist; on Delta
+    the same semantics would be a MERGE INTO statement.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    tagged = existing.withColumn("_src", F.lit(0)).unionByName(
+        updates.withColumn("_src", F.lit(1))
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(precombine_col).desc(), F.col("_src").desc()
+    )
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )

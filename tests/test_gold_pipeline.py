@@ -108,3 +108,47 @@ def test_mart_location_performance_modes(built):
     row = mlp.first()
     assert row.most_common_dropoff is not None
     assert 0 <= row.most_common_hour <= 23
+
+
+def test_incremental_fct_equals_full_recompute(spark, tmp_path):
+    """run_incremental over day-partitioned batches must converge to the
+    same fct_trips as one full run over the union — and each increment
+    rewrites only its own pickup_date partitions."""
+    import os
+
+    from real_time_data_engineering_spark.operators.gold import (
+        dim_locations,
+        fct_trips,
+        int_trip_metrics,
+        stg_taxi_zones,
+    )
+    from real_time_data_engineering_spark.operators.silver import silver_transform
+    from real_time_data_engineering_spark.plans.taxi_pipeline import run_incremental
+    from real_time_data_engineering_spark.sources import seeds
+
+    raw = generate_raw_trips(spark, n_valid=600).cache()
+    days = [r[0] for r in
+            silver_transform(raw).select("pickup_date").distinct().orderBy("pickup_date").collect()]
+    assert len(days) >= 2
+    split = days[len(days) // 2]
+    wh = str(tmp_path / "wh")
+    first = raw.filter(F.to_date("tpep_pickup_datetime") < F.lit(split))
+    second = raw.filter(F.to_date("tpep_pickup_datetime") >= F.lit(split))
+
+    run_incremental(spark, first, wh)
+    d0 = f"{wh}/fct_trips/pickup_date={days[0]}"
+    before = {f: os.path.getmtime(os.path.join(d0, f)) for f in os.listdir(d0)}
+    touched = run_incremental(spark, second, wh)
+    assert str(split) in touched and str(days[0]) not in touched
+    after = {f: os.path.getmtime(os.path.join(d0, f)) for f in os.listdir(d0)}
+    assert before == after  # first day's files untouched by the second increment
+
+    got = spark.read.parquet(f"{wh}/fct_trips")
+    want = fct_trips(
+        int_trip_metrics(silver_transform(raw)),
+        dim_locations(stg_taxi_zones(seeds.taxi_zones(spark))),
+    )
+    cols = sorted(set(got.columns) & set(want.columns))
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, want.select(*cols).collect())
+    )

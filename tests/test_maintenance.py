@@ -32,3 +32,50 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
         spark.read.parquet(frag).select(F.input_file_name().alias("_f")).distinct().count()
     )
     assert n_files_seen == report["after"]["n_files"]
+
+
+def test_incremental_overwrite_touches_only_new_partitions(spark, tmp_path):
+    """Dynamic partition overwrite must leave untouched partitions'
+    files byte-identical — the 100 TB incremental contract: a daily
+    increment rewrites one date, never the table."""
+    import os
+
+    from real_time_data_engineering_spark.operators.maintenance import incremental_overwrite
+
+    path = str(tmp_path / "fct")
+    full = spark.createDataFrame(
+        [(d, i, float(i)) for d in ("2024-01-01", "2024-01-02", "2024-01-03") for i in range(5)],
+        "pickup_date string, k int, v double",
+    )
+    full.write.partitionBy("pickup_date").parquet(path)
+
+    def files_of(day):
+        d = os.path.join(path, f"pickup_date={day}")
+        return {f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d) if f.endswith(".parquet")}
+
+    before_d1 = files_of("2024-01-01")
+    inc = spark.createDataFrame(
+        [("2024-01-02", 99, 9.9), ("2024-01-04", 1, 1.0)], "pickup_date string, k int, v double"
+    )
+    touched = incremental_overwrite(inc, path, "pickup_date")
+    assert sorted(touched) == ["2024-01-02", "2024-01-04"]
+    assert files_of("2024-01-01") == before_d1  # untouched partition intact
+    got = spark.read.parquet(path)
+    assert got.filter("pickup_date = '2024-01-02'").count() == 1  # replaced, not appended
+    assert got.filter("pickup_date = '2024-01-04'").count() == 1  # new partition added
+    assert got.filter("pickup_date = '2024-01-01'").count() == 5
+
+
+def test_merge_upsert_latest_wins(spark):
+    """S9 semantics: one row per key, greatest precombine wins, updates
+    beat existing on exact ties."""
+    from real_time_data_engineering_spark.operators.maintenance import merge_upsert
+
+    existing = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 5, 20.0)], "trip_id string, ver int, fare double"
+    )
+    updates = spark.createDataFrame(
+        [("a", 2, 11.0), ("b", 5, 21.0), ("c", 1, 30.0)], "trip_id string, ver int, fare double"
+    )
+    got = {r.trip_id: (r.ver, r.fare) for r in merge_upsert(existing, updates, ["trip_id"], "ver").collect()}
+    assert got == {"a": (2, 11.0), "b": (5, 21.0), "c": (1, 30.0)}
