@@ -331,3 +331,47 @@ def test_streaming_asof_enrich_equals_batch(spark, tmp_path):
     ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "ts")
     want = {(r.event_id, r.o_orderkey) for r in asof_join(ev, orders, **kwargs).collect()}
     assert got == want
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """ST3 restart semantics: after a restart with the same checkpoint,
+    a newly-arrived file is processed exactly once and previously
+    committed input is NOT reprocessed — the file-source offset log is
+    the Kafka-offset analogue."""
+    import json as _json
+
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    row = {
+        "VendorID": 1,
+        "tpep_pickup_datetime": "2024-01-08T10:00:00",
+        "tpep_dropoff_datetime": "2024-01-08T10:30:00",
+        "passenger_count": 1, "trip_distance": 1.0, "RatecodeID": 1,
+        "store_and_fwd_flag": "N", "PULocationID": 1, "DOLocationID": 2,
+        "payment_type": 1, "fare_amount": 10.0, "extra": 0.0, "mta_tax": 0.5,
+        "tip_amount": 1.0, "tolls_amount": 0.0, "improvement_surcharge": 0.5,
+        "total_amount": 12.0, "congestion_surcharge": 0.0, "Airport_fee": 0.0,
+    }
+    def mk(i):
+        r = dict(row)
+        r["tpep_pickup_datetime"] = f"2024-01-08T10:{i:02d}:00"
+        return _json.dumps(r)
+
+    (src_dir / "a.txt").write_text("\n".join(mk(i) for i in range(10)))
+    paths = {k: str(tmp_path / k) for k in ("bronze", "silver", "dlq", "ckpt")}
+
+    def run():
+        source = si.read_file_stream(
+            spark, str(src_dir), T.StructType([T.StructField("value", T.StringType())]), fmt="text"
+        ).withColumnRenamed("text", "value")
+        si.run_bronze_to_silver(
+            spark, source, paths["bronze"], paths["silver"], paths["dlq"], paths["ckpt"]
+        )
+
+    run()
+    assert spark.read.parquet(paths["bronze"]).count() == 10
+    # "restart": new file lands, same checkpoint — only the delta flows
+    (src_dir / "b.txt").write_text("\n".join(mk(20 + i) for i in range(7)))
+    run()
+    assert spark.read.parquet(paths["bronze"]).count() == 17
+    assert spark.read.parquet(paths["silver"]).count() == 17
