@@ -61,6 +61,54 @@ def read_kafka_stream(
 # ---------------------------------------------------------------------------
 
 
+def to_kafka_records(df: DataFrame, key_col: str) -> DataFrame:
+    """S2: shape rows as Kafka producer records — key = partition key as
+    string (reference keys on PULocationID, generator.py:82), value =
+    the full row as JSON with ISO-8601 timestamps (the wire format,
+    generator.py:52-57). Pure projection: the record shaping is
+    broker-independent and round-trips through `parse_bronze`
+    (producer⇄consumer contract closed in tests). Keying by location id
+    preserves the reference's per-key ordering guarantee — all events
+    of one zone land in one partition, in order.
+    """
+    return df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(
+            F.struct(*[F.col(c) for c in df.columns]),
+            {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss"},
+        ).alias("value"),
+    )
+
+
+def write_kafka_batch(records: DataFrame, bootstrap: str, topic: str) -> None:
+    """S2 batch publish (idempotence/acks are producer-lib concerns the
+    Spark connector sets via kafka.* options). Requires connector jars —
+    gated like `read_kafka_stream`; tests exercise `to_kafka_records`."""
+    (
+        records.write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("kafka.enable.idempotence", "true")
+        .option("kafka.acks", "all")
+        .option("kafka.compression.type", "lz4")
+        .option("topic", topic)
+        .save()
+    )
+
+
+def write_kafka_stream(
+    records: DataFrame, bootstrap: str, topic: str, checkpoint_dir: str
+):
+    """S10 topic-to-topic sink: re-publish a processed stream as JSON
+    records (Bytewax dataflow.py:82-87 / Kafka Streams analogue)."""
+    return (
+        records.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def parse_bronze(values: DataFrame, value_col: str = "value") -> tuple[DataFrame, DataFrame]:
     """Split a raw JSON-string stream into (bronze, dead_letters).
 

@@ -375,3 +375,29 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     run()
     assert spark.read.parquet(paths["bronze"]).count() == 17
     assert spark.read.parquet(paths["silver"]).count() == 17
+
+
+def test_kafka_record_shape_roundtrips_through_bronze(spark):
+    """S2⇄S5 contract: producer record shaping (key = location id,
+    value = ISO-8601 JSON) must round-trip through parse_bronze with
+    typed timestamps and no DLQ diversions."""
+    from real_time_data_engineering_spark.testing.taxi_datagen import generate_raw_trips
+
+    raw = generate_raw_trips(spark, n_valid=50).filter(
+        F.col("tpep_pickup_datetime").isNotNull() & F.col("tpep_dropoff_datetime").isNotNull()
+    ).drop("ingestion_ts")
+    records = si.to_kafka_records(raw, key_col="PULocationID")
+    assert records.columns == ["key", "value"]
+    # key carries the reference's partition key (per-zone ordering)
+    assert records.filter(F.col("key").cast("int").isNull() & F.col("key").isNotNull()).count() == 0
+    bronze, dead = si.parse_bronze(records)
+    assert dead.count() == 0
+    got = bronze.select("VendorID", "tpep_pickup_datetime", "fare_amount", "PULocationID")
+    # the wire format is second-precision ISO-8601 (generator.py:52-57)
+    want = raw.select(
+        "VendorID",
+        F.date_trunc("second", "tpep_pickup_datetime").alias("tpep_pickup_datetime"),
+        "fare_amount",
+        "PULocationID",
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
