@@ -262,41 +262,50 @@ def anomaly_daily_trips(daily: DataFrame) -> DataFrame:
 SCD2_CHECK_COLS = ("borough", "zone", "service_zone")
 
 
-def scd2_snapshot(current: DataFrame, snapshot: DataFrame | None, as_of: str) -> DataFrame:
-    """Apply one SCD2 snapshot pass.
+def scd2_snapshot(
+    current: DataFrame,
+    snapshot: DataFrame | None,
+    as_of: str,
+    key_col: str = "location_id",
+    check_cols: tuple[str, ...] = SCD2_CHECK_COLS,
+) -> DataFrame:
+    """Apply one SCD2 snapshot pass (dbt "check" strategy).
 
     ``snapshot`` is the existing history (or None on first run) with
     dbt_valid_from / dbt_valid_to columns; ``as_of`` stamps this run.
+    Rows missing from the new load stay open (dbt's default — no
+    hard-delete invalidation). Keyed and checked on ``key_col`` /
+    ``check_cols`` so the same pass serves any dimension.
     """
     ts = F.lit(as_of).cast("timestamp")
     cur = current.select(
-        "location_id", *SCD2_CHECK_COLS, ts.alias("dbt_valid_from"), F.lit(None).cast("timestamp").alias("dbt_valid_to")
+        key_col, *check_cols, ts.alias("dbt_valid_from"), F.lit(None).cast("timestamp").alias("dbt_valid_to")
     )
     if snapshot is None:
         return cur
     open_rows = snapshot.filter(F.col("dbt_valid_to").isNull())
     closed_rows = snapshot.filter(F.col("dbt_valid_to").isNotNull())
     check = [
-        (F.coalesce(F.col(f"o.{c}"), F.lit("")) != F.coalesce(F.col(f"n.{c}"), F.lit(""))) for c in SCD2_CHECK_COLS
+        (F.coalesce(F.col(f"o.{c}"), F.lit("")) != F.coalesce(F.col(f"n.{c}"), F.lit(""))) for c in check_cols
     ]
     changed_pred = check[0]
     for p in check[1:]:
         changed_pred = changed_pred | p
     o, n = open_rows.alias("o"), cur.alias("n")
-    joined = o.join(n, F.col("o.location_id") == F.col("n.location_id"), "left")
+    joined = o.join(n, F.col(f"o.{key_col}") == F.col(f"n.{key_col}"), "left")
     # unchanged (or missing from new load): keep the open row as-is
-    keep_open = joined.filter(F.col("n.location_id").isNull() | ~changed_pred).select("o.*")
+    keep_open = joined.filter(F.col(f"n.{key_col}").isNull() | ~changed_pred).select("o.*")
     # changed: close the old version at as_of
-    closed_now = joined.filter(F.col("n.location_id").isNotNull() & changed_pred).select(
-        F.col("o.location_id"),
-        *[F.col(f"o.{c}") for c in SCD2_CHECK_COLS],
+    closed_now = joined.filter(F.col(f"n.{key_col}").isNotNull() & changed_pred).select(
+        F.col(f"o.{key_col}"),
+        *[F.col(f"o.{c}") for c in check_cols],
         F.col("o.dbt_valid_from"),
         ts.alias("dbt_valid_to"),
     )
     # changed or brand-new: open a fresh version
     new_versions = (
-        n.join(o, F.col("n.location_id") == F.col("o.location_id"), "left")
-        .filter(F.col("o.location_id").isNull() | changed_pred)
+        n.join(o, F.col(f"n.{key_col}") == F.col(f"o.{key_col}"), "left")
+        .filter(F.col(f"o.{key_col}").isNull() | changed_pred)
         .select("n.*")
     )
     return closed_rows.unionByName(keep_open).unionByName(closed_now).unionByName(new_versions)
