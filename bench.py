@@ -47,6 +47,8 @@ HEADLINE = [
     "d5_minhash_lsh",
     "d7_embedding_neardup",
     "d8_fingerprint_neardup",
+    "d12_repetition_stats",
+    "d13_pii_redaction",
     "s1_cosine_topk",
     "m1_media_features",
 ]

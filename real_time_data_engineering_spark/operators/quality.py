@@ -1,0 +1,109 @@
+"""Corpus-quality operators: repetition stats and PII redaction.
+
+The two quality gates every pretraining-data pipeline runs between
+dedup and mixing (Gopher-style repetition rules; regex scrubbing of
+contact/identifier strings). Both are pure built-in-function plans —
+no Python in the hot path:
+
+* ``repetition_stats`` — tokenize → explode word 2-grams → two
+  doc-keyed aggregations. Per-doc grouping is embarrassingly parallel
+  and map-side combinable, so the shuffles stay proportional to the
+  number of documents, never to corpus bytes.
+* ``redact_pii`` — a narrow projection of ``regexp_count`` /
+  ``regexp_replace`` chains: zero shuffles at any scale.
+
+Regex dialect note: the patterns use only features with identical
+semantics in Java regex (Spark) and RE2 (DuckDB) — character classes,
+``\\d``, bounded repetition; no backrefs, no lookaround — so the same
+pattern string drives both engines in the oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+# Shared with the DuckDB oracles character-for-character.
+EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.]+\.[a-z]+"
+IP_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+# Gopher-style cutoff: a doc whose single most frequent word 2-gram
+# occupies > 20% of all its 2-grams is flagged repetitive — but only
+# past a minimum length; for tiny docs a single 2-gram trivially
+# exceeds any fraction cutoff (Gopher gates short docs separately).
+TOP_GRAM_FRAC_CUTOFF = 0.2
+MIN_GRAMS_FOR_FLAG = 20
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document word-2-gram repetition statistics + repetitive flag.
+
+    Emits ``n_grams``, ``distinct_grams``, ``max_gram_count``,
+    ``top_gram_frac`` (most frequent 2-gram's share), ``dup_gram_frac``
+    (share of 2-gram instances whose gram occurs more than once) and
+    ``is_repetitive``. Documents with fewer than two tokens have no
+    2-grams and are excluded, like an empty GROUP BY partition.
+
+    The fractions are single double divisions of exact BIGINT counts —
+    the one cross-engine-stable way to produce them.
+    """
+    # Materialize the token array ONCE: expressions referenced inside
+    # HOF lambdas are inlined and re-evaluated per element otherwise.
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    grams = toked.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.slice("_toks", 1, F.size("_toks") - 1),
+                F.slice("_toks", 2, F.size("_toks") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
+    agg = per_gram.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"),
+        F.count("*").alias("distinct_grams"),
+        F.max("c").alias("max_gram_count"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("dup_grams"),
+    )
+    top_frac = F.col("max_gram_count").cast("double") / F.col("n_grams").cast("double")
+    dup_frac = F.col("dup_grams").cast("double") / F.col("n_grams").cast("double")
+    return agg.select(
+        id_col,
+        "n_grams",
+        "distinct_grams",
+        "max_gram_count",
+        top_frac.alias("top_gram_frac"),
+        dup_frac.alias("dup_gram_frac"),
+        (
+            (F.col("n_grams") >= F.lit(MIN_GRAMS_FOR_FLAG))
+            & (top_frac > F.lit(TOP_GRAM_FRAC_CUTOFF))
+        ).alias("is_repetitive"),
+    )
+
+
+def redact_pii(text: Column | str) -> dict[str, Column]:
+    """Regex PII scrub of a text column.
+
+    Returns the redacted column plus per-kind match counts. Redaction
+    order is fixed (email → ip → phone) and the patterns don't overlap
+    each other's replacements, so counting before replacing is exact.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), IP_RE, "<IP>"),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return {
+        "n_emails": F.regexp_count(c, F.lit(EMAIL_RE)).cast("long"),
+        "n_ips": F.regexp_count(c, F.lit(IP_RE)).cast("long"),
+        "n_phones": F.regexp_count(c, F.lit(PHONE_RE)).cast("long"),
+        "redacted": redacted,
+    }

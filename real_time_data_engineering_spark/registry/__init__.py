@@ -71,6 +71,6 @@ def _load() -> None:
     global _LOADED
     if _LOADED:
         return
-    from . import analytics, dedup_text, medallion, mixing, similarity, streaming_like, temporal  # noqa: F401
+    from . import analytics, dedup_text, medallion, mixing, quality, similarity, streaming_like, temporal  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,132 @@
+"""Corpus-quality queries: repetition filtering and PII scrubbing.
+
+Extensions beyond the reference (BASELINE.json north star): the quality
+gates a pretraining pipeline runs between dedup and mixing. Both are
+oracle-checked — the repetition fractions are single double divisions
+of exact counts, and the PII regexes use only Java-regex/RE2-common
+syntax so the identical pattern string drives both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.quality import (
+    EMAIL_RE,
+    IP_RE,
+    MIN_GRAMS_FOR_FLAG,
+    PHONE_RE,
+    TOP_GRAM_FRAC_CUTOFF,
+    redact_pii,
+    repetition_stats,
+)
+from ..sources.readers import ensure_min_partitions, load_table
+from . import register
+
+# ---------------------------------------------------------------------------
+# d12 — Gopher-style repetition statistics over word 2-grams: the most
+# frequent 2-gram's share of all 2-grams (top_gram_frac) and the share
+# of 2-gram instances occurring more than once (dup_gram_frac); a doc
+# is flagged repetitive when top_gram_frac > 0.2 AND it has at least
+# 20 2-grams (tiny docs trivially exceed any fraction cutoff).
+# ---------------------------------------------------------------------------
+_D12_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+), tok AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks
+), bi AS (
+  SELECT a.doc_id, a.w || ' ' || b.w AS gram
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+), cnt AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM bi GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id,
+         SUM(c) AS n_grams,
+         COUNT(*) AS distinct_grams,
+         MAX(c) AS max_gram_count,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_grams
+  FROM cnt GROUP BY 1
+)
+SELECT doc_id, n_grams, distinct_grams, max_gram_count,
+       CAST(max_gram_count AS DOUBLE) / CAST(n_grams AS DOUBLE) AS top_gram_frac,
+       CAST(dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_gram_frac,
+       n_grams >= {MIN_GRAMS_FOR_FLAG}
+           AND CAST(max_gram_count AS DOUBLE) / CAST(n_grams AS DOUBLE)
+           > {TOP_GRAM_FRAC_CUTOFF} AS is_repetitive
+FROM agg
+"""
+
+
+@register("d12_repetition_stats", _D12_ORACLE)
+def d12_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-2-gram repetition stats + Gopher-style repetitive flag."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    return repetition_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# d13 — PII redaction. The corpus has no organic PII, so deterministic
+# contact strings are injected first (email+IP for doc_id%7==0, phone
+# for doc_id%11==0 — both for %77), then scrubbed; the check covers the
+# full inject → count → replace → fingerprint path on both engines.
+# ---------------------------------------------------------------------------
+_INJECT_SQL = (
+    "text || CASE WHEN doc_id % 7 = 0 THEN ' contact doc' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+)
+
+_D13_ORACLE = f"""
+WITH injected AS (
+  SELECT doc_id, {_INJECT_SQL} AS s FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(s, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(s, '{IP_RE}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(s, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(s,
+           '{EMAIL_RE}', '<EMAIL>', 'g'),
+           '{IP_RE}', '<IP>', 'g'),
+           '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp
+FROM injected
+"""
+
+
+@register("d13_pii_redaction", _D13_ORACLE)
+def d13_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrub: per-kind match counts + redacted fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact doc"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" call 555-867-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("s"),
+    )
+    cols = redact_pii("s")
+    return injected.select(
+        "doc_id",
+        cols["n_emails"].alias("n_emails"),
+        cols["n_ips"].alias("n_ips"),
+        cols["n_phones"].alias("n_phones"),
+        F.md5(cols["redacted"]).alias("redacted_fp"),
+    )

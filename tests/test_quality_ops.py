@@ -1,0 +1,70 @@
+"""Golden-fixture tests for the corpus-quality operators (d12/d13).
+
+Hand-computed expectations on tiny inputs — the oracle-parity suite
+covers the corpus-scale path; these pin the per-document semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_data_engineering_spark.operators.quality import redact_pii, repetition_stats
+
+
+def test_repetition_stats_golden(spark):
+    docs = spark.createDataFrame(
+        [
+            # 2-grams: "a b"×3, "b a"×2 → n=5, distinct=2, max=3
+            (1, "a b a b a b"),
+            # all three 2-grams unique → short doc, never flagged
+            (2, "w x y z"),
+            # single token → zero 2-grams → excluded
+            (3, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert set(out) == {1, 2}
+    r1 = out[1]
+    assert (r1.n_grams, r1.distinct_grams, r1.max_gram_count) == (5, 2, 3)
+    assert r1.top_gram_frac == 3 / 5 and r1.dup_gram_frac == 1.0
+    assert not r1.is_repetitive  # only 5 grams — under the length gate
+    r2 = out[2]
+    assert (r2.n_grams, r2.distinct_grams, r2.max_gram_count) == (3, 3, 1)
+    assert r2.dup_gram_frac == 0.0 and not r2.is_repetitive
+
+
+def test_repetition_flag_requires_length_and_concentration(spark):
+    repetitive = " ".join(["spam ham"] * 20)  # 39 2-grams, "ham spam"×19, "spam ham"×20
+    diverse = " ".join(f"w{i}" for i in range(40))  # 39 unique 2-grams
+    docs = spark.createDataFrame([(1, repetitive), (2, diverse)], "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert out[1].is_repetitive
+    assert out[2].top_gram_frac == 1 / 39 and not out[2].is_repetitive
+
+
+def test_pii_redaction_golden(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith@corp.io or 10.0.42.1 call 555-867-5309 end")],
+        "doc_id long, s string",
+    )
+    cols = redact_pii("s")
+    row = df.select(
+        cols["n_emails"].alias("e"),
+        cols["n_ips"].alias("i"),
+        cols["n_phones"].alias("p"),
+        cols["redacted"].alias("r"),
+    ).collect()[0]
+    assert (row.e, row.i, row.p) == (1, 1, 1)
+    assert row.r == "mail <EMAIL> or <IP> call <PHONE> end"
+
+
+def test_pii_redaction_clean_text_untouched(spark):
+    df = spark.createDataFrame([(1, "no contact info here at all")], "doc_id long, s string")
+    cols = redact_pii("s")
+    row = df.select(
+        (cols["n_emails"] + cols["n_ips"] + cols["n_phones"]).alias("n"),
+        cols["redacted"].alias("r"),
+        F.col("s"),
+    ).collect()[0]
+    assert row.n == 0 and row.r == row.s
