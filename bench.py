@@ -49,6 +49,7 @@ HEADLINE = [
     "d8_fingerprint_neardup",
     "d12_repetition_stats",
     "d13_pii_redaction",
+    "d14_decontamination",
     "s1_cosine_topk",
     "m1_media_features",
 ]

@@ -88,6 +88,51 @@ def repetition_stats(
     )
 
 
+def contamination_stats(
+    df: DataFrame,
+    is_eval: Column,
+    n: int = 5,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-decontamination check: per TRAIN doc, the fraction of
+    its distinct word ``n``-grams that also occur anywhere in the EVAL
+    split (``is_eval`` marks eval membership).
+
+    The eval n-gram universe is tiny relative to the corpus (eval sets
+    are benchmarks), so the overlap probe is an explicitly broadcast
+    left join — at 100 TB the train side streams through map tasks with
+    no shuffle for the probe; the only shuffles are the doc-keyed
+    distinct + aggregate, both map-side combinable. Train docs with
+    fewer than ``n`` tokens have no n-grams and are excluded.
+    """
+    from .dedup import shingle_exploded
+
+    grams = (
+        shingle_exploded(df, n, text_col, id_col)
+        .distinct()
+        .withColumn("_is_eval", is_eval)
+    )
+    eval_grams = grams.filter(F.col("_is_eval")).select("shingle").distinct()
+    train_grams = grams.filter(~F.col("_is_eval"))
+    hits = train_grams.join(
+        F.broadcast(eval_grams.withColumn("_hit", F.lit(1))), "shingle", "left"
+    )
+    agg = hits.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_overlap"),
+    )
+    frac = F.col("n_overlap").cast("double") / F.col("n_grams").cast("double")
+    return agg.select(
+        id_col,
+        "n_grams",
+        "n_overlap",
+        frac.alias("overlap_frac"),
+        (frac >= F.lit(threshold)).alias("is_contaminated"),
+    )
+
+
 def redact_pii(text: Column | str) -> dict[str, Column]:
     """Regex PII scrub of a text column.
 

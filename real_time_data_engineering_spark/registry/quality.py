@@ -18,6 +18,7 @@ from ..operators.quality import (
     MIN_GRAMS_FOR_FLAG,
     PHONE_RE,
     TOP_GRAM_FRAC_CUTOFF,
+    contamination_stats,
     redact_pii,
     repetition_stats,
 )
@@ -130,3 +131,48 @@ def d13_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols["n_phones"].alias("n_phones"),
         F.md5(cols["redacted"]).alias("redacted_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d14 — benchmark decontamination (GPT-3-style n-gram overlap): docs with
+# doc_id%19==0 form the "eval set"; every train doc reports the fraction
+# of its distinct word 5-grams that occur anywhere in the eval split.
+# The corpus's planted duplicates make the distribution bimodal (~0 vs
+# 1.0), so the 0.5 cutoff is a real decision boundary.
+# ---------------------------------------------------------------------------
+_D14_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+), tok AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks
+), g5 AS (
+  SELECT DISTINCT a.doc_id,
+         a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' || e.w AS shingle
+  FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+  JOIN tok d ON d.doc_id = a.doc_id AND d.i = a.i + 3
+  JOIN tok e ON e.doc_id = a.doc_id AND e.i = a.i + 4
+), eval_g AS (
+  SELECT DISTINCT shingle FROM g5 WHERE doc_id % 19 = 0
+), train AS (
+  SELECT doc_id, shingle FROM g5 WHERE doc_id % 19 <> 0
+), agg AS (
+  SELECT t.doc_id,
+         COUNT(*) AS n_grams,
+         SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
+  FROM train t LEFT JOIN eval_g e ON t.shingle = e.shingle
+  GROUP BY 1
+)
+SELECT doc_id, n_grams, n_overlap,
+       CAST(n_overlap AS DOUBLE) / CAST(n_grams AS DOUBLE) AS overlap_frac,
+       CAST(n_overlap AS DOUBLE) / CAST(n_grams AS DOUBLE) >= 0.5 AS is_contaminated
+FROM agg
+"""
+
+
+@register("d14_decontamination", _D14_ORACLE)
+def d14_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set 5-gram overlap per train doc (broadcast probe)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_stats(docs, F.col("doc_id") % 19 == 0, n=5, threshold=0.5)

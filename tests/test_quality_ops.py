@@ -68,3 +68,28 @@ def test_pii_redaction_clean_text_untouched(spark):
         F.col("s"),
     ).collect()[0]
     assert row.n == 0 and row.r == row.s
+
+
+def test_contamination_stats_golden(spark):
+    from real_time_data_engineering_spark.operators.quality import contamination_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),        # eval doc (id%2==0 marks eval here)
+            (1, "a b c d e xx yy"),    # shares "a b c d e" → 1/3 grams hit
+            (3, "p q r s t u"),        # disjoint → 0 overlap
+            (5, "a b c d e f"),        # exact copy of eval doc → frac 1.0
+        ],
+        "doc_id long, text string",
+    )
+    from pyspark.sql import functions as F
+
+    out = {
+        r.doc_id: r
+        for r in contamination_stats(docs, F.col("doc_id") % 2 == 0, n=5, threshold=0.5).collect()
+    }
+    assert set(out) == {1, 3, 5}  # eval doc excluded
+    assert (out[1].n_grams, out[1].n_overlap) == (3, 1)
+    assert out[1].overlap_frac == 1 / 3 and not out[1].is_contaminated
+    assert out[3].n_overlap == 0 and not out[3].is_contaminated
+    assert out[5].overlap_frac == 1.0 and out[5].is_contaminated
