@@ -201,3 +201,50 @@ def q19_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q25 — sliding (hopping) 1-hour window, 15-minute slide: each event
+# lands in exactly 4 epoch-aligned windows. The oracle fans each event
+# out to its 4 window starts explicitly (floor-to-15-min minus k*15min,
+# k=0..3) — the set-algebraic definition of Spark's window(ts, 1h, 15m).
+# Streaming twin (watermarked hopping window) asserted equal in
+# tests/test_streaming.py.
+# ---------------------------------------------------------------------------
+
+_Q25_ORACLE = """
+WITH ev AS (
+  SELECT CAST(ts AS TIMESTAMP) AS t, event_type,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+), fanned AS (
+  SELECT to_timestamp(CAST(floor(epoch(t) / 900) AS BIGINT) * 900
+             - k.k * 900) AS ws,
+         event_type, v
+  FROM ev CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) AS k
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(v) AS DOUBLE) AS total_value
+FROM fanned
+GROUP BY 1, 2
+"""
+
+
+@register("q25_sliding_rollup", _Q25_ORACLE)
+def q25_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping 1h/15min window × event_type cube (F.window in batch)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -197,12 +197,23 @@ def run_bronze_to_silver(
 # ---------------------------------------------------------------------------
 
 
-def hourly_rollup_stream(events: DataFrame, ts_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
+def hourly_rollup_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    slide: str | None = None,
+) -> DataFrame:
     """Hourly count + sums keyed by window × event_type; append-mode safe
-    because the watermark closes windows."""
+    because the watermark closes windows.
+
+    ``slide`` < window makes it a sliding (hopping) rollup: each event
+    contributes to window/slide overlapping windows — state grows by
+    that same factor, so the watermark bound matters more, not less.
+    """
+    win = F.window(ts_col, "1 hour", slide) if slide else F.window(ts_col, "1 hour")
     return (
         events.withWatermark(ts_col, watermark)
-        .groupBy(F.window(ts_col, "1 hour").alias("w"), "event_type")
+        .groupBy(win.alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(12,2)")).alias("total_value"),

@@ -134,6 +134,47 @@ def test_streaming_hourly_rollup_equals_batch(spark):
     assert got == want
 
 
+def test_streaming_sliding_rollup_equals_batch(spark):
+    """Hopping-window variant of ST6/A6: the watermarked sliding rollup
+    (1h window, 15min slide) must equal q25's batch computation —
+    every event in exactly 4 overlapping windows."""
+    from real_time_data_engineering_spark.registry import all_specs
+
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_DIR)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = si.hourly_rollup_stream(stream, slide="15 minutes")
+    q = agg.writeStream.format("memory").queryName("sliding_mv").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (F_ts(r.hour_start), r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM sliding_mv").collect()
+    }
+    batch = all_specs()["q25_sliding_rollup"].spark(spark, SF_DIR)
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value) for r in batch.collect()
+    }
+    assert got == want
+
+
+def F_ts(dt):
+    return dt.strftime("%Y-%m-%d %H:%M:%S")
+
+
 def test_stream_dedup_within_watermark(spark, tmp_path):
     """ST5: duplicate natural keys inside the watermark collapse to one."""
     import real_time_data_engineering_spark.testing.taxi_datagen as dg
