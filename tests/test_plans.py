@@ -193,3 +193,18 @@ def test_lifecycle_runner_retries_and_metrics(tmp_path):
     assert not res2.ok
     assert [s["stage"] for s in res2.stages] == ["boom"]
     assert res2.stages[0]["attempts"] == 2
+
+
+def test_pii_redaction_is_shuffle_free(spark):
+    """d13 is a pure narrow projection: zero exchanges at any scale."""
+    plan = _physical(spark, "d13_pii_redaction")
+    assert "Exchange" not in plan, plan
+
+
+def test_decontamination_probe_broadcasts(spark):
+    """d14's eval-gram probe must be a broadcast hash join — the train
+    side streams through map tasks; a sort-merge join here would
+    shuffle the whole corpus at 100 TB."""
+    plan = _physical(spark, "d14_decontamination")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
