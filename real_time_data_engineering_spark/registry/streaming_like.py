@@ -77,10 +77,9 @@ WHERE op IN ('c', 'r', 'u')
 """
 
 
-@register("q17_cdc_apply", _Q17_ORACLE)
-def q17_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Debezium envelope parse → upsert stream (deletes dropped)."""
-    from ..sources.cdc import apply_upserts, micros_to_ts, parse_envelope
+def _synth_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-shaped JSON payloads synthesized from `events` — byte-
+    identical to the oracle's string concat."""
     from ..sources.readers import ensure_min_partitions
 
     # JSON synth + from_json is CPU-heavy narrow work; fan the compact
@@ -102,7 +101,15 @@ def q17_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(ts) div 1000").cast("string"),
         F.lit("}"),
     )
-    env = e.select(payload.alias("payload"))
+    return e.select(payload.alias("payload"))
+
+
+@register("q17_cdc_apply", _Q17_ORACLE)
+def q17_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium envelope parse → upsert stream (deletes dropped)."""
+    from ..sources.cdc import apply_upserts, micros_to_ts, parse_envelope
+
+    env = _synth_envelope(spark, sf_dir)
     applied = apply_upserts(parse_envelope(env, "payload", _ENVELOPE_SCHEMA))
     return applied.select(
         "event_id",
@@ -247,4 +254,57 @@ def q25_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "total_value",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q26 — CDC materialization WITH deletes: replay the keyed change stream
+# to final table state. Latest op per user_id wins (ts_ms DESC,
+# event_id DESC tie-break); users whose latest op is a delete ('error'
+# events map to op='d') drop out — Hudi/Delta MERGE-with-delete
+# semantics as one declarative window over the parsed envelope.
+# ---------------------------------------------------------------------------
+
+_Q26_ORACLE = """
+WITH env AS (
+  SELECT '{"before":null,"after":{"event_id":' || CAST(event_id AS VARCHAR)
+         || ',"user_id":' || CAST(user_id AS VARCHAR)
+         || ',"value":"' || CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR)
+         || '","ts_us":' || CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR)
+         || '},"op":"' || (CASE event_type WHEN 'signup' THEN 'c' WHEN 'view' THEN 'r'
+                            WHEN 'error' THEN 'd' ELSE 'u' END)
+         || '","ts_ms":' || CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS VARCHAR) || '}'
+         AS payload
+  FROM events
+), parsed AS (
+  SELECT json_extract_string(payload, '$.op') AS op,
+         CAST(json_extract_string(payload, '$.ts_ms') AS BIGINT) AS ts_ms,
+         CAST(json_extract_string(payload, '$.after.event_id') AS BIGINT) AS event_id,
+         CAST(json_extract_string(payload, '$.after.user_id') AS BIGINT) AS user_id,
+         json_extract_string(payload, '$.after.value') AS value
+  FROM env
+), latest AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts_ms DESC, event_id DESC) AS rn
+  FROM parsed
+)
+SELECT user_id, event_id AS last_event_id, ts_ms AS last_ts_ms,
+       CAST(value AS DOUBLE) AS last_value
+FROM latest WHERE rn = 1 AND op <> 'd'
+"""
+
+
+@register("q26_cdc_materialize", _Q26_ORACLE)
+def q26_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC replay to final state: latest op per key, deletes applied."""
+    from ..sources.cdc import materialize_latest, parse_envelope
+
+    env = _synth_envelope(spark, sf_dir)
+    parsed = parse_envelope(env, "payload", _ENVELOPE_SCHEMA)
+    state = materialize_latest(parsed, ("user_id",), ("ts_ms", "event_id"))
+    return state.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts_ms").alias("last_ts_ms"),
+        F.col("value").cast("double").alias("last_value"),
     )

@@ -34,3 +34,27 @@ def apply_upserts(parsed: DataFrame) -> DataFrame:
 def micros_to_ts(c: Column | str) -> Column:
     """Debezium epoch-µs → timestamp (06-silver-cdc.sql:79-86)."""
     return F.timestamp_micros(F.col(c) if isinstance(c, str) else c)
+
+
+def materialize_latest(
+    parsed: DataFrame,
+    key_cols: tuple[str, ...],
+    order_cols: tuple[str, ...],
+) -> DataFrame:
+    """Replay a keyed change stream to final table state: the latest op
+    per key wins (ordered by ``order_cols`` descending, which must end
+    in a unique tie-break), and keys whose latest op is a delete drop
+    out — the Hudi/Delta MERGE-with-delete semantics expressed as one
+    window. Shuffles once on the entity key; at scale that is the same
+    partitioning the storage-side MERGE would use.
+
+    Requires every record (deletes included) to carry ``key_cols`` in
+    the after-image; for Debezium feeds where deletes have after=null,
+    coalesce the key from the before-image upstream first.
+    """
+    from pyspark.sql import Window
+
+    flat = parsed.select("op", "ts_ms", F.col("after.*"))
+    w = Window.partitionBy(*key_cols).orderBy(*[F.desc(c) for c in order_cols])
+    latest = flat.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    return latest.filter(F.col("op") != "d").drop("op")

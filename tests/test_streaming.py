@@ -221,6 +221,35 @@ def test_cdc_parser_golden(spark):
     assert ts == dt.datetime(2024, 1, 1, 0, 0, 0)
 
 
+def test_cdc_materialize_latest_applies_deletes(spark):
+    """q26 semantics golden: latest op per key wins; delete-last keys
+    drop out; a create after a delete resurrects the key."""
+    from real_time_data_engineering_spark.sources import cdc
+
+    schema = T.StructType(
+        [
+            T.StructField("before", T.StringType()),
+            T.StructField("after", T.StructType([T.StructField("id", T.LongType()), T.StructField("v", T.LongType())])),
+            T.StructField("op", T.StringType()),
+            T.StructField("ts_ms", T.LongType()),
+        ]
+    )
+    def env(id_, v, op, ts):
+        return (json.dumps({"before": None, "after": {"id": id_, "v": v}, "op": op, "ts_ms": ts}),)
+
+    rows = [
+        env(1, 10, "c", 1), env(1, 11, "u", 3),            # survives with v=11
+        env(2, 20, "c", 1), env(2, 20, "d", 5),            # deleted
+        env(3, 30, "d", 2),                                 # only a delete
+        env(4, 40, "c", 2), env(4, 40, "d", 3), env(4, 41, "c", 4),  # resurrected
+    ]
+    df = spark.createDataFrame(rows, "payload string")
+    parsed = cdc.parse_envelope(df, "payload", schema)
+    out = cdc.materialize_latest(parsed, ("id",), ("ts_ms",))
+    got = {r.id: r.v for r in out.collect()}
+    assert got == {1: 11, 4: 41}
+
+
 def test_stateful_sessionization_matches_batch(spark):
     """Custom stateful operator (applyInPandasWithState): closed sessions
     emitted by the stream must equal the batch q18 sessionization for
