@@ -170,3 +170,80 @@ def test_interval_point_join_matches_python_model(spark, lefts, rights, span, bu
         if m <= pm < m + span
     }
     assert got == want
+
+
+@given(texts=TEXTS)
+@_settings
+def test_repetition_stats_matches_python_model(spark, texts):
+    """d12 contract on arbitrary inputs: counts equal a brute-force
+    Counter model over the same whitespace tokenization."""
+    import re
+    from collections import Counter
+
+    from real_time_data_engineering_spark.operators.quality import repetition_stats
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+
+    for i, t in enumerate(texts):
+        toks = re.split(r"\s+", t.strip().lower())
+        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        if not grams:
+            assert i not in got
+            continue
+        c = Counter(grams)
+        r = got[i]
+        assert r.n_grams == len(grams)
+        assert r.distinct_grams == len(c)
+        assert r.max_gram_count == max(c.values())
+        assert r.dup_gram_frac == sum(v for v in c.values() if v > 1) / len(grams)
+
+
+_CDC_OPS = st.lists(
+    st.tuples(
+        st.integers(0, 3),              # key
+        st.integers(0, 99),             # value
+        st.sampled_from(["c", "u", "d"]),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(ops=_CDC_OPS)
+@_settings
+def test_cdc_materialize_matches_python_replay(spark, ops):
+    """q26 contract: the windowed latest-op materialization equals an
+    in-order dict replay of the same change stream."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from real_time_data_engineering_spark.sources import cdc
+
+    schema = T.StructType(
+        [
+            T.StructField("before", T.StringType()),
+            T.StructField(
+                "after",
+                T.StructType([T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]),
+            ),
+            T.StructField("op", T.StringType()),
+            T.StructField("ts_ms", T.LongType()),
+        ]
+    )
+    rows = [
+        (_json.dumps({"before": None, "after": {"id": k, "v": v}, "op": op, "ts_ms": ts}),)
+        for ts, (k, v, op) in enumerate(ops)
+    ]
+    df = spark.createDataFrame(rows, "payload string")
+    out = cdc.materialize_latest(cdc.parse_envelope(df, "payload", schema), ("id",), ("ts_ms",))
+    got = {r.id: r.v for r in out.collect()}
+
+    state: dict[int, int] = {}
+    for k, v, op in ops:  # ts_ms follows list order, so replay in order
+        if op == "d":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    assert got == state
