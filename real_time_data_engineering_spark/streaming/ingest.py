@@ -131,10 +131,60 @@ def parse_bronze(values: DataFrame, value_col: str = "value") -> tuple[DataFrame
             F.col("_data.*"),
             F.current_timestamp().alias("ingestion_ts"),
         )
-        .withColumn("tpep_pickup_datetime", F.to_timestamp("tpep_pickup_datetime", TS_PATTERN))
-        .withColumn("tpep_dropoff_datetime", F.to_timestamp("tpep_dropoff_datetime", TS_PATTERN))
+        # try_to_timestamp, NOT to_timestamp: under ANSI (the default in
+        # vanilla Spark 4 sessions) a single off-format timestamp string
+        # would kill the whole job — and only when a query actually
+        # evaluates the column, since count()-style plans prune it.
+        # Off-format rows keep NULL timestamps and die at the silver
+        # quality filter (reference P2), not by crashing the stream.
+        .withColumn("tpep_pickup_datetime", F.try_to_timestamp("tpep_pickup_datetime", F.lit(TS_PATTERN)))
+        .withColumn("tpep_dropoff_datetime", F.try_to_timestamp("tpep_dropoff_datetime", F.lit(TS_PATTERN)))
     )
     return bronze, dead
+
+
+REPAIR_TS_PATTERNS = (TS_PATTERN, "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss.SSS")
+
+
+def repair_dead_letters(
+    dead: DataFrame, patterns: tuple[str, ...] = REPAIR_TS_PATTERNS
+) -> tuple[DataFrame, DataFrame]:
+    """DLQ replay: attempt deterministic repairs on dead letters and
+    split into (recovered_bronze, still_dead).
+
+    Two repairs cover the classic producer bugs behind a DLQ backlog:
+    double-encoded JSON (a JSON *string* containing the record — outer
+    quotes stripped, ``\\"`` / ``\\\\`` unescaped before re-parsing)
+    and off-contract timestamp formats (first match from ``patterns``
+    wins, via try_to_timestamp — null on mismatch, never an ANSI
+    error). Unrecoverable rows keep flowing as dead letters so the
+    replay job is idempotent over its own output.
+    """
+    inner = F.expr("substring(raw_payload, 2, length(raw_payload) - 2)")
+    unescaped = F.replace(F.replace(inner, F.lit('\\"'), F.lit('"')), F.lit("\\\\"), F.lit("\\"))
+    fixed = F.when(F.col("raw_payload").rlike('^".*"$'), unescaped).otherwise(F.col("raw_payload"))
+    reparsed = dead.withColumn("_data", F.from_json(fixed, RAW_TRIP_WIRE))
+
+    def best_ts(col: str):
+        return F.coalesce(*[F.try_to_timestamp(F.col(f"_data.{col}"), F.lit(p)) for p in patterns])
+
+    pickup, dropoff = best_ts("tpep_pickup_datetime"), best_ts("tpep_dropoff_datetime")
+    ok = F.col("_data").isNotNull() & (pickup.isNotNull() | dropoff.isNotNull())
+    ts_cols = {"tpep_pickup_datetime": pickup, "tpep_dropoff_datetime": dropoff}
+    recovered = reparsed.filter(ok).select(
+        *[
+            ts_cols[f.name].alias(f.name) if f.name in ts_cols else F.col(f"_data.{f.name}")
+            for f in RAW_TRIP_WIRE.fields
+        ],
+        F.current_timestamp().alias("ingestion_ts"),
+        F.lit(True).alias("repaired"),
+    )
+    still_dead = reparsed.filter(~ok).select(
+        "raw_payload",
+        F.lit("unrecoverable").alias("error_class"),
+        F.current_timestamp().alias("dlq_ts"),
+    )
+    return recovered, still_dead
 
 
 def stream_dedup(bronze: DataFrame, watermark: str = "10 minutes") -> DataFrame:

@@ -250,6 +250,41 @@ def test_cdc_materialize_latest_applies_deletes(spark):
     assert got == {1: 11, 4: 41}
 
 
+def test_dlq_repair_recovers_fixable_events(spark):
+    """ST4 extension: DLQ replay. Double-encoded JSON recovers (with
+    timestamp-format fallback); true garbage stays dead; off-format
+    timestamps inside valid JSON take the bronze path with NULL ts
+    (silver quality filter drops them) instead of crashing under ANSI."""
+    from real_time_data_engineering_spark.streaming.ingest import (
+        parse_bronze,
+        repair_dead_letters,
+    )
+
+    good = '{"VendorID": 1, "tpep_pickup_datetime": "2024-01-05T10:00:00", "tpep_dropoff_datetime": "2024-01-05T10:30:00", "fare_amount": 10.0}'
+    spacefmt = good.replace("T1", " 1").replace('"VendorID": 1', '"VendorID": 3')
+    dbl_encoded = '"' + good.replace('"', '\\"') + '"'  # JSON string containing the record
+    garbage = "not json at all"
+    no_ts = '{"VendorID": 2, "fare_amount": 1.0}'
+    df = spark.createDataFrame([(v,) for v in (good, spacefmt, dbl_encoded, garbage, no_ts)], "value string")
+
+    bronze, dead = parse_bronze(df)
+    rows = {r.VendorID: r for r in bronze.collect()}  # forces ts evaluation
+    assert set(rows) == {1, 3}
+    assert rows[1].tpep_pickup_datetime is not None
+    assert rows[3].tpep_pickup_datetime is None  # off-format → NULL, not a crash
+    assert dead.count() == 3
+
+    recovered, still_dead = repair_dead_letters(dead)
+    rec = recovered.collect()
+    assert len(rec) == 1 and rec[0].VendorID == 1 and rec[0].repaired
+    assert rec[0].tpep_pickup_datetime is not None
+    assert still_dead.count() == 2
+    # idempotent: replaying the residue recovers nothing new
+
+    r2, d2 = repair_dead_letters(still_dead)
+    assert r2.count() == 0 and d2.count() == 2
+
+
 def test_stateful_sessionization_matches_batch(spark):
     """Custom stateful operator (applyInPandasWithState): closed sessions
     emitted by the stream must equal the batch q18 sessionization for
