@@ -654,3 +654,36 @@ def q21_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q27 — exact per-group quantiles (continuous/interpolated): Spark's
+# holistic `percentile` matches DuckDB `quantile_cont` bit-for-bit —
+# both interpolate at rank (n-1)·p over the sorted doubles. This is the
+# correctness anchor for q21's percentile_approx: exact percentile
+# shuffles the full value set per group, so at 100 TB the sketch is the
+# plan and this query is what the sketch's error gate is measured
+# against (tests/test_fuzzy_ops.py::test_approx_distinct_tracks_exact).
+# ---------------------------------------------------------------------------
+
+_Q27_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       quantile_cont(value, 0.99) AS p99
+FROM events
+GROUP BY 1
+"""
+
+
+@register("q27_group_quantiles", _Q27_ORACLE)
+def q27_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated p50/p95/p99 of value per event_type."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
