@@ -50,6 +50,7 @@ HEADLINE = [
     "d12_repetition_stats",
     "d13_pii_redaction",
     "d14_decontamination",
+    "d15_dup_clusters",
     "s1_cosine_topk",
     "m1_media_features",
 ]

@@ -381,3 +381,51 @@ def fingerprint_neardup_pairs(
         .select("d1", "d2", "shared", res.alias("resemblance"))
         .filter(F.col("resemblance") >= F.lit(min_resemblance))
     )
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "d1", dst: str = "d2", max_iter: int = 20
+) -> DataFrame:
+    """Transitive dup-cluster resolution: undirected connected components
+    over a near-dup pair set → (node, cluster_id, cluster_size), where
+    cluster_id = min node id in the component. Singletons (nodes in no
+    pair) are not rows here — join back to the corpus for them.
+
+    Iterative min-label propagation: each round, every node takes the
+    min of its own label and its neighbors' labels. Labels decrease
+    monotonically, so the sum of labels is a convergence metric that
+    needs no join to compare — one cheap agg per round. Rounds needed =
+    graph diameter; near-dup clusters are shallow (pairs/chains), so
+    this converges in a handful of rounds. At petabyte scale with deep
+    components, switch the propagation step to large-star/small-star
+    (Kiveris et al.) for O(log n) rounds — same fixpoint, same output
+    contract. localCheckpoint truncates the iterative lineage so plans
+    don't grow unboundedly.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .unionByName(pairs.select(F.col(dst).alias("s"), F.col(src).alias("t")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))
+    prev_sum = None
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges.s == labels.node)
+            .select(F.col("t").alias("node"), "label")
+        )
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        "node", F.col("label").alias("cluster_id"), "cluster_size"
+    )

@@ -416,3 +416,47 @@ def d8_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = docs.count()
     cap = max(5, int(0.05 * n))
     return D.fingerprint_neardup_pairs(docs, k=8, min_resemblance=0.5, max_doc_freq=cap)
+
+
+# ---------------------------------------------------------------------------
+# d15 — transitive dup-cluster resolution: connected components over the
+# d7 embedding-near-dup pair graph; cluster_id = min vec_id in the
+# component. Spark side is iterative min-label propagation (fixpoint by
+# monotone label-sum); the oracle is a recursive CTE computing the same
+# fixpoint set-algebraically. Pairwise scoring says WHICH docs collide —
+# this says which GROUPS to collapse, the step a dedup pipeline actually
+# acts on (near-dup relations are not transitive; components make the
+# keep/drop decision well-defined).
+# ---------------------------------------------------------------------------
+_D15_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT v1, v2 FROM ({_D7_ORACLE}) t
+), edges AS (
+  SELECT v1 AS src, v2 AS dst FROM pairs
+  UNION
+  SELECT v2 AS src, v1 AS dst FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), reach AS (
+  SELECT node, node AS label FROM nodes
+  UNION
+  SELECT e.dst AS node, r.label FROM reach r JOIN edges e ON e.src = r.node
+), comp AS (
+  SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY 1
+)
+SELECT node AS vec_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp
+"""
+
+
+@register("d15_dup_clusters", _D15_ORACLE)
+def d15_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over embedding near-dup pairs (min-label)."""
+    from ..operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.embedding_neardup_pairs_blas(emb, threshold=0.35)
+    return D.connected_components(pairs, src="v1", dst="v2").select(
+        F.col("node").alias("vec_id"), "cluster_id", "cluster_size"
+    )

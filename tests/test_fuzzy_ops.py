@@ -154,3 +154,36 @@ def test_jaccard_canonical_equals_direct_under_duplication(spark, documents):
     direct = {tuple(r) for r in D.jaccard_pairs(dup, 3).collect()}
     canon = {tuple(r) for r in D.jaccard_pairs_canonical(dup, 3).collect()}
     assert canon == direct and len(direct) > 0
+
+
+def test_connected_components_golden(spark):
+    """Chain a-b-c collapses to one cluster labeled by its min; the
+    disjoint pair keeps its own label; no singleton rows."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "d1 long, d2 long"
+    )
+    out = {r.node: (r.cluster_id, r.cluster_size) for r in D.connected_components(pairs).collect()}
+    assert out == {1: (1, 3), 2: (1, 3), 3: (1, 3), 10: (10, 2), 11: (10, 2)}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Random-ish deterministic graph vs a brute-force union-find."""
+    import itertools
+
+    edges = [(a, b) for a, b in itertools.combinations(range(40), 2) if (a * 31 + b * 17) % 23 == 0]
+    pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+    got = {r.node: r.cluster_id for r in D.connected_components(pairs).collect()}
+
+    parent = list(range(40))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {x for e in edges for x in e}
+    want = {x: find(x) for x in touched}
+    assert got == want
