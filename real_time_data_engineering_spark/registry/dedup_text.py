@@ -460,3 +460,63 @@ def d15_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs, src="v1", dst="v2").select(
         F.col("node").alias("vec_id"), "cluster_id", "cluster_size"
     )
+
+
+# ---------------------------------------------------------------------------
+# d16 — per-cluster keeper selection: the decision step of fuzzy dedup.
+# Compose the ladder end-to-end: d8 fingerprint pairs → connected
+# components → keep the highest-quality document per cluster (d4's
+# quality score, doc_id ASC tie-break). One row per cluster. The same
+# composition in the oracle: both full CTE stacks nested as subqueries
+# into a recursive-CTE fixpoint + window argmax.
+# ---------------------------------------------------------------------------
+_D16_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT d1, d2 FROM ({_D8_ORACLE}) p
+), edges AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION
+  SELECT d2 AS src, d1 AS dst FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), reach AS (
+  SELECT node, node AS label FROM nodes
+  UNION
+  SELECT e.dst AS node, r.label FROM reach r JOIN edges e ON e.src = r.node
+), comp AS (
+  SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY 1
+), q AS (
+  SELECT doc_id, quality_score FROM ({_D4_ORACLE}) s
+), ranked AS (
+  SELECT c.cluster_id, c.doc_id, q.quality_score,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn
+  FROM comp c JOIN q ON q.doc_id = c.doc_id
+)
+SELECT cluster_id, doc_id AS keeper_doc_id, quality_score AS keeper_quality,
+       cluster_size
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("d16_cluster_keepers", _D16_ORACLE)
+def d16_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highest-quality doc per near-dup cluster (the keep/drop verdict)."""
+    pairs = d8_fingerprint_neardup(spark, sf_dir)
+    comp = D.connected_components(pairs, src="d1", dst="d2")
+    quality = d4_text_stats(spark, sf_dir).select("doc_id", "quality_score")
+    joined = comp.select(F.col("node").alias("doc_id"), "cluster_id", "cluster_size").join(
+        quality, "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("quality_score").alias("keeper_quality"),
+            "cluster_size",
+        )
+    )
