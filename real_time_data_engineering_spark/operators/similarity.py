@@ -348,3 +348,86 @@ def ivf_topk(
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k).select("qid", "nid", "cosine", "rank")
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    with_centroids: bool = False,
+):
+    """Deterministic Lloyd k-means over an embedding column →
+    (id, cluster, dist_sq). Iterative algorithm #2 beside connected
+    components — the clustering a corpus-curation pipeline uses for
+    domain discovery / IVF coarse quantizers.
+
+    Deterministic contract (reproducible across runs, partitionings and
+    engines): init = the k vectors with smallest ids; assignment
+    tie-break = lowest cluster index; empty clusters keep their previous
+    centroid; centroid updates sum QUANTIZED int64 components (exact,
+    order-independent — float64 partial sums would drift with partition
+    order) and divide once in float64.
+
+    Scale shape: centroids ride to executors in the closure (k·dim
+    doubles — tiny); each round is one Arrow-batched mapInPandas scan
+    computing argmin against the centroid matrix plus one groupBy(k)
+    partial-mean — shuffle state is O(k·dim) per round, never O(N).
+    Rounds are driver-bounded like d15's label propagation.
+    """
+    import numpy as np
+
+    src = ensure_min_partitions(emb).select(
+        F.col(id_col).alias("id"),
+        F.col(emb_col).cast("array<double>").alias("v"),
+        quantized(emb_col).alias("q"),
+    )
+    first = src.orderBy("id").limit(k).collect()
+    centroids = np.array([r.v for r in first], dtype=np.float64)
+
+    out_schema = "id bigint, cluster int, dist_sq double"
+
+    def assign_fn(cents):
+        C = cents.copy()
+
+        def go(it):
+            import numpy as _np
+            import pandas as _pd
+
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                M = _np.array(list(pdf["v"]), dtype=_np.float64)
+                d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                cl = d2.argmin(axis=1)  # argmin returns FIRST min → lowest index tie-break
+                yield _pd.DataFrame(
+                    {"id": pdf["id"].to_numpy(), "cluster": cl.astype("int32"),
+                     "dist_sq": d2[_np.arange(len(M)), cl]}
+                )
+
+        return go
+
+    assigned = None
+    for _ in range(max_iter):
+        assigned = src.mapInPandas(assign_fn(centroids), out_schema)
+        stats = (
+            assigned.join(src, "id")
+            .groupBy("cluster")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.element_at("q", i + 1)).alias(f"s{i}") for i in range(centroids.shape[1])],
+            )
+            .collect()
+        )
+        new_c = centroids.copy()
+        for r in stats:
+            sums = np.array([r[f"s{i}"] for i in range(centroids.shape[1])], dtype=np.float64)
+            new_c[r.cluster] = sums / (QUANT_SCALE * r.n)
+        if np.array_equal(new_c, centroids):
+            break
+        centroids = new_c
+    final = src.mapInPandas(assign_fn(centroids), out_schema).select(
+        F.col("id").alias(id_col), "cluster", "dist_sq"
+    )
+    return (final, centroids) if with_centroids else final

@@ -89,3 +89,17 @@ def s3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN: probe 2 nearest cells of 10 — the 100 TB path."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ivf_topk(emb, F.col("vec_id") < _N_QUERIES, k=5, n_probe=2)
+
+
+@register(
+    "s4_kmeans_clusters",
+    None,
+    doc="Deterministic Lloyd k-means assignment (iterative algorithm — no "
+    "SQL oracle; nearest-centroid + determinism invariants are tested in "
+    "tests/test_fuzzy_ops.py).",
+)
+def s4_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=8 Lloyd clustering of the embedding corpus (domain discovery /
+    IVF coarse-quantizer training)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.kmeans_assign(emb, k=8, max_iter=10)

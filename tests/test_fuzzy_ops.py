@@ -187,3 +187,24 @@ def test_connected_components_matches_union_find(spark):
     touched = {x for e in edges for x in e}
     want = {x: find(x) for x in touched}
     assert got == want
+
+
+def test_kmeans_invariants(spark, embeddings):
+    """Every point lands on its nearest centroid among those actually
+    used for the final assignment, ≤ k clusters, and the run is
+    bit-reproducible."""
+    import numpy as np
+
+    out, cents = S.kmeans_assign(embeddings, k=4, max_iter=5, with_centroids=True)
+    rows = out.collect()
+    assert 0 < len({r.cluster for r in rows}) <= 4
+    assert all(r.dist_sq >= 0 for r in rows)
+
+    emb = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in embeddings.collect()}
+    for r in rows:
+        dists = ((cents - emb[r.vec_id]) ** 2).sum(axis=1)
+        assert r.cluster == int(dists.argmin())
+        assert abs(r.dist_sq - float(dists[r.cluster])) < 1e-9
+
+    again = {(r.vec_id, r.cluster, r.dist_sq) for r in S.kmeans_assign(embeddings, k=4, max_iter=5).collect()}
+    assert again == {(r.vec_id, r.cluster, r.dist_sq) for r in rows}
