@@ -6,11 +6,13 @@ Two tiers, per the standard ANN playbook:
   `zip_with` + `aggregate` (JVM-side, codegen; no Python). Cost is
   |Q|·N·d: fine for reranking / small query sets; the broadcast of the
   query block keeps it shuffle-free.
-* **IVF-style partitioned search** — the 100 TB path: k centroids
-  (label column stands in for a trained coarse quantizer here), vectors
-  partitioned by cell, queries probe only their nearest cells. Search
-  cost drops to |Q|·(N/cells)·probes and the cell assignment is a
-  broadcast join, so the big side never shuffles.
+* **IVF-style partitioned search** — the 100 TB path: k centroids,
+  vectors partitioned by cell, queries probe only their nearest cells.
+  Search cost drops to |Q|·(N/cells)·probes and the cell assignment is
+  a broadcast join, so the big side never shuffles. `ivf_topk` routes
+  over any cell column (label as the stand-in quantizer);
+  `ivf_topk_kmeans` trains the real coarse quantizer with
+  `kmeans_assign` first.
 
 Parity note: the oracle-checked variants quantize floats with
 floor(x·1e6) into BIGINT so dot products are exact integers on both
@@ -431,3 +433,23 @@ def kmeans_assign(
         F.col("id").alias(id_col), "cluster", "dist_sq"
     )
     return (final, centroids) if with_centroids else final
+
+
+def ivf_topk_kmeans(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    n_probe: int = 2,
+    n_cells: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF with a REAL trained coarse quantizer: k-means cells instead of
+    the label stand-in. Train (kmeans_assign) → bucket by cluster →
+    probe the n nearest cells. Same routing/probe machinery as
+    `ivf_topk`; at scale the assignment is computed once at write time
+    and the corpus is bucketed on it, so queries never shuffle the
+    corpus."""
+    assign = kmeans_assign(emb, k=n_cells, id_col=id_col, emb_col=emb_col)
+    cells = emb.join(assign.select(id_col, "cluster"), id_col)
+    return ivf_topk(cells, query_pred, k=k, n_probe=n_probe, id_col=id_col, emb_col=emb_col, cell_col="cluster")

@@ -208,3 +208,23 @@ def test_kmeans_invariants(spark, embeddings):
 
     again = {(r.vec_id, r.cluster, r.dist_sq) for r in S.kmeans_assign(embeddings, k=4, max_iter=5).collect()}
     assert again == {(r.vec_id, r.cluster, r.dist_sq) for r in rows}
+
+
+def test_ivf_kmeans_recall_against_brute_force(spark, embeddings):
+    """IVF over trained k-means cells: probing all cells is exhaustive;
+    a 2-cell probe keeps usable recall; shared pairs carry identical
+    cosines (the rerank kernel is the same exact arithmetic)."""
+    pred = F.col("vec_id") < 20
+    exact_rows = S.cosine_topk(embeddings, pred, k=5).collect()
+    exact = {(r.qid, r.nid) for r in exact_rows}
+    exact_cos = {(r.qid, r.nid): r.cosine for r in exact_rows}
+
+    def recall(n_probe: int) -> float:
+        approx = S.ivf_topk_kmeans(embeddings, pred, k=5, n_probe=n_probe, n_cells=10).collect()
+        for r in approx:
+            if (r.qid, r.nid) in exact_cos:
+                assert abs(r.cosine - exact_cos[(r.qid, r.nid)]) < 1e-12
+        return len(exact & {(r.qid, r.nid) for r in approx}) / len(exact)
+
+    assert recall(10) == 1.0
+    assert recall(2) >= 0.2
