@@ -79,3 +79,34 @@ def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n)
     return df
+
+
+def read_evolving(
+    spark: SparkSession,
+    path: str,
+    target: "T.StructType",
+    defaults: dict[str, object] | None = None,
+) -> DataFrame:
+    """Schema-evolution-tolerant scan: read a parquet directory whose
+    older files predate newer columns, and present the full ``target``
+    schema — missing columns filled with ``defaults`` (or typed NULLs)
+    and cast to the contract types.
+
+    ``mergeSchema`` makes the footer union visible to Catalyst; columns
+    absent from every file are synthesized. Extra on-disk columns not in
+    the contract are dropped (never silently passed through). Pruning
+    and pushdown survive: the synthesized columns are literals, and the
+    contract columns still resolve to the parquet scan.
+    """
+    from pyspark.sql import types as T  # noqa: F401  (annotation aid)
+
+    raw = spark.read.option("mergeSchema", "true").parquet(path)
+    have = {f.name for f in raw.schema.fields}
+    d = defaults or {}
+    cols = []
+    for f in target.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(d.get(f.name)).cast(f.dataType).alias(f.name))
+    return raw.select(*cols)

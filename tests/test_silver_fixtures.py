@@ -173,3 +173,33 @@ def test_scd2_snapshot_lifecycle(spark):
     # idempotency: re-applying the same state changes nothing
     snap3 = gold.scd2_snapshot(zones1, snap2, "2024-01-03 00:00:00")
     assert snap3.count() == 7
+
+
+def test_read_evolving_schema(spark, tmp_path):
+    """Old files lacking a newer column read under the full contract:
+    missing column -> default/typed NULL; extra on-disk column dropped;
+    present columns cast to contract types."""
+    from pyspark.sql import types as T
+
+    from real_time_data_engineering_spark.sources.readers import read_evolving
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5, "drop-me")], "id long, name string, score double, extra string"
+    ).write.mode("append").parquet(p)
+
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("tier", T.IntegerType()),
+        ]
+    )
+    out = read_evolving(spark, p, target, defaults={"tier": 0})
+    assert [f.name for f in out.schema.fields] == ["id", "name", "score", "tier"]
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].score is None and rows[1].tier == 0
+    assert rows[2].score == 9.5 and rows[2].tier == 0
+    assert "extra" not in out.columns
