@@ -131,3 +131,47 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:  # pragma: 
     """Video frame sampling stub — requires ffmpeg bindings; the operator
     contract (one row per sampled frame, frame_idx column) is fixed here."""
     raise NotImplementedError("frame sampling requires ffmpeg; container lacks codecs")
+
+
+def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Image resize over the opaque payload column — Spark plumbing real
+    (Arrow-batched mapInPandas, pruned input, fixed output contract),
+    pixel kernel stubbed: the real path decodes with PIL and
+    nearest-neighbor-resamples; this container lacks codecs, so a
+    deterministic byte-resampler stands in (index-scaled selection —
+    same shape, same batch mechanics, knowable output).
+
+    Output rows keep (media_id, kind), carry the resized payload of
+    exactly width*height bytes, and rewrite meta to the new dims.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+
+        def fake_resize(p):
+            if not p:
+                return b""
+            n = len(p)
+            return bytes(p[(i * n) // target] for i in range(target))
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": pdf["payload"].map(fake_resize),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+    return media.select("media_id", "kind", "payload").mapInPandas(batches, out_schema)

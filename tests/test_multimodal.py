@@ -62,3 +62,20 @@ def test_decode_stub_is_gated(media):
         M._decode_image(b"xx", "jpeg")
     with pytest.raises(NotImplementedError):
         M.sample_frames(media)
+
+
+def test_resize_images_contract(spark):
+    """Resized payloads are exactly width*height bytes, deterministic,
+    and empty payloads stay empty."""
+    from real_time_data_engineering_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "")], "doc_id long, text string"
+    )
+    media = M.synthesize_media_from_documents(docs)
+    out = {r.media_id: r for r in M.resize_images(media, width=4, height=3).collect()}
+    assert len(out[1].payload) == 12
+    assert out[2].payload == b""
+    assert (out[1].width, out[1].height) == (4, 3)
+    again = {r.media_id: bytes(r.payload) for r in M.resize_images(media, width=4, height=3).collect()}
+    assert again[1] == bytes(out[1].payload)
