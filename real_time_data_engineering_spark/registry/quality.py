@@ -176,3 +176,69 @@ def d14_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set 5-gram overlap per train doc (broadcast probe)."""
     docs = load_table(spark, sf_dir, "documents")
     return contamination_stats(docs, F.col("doc_id") % 19 == 0, n=5, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# d17 — leakage-safe train/val/test split: near-duplicate documents must
+# land in the SAME split, or held-out metrics leak training content.
+# Split key = the d8-pair connected component's cluster id (singletons
+# key on their own doc_id); the deterministic md5 coin then maps the
+# KEY, not the doc, to train(12/16) / val(2/16) / test(2/16).
+# ---------------------------------------------------------------------------
+
+def _d17_oracle() -> str:
+    from .dedup_text import _D8_ORACLE
+
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT d1, d2 FROM ({_D8_ORACLE}) p
+), edges AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION
+  SELECT d2 AS src, d1 AS dst FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), reach AS (
+  SELECT node, node AS label FROM nodes
+  UNION
+  SELECT e.dst AS node, r.label FROM reach r JOIN edges e ON e.src = r.node
+), comp AS (
+  SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY 1
+), keyed AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_key
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+)
+SELECT doc_id, cluster_key,
+       CASE WHEN substr(md5(CAST(cluster_key AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+            WHEN substr(md5(CAST(cluster_key AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+            ELSE 'test' END AS split
+FROM keyed
+"""
+
+
+def _register_d17() -> None:
+    from ..operators import dedup as D
+    from .dedup_text import d8_fingerprint_neardup
+
+    @register("d17_leakage_safe_split", _d17_oracle())
+    def d17_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Cluster-keyed deterministic split: no near-dup pair straddles
+        train/val/test. Components from the d8 pair graph; singleton
+        docs key on themselves; one md5 coin per cluster key."""
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = d8_fingerprint_neardup(spark, sf_dir)
+        comp = D.connected_components(pairs, src="d1", dst="d2").select(
+            F.col("node").alias("doc_id"), "cluster_id"
+        )
+        keyed = docs.select("doc_id").join(comp, "doc_id", "left").select(
+            "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_key")
+        )
+        coin = F.substring(F.md5(F.col("cluster_key").cast("string")), 1, 1)
+        return keyed.select(
+            "doc_id",
+            "cluster_key",
+            F.when(coin <= "b", "train").when(coin <= "d", "val").otherwise("test").alias("split"),
+        )
+
+
+_register_d17()

@@ -93,3 +93,19 @@ def test_contamination_stats_golden(spark):
     assert out[1].overlap_frac == 1 / 3 and not out[1].is_contaminated
     assert out[3].n_overlap == 0 and not out[3].is_contaminated
     assert out[5].overlap_frac == 1.0 and out[5].is_contaminated
+
+
+def test_leakage_safe_split_invariants(spark):
+    """Every doc exactly once; no near-dup cluster straddles splits;
+    all three splits populated at corpus scale."""
+    from conftest import SF_DIR
+    from real_time_data_engineering_spark.registry import all_specs
+
+    out = all_specs()["d17_leakage_safe_split"].spark(spark, SF_DIR).collect()
+    docs = {r.doc_id for r in out}
+    assert len(docs) == len(out)  # one row per doc
+    by_key: dict[int, set] = {}
+    for r in out:
+        by_key.setdefault(r.cluster_key, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_key.values())  # no cluster straddles
+    assert {r.split for r in out} == {"train", "val", "test"}
