@@ -10,8 +10,9 @@ steady-state plan execution rather than whichever query first pays
 session-wide one-time costs (codegen, Arrow Python-worker spin-up,
 parquet footer cache). Each run is forced end-to-end with a noop sink
 so the measured time is full plan execution, not driver-side
-collection. The taxi E2E stage stays a single cold run — it is the
-end-to-end analogue, where one-time costs are part of the story.
+collection. The taxi E2E stage runs cold twice (fresh warehouse each
+time, one-time costs included — it is the end-to-end analogue) and
+reports the median, since tempdir I/O + GC swing single runs 2×.
 """
 
 from __future__ import annotations
@@ -87,12 +88,19 @@ def main() -> None:
     from real_time_data_engineering_spark.testing.taxi_datagen import generate_raw_trips
 
     raw = generate_raw_trips(spark, n_valid=10_000)
-    t = time.time()
-    with tempfile.TemporaryDirectory() as wh:
-        res = run_pipeline(spark, raw, warehouse_dir=wh)
-        for name in ("fct_trips", "mart_daily_revenue", "mart_hourly_demand", "mart_location_performance"):
-            res.built[name].write.format("noop").mode("overwrite").save()
-        times["taxi_e2e_10k"] = round(time.time() - t, 3)
+
+    def e2e_once() -> float:
+        t = time.time()
+        with tempfile.TemporaryDirectory() as wh:
+            res = run_pipeline(spark, raw, warehouse_dir=wh)
+            for name in ("fct_trips", "mart_daily_revenue", "mart_hourly_demand", "mart_location_performance"):
+                res.built[name].write.format("noop").mode("overwrite").save()
+        return time.time() - t
+
+    # two cold runs (fresh warehouse each), p50 — the E2E number swings
+    # 2x run-to-run from tempdir I/O + GC; the median is the honest read
+    e2e = sorted(e2e_once() for _ in range(2))
+    times["taxi_e2e_10k"] = round((e2e[0] + e2e[1]) / 2, 3)
 
     total = round(sum(times.values()), 3)
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -105,7 +113,7 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "startup_sec": round(startup, 3),
-                "protocol": "per query: 1 warm-up discard, p50 of 2 timed runs; taxi_e2e_10k: single cold run",
+                "protocol": "per query: 1 warm-up discard, p50 of 2 timed runs; taxi_e2e_10k: p50 of 2 cold runs (fresh warehouse each)",
             }
         )
     )

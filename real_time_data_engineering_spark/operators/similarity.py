@@ -410,9 +410,11 @@ def kmeans_assign(
 
         return go
 
+    # the Python worker only needs (id, v) — don't Arrow-ship `q`
+    narrow = src.select("id", "v")
     assigned = None
     for _ in range(max_iter):
-        assigned = src.mapInPandas(assign_fn(centroids), out_schema)
+        assigned = narrow.mapInPandas(assign_fn(centroids), out_schema)
         stats = (
             assigned.join(src, "id")
             .groupBy("cluster")
@@ -429,7 +431,7 @@ def kmeans_assign(
         if np.array_equal(new_c, centroids):
             break
         centroids = new_c
-    final = src.mapInPandas(assign_fn(centroids), out_schema).select(
+    final = narrow.mapInPandas(assign_fn(centroids), out_schema).select(
         F.col("id").alias(id_col), "cluster", "dist_sq"
     )
     return (final, centroids) if with_centroids else final
