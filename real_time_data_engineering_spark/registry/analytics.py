@@ -649,10 +649,17 @@ def q21_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based reconciliation: approx_count_distinct (HLL++, rsd 2%)
     and percentile_approx over the same grouping as exact q8."""
     e = load_table(spark, sf_dir, "events")
+    # Scalar quantile columns (not one array column): the driver's
+    # canonicalizer hashes row values and arrays are unhashable — and
+    # scalar columns diff per-quantile instead of all-or-nothing.
+    # One aggregate pass either way: Catalyst collapses the three
+    # percentile_approx calls into a single ObjectHashAggregate.
     return e.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
+        F.percentile_approx("value", 0.99, 10000).alias("p99_approx"),
     )
 
 

@@ -22,7 +22,12 @@ from . import register
 def m1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = M.synthesize_media_from_documents(docs)
-    return M.extract_features(media, dim=8)
+    feats = M.extract_features(media, dim=8)
+    # Registered projection serializes the vector: the driver's
+    # canonicalizer hashes row values and array columns are unhashable.
+    # Downstream consumers use extract_features directly for the typed
+    # array<float> column.
+    return feats.withColumn("feature_vec", F.to_json("feature_vec"))
 
 
 # ---------------------------------------------------------------------------
