@@ -21,6 +21,27 @@ import uuid
 from pyspark.sql import SparkSession
 
 
+def _strip_scheme(uri: str) -> str:
+    return uri[7:] if uri.startswith("file://") else uri[5:] if uri.startswith("file:") else uri
+
+
+def _partition_columns(path: str) -> list[str]:
+    """Hive-style partition columns inferred from ``key=value`` dir names,
+    outermost first (follows one branch — layout is uniform by contract)."""
+    cols: list[str] = []
+    cur = path
+    while True:
+        subdirs = [
+            d
+            for d in sorted(os.listdir(cur))
+            if "=" in d and os.path.isdir(os.path.join(cur, d))
+        ]
+        if not subdirs:
+            return cols
+        cols.append(subdirs[0].split("=", 1)[0])
+        cur = os.path.join(cur, subdirs[0])
+
+
 def table_stats(path: str) -> dict:
     """File-level health of a parquet directory (the compaction input)."""
     files = []
@@ -48,21 +69,93 @@ def compact_parquet(
 ) -> dict:
     """Binpack-rewrite a parquet dir to ~target_mb files, atomically.
 
-    Reads the current layout, repartitions to ceil(bytes/target) output
-    files (clustered with sortWithinPartitions when ``sort_by`` is given
-    — the ZORDER-lite that makes parquet min/max stats prune), writes to
-    a staging dir, then swaps. Returns before/after stats.
+    Repartitions to ceil(bytes/target) output files (clustered with
+    sortWithinPartitions when ``sort_by`` is given — the ZORDER-lite
+    that makes parquet min/max stats prune), writes to a staging dir,
+    then swaps. A hive-partitioned layout is preserved (rewritten with
+    ``partitionBy`` on the discovered columns, rows clustered by
+    partition key so each partition lands in ~target-size files).
+
+    ``partition_filter`` (an expression over the PARTITION columns only
+    — enforced) compacts just the matching partition directories and
+    swaps each one individually; every non-matching partition's files
+    are left byte-untouched. This is what keeps compaction incremental
+    at 100 TB: the rewrite touches the partitions whose small-file
+    count crossed the threshold, never the whole lake.
     """
+    from pyspark.sql import functions as F
+
+    mb = target_mb * 1024 * 1024
     before = table_stats(path)
+    part_cols = _partition_columns(path)
     df = spark.read.parquet(path)
-    if partition_filter:
-        df = df.filter(partition_filter)
-    n_out = max(1, round(before["total_bytes"] / (target_mb * 1024 * 1024)))
-    out = df.repartition(n_out)
+    staging = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+
+    if partition_filter is not None:
+        if not part_cols:
+            raise ValueError(
+                f"partition_filter requires a hive-partitioned table; no key=value dirs under {path}"
+            )
+        # Guard: the filter must reference partition columns only — a
+        # row-level predicate would silently drop the non-matching rows
+        # of every swapped partition. Analyze it against a standalone
+        # frame holding just the partition columns (a projection of `df`
+        # wouldn't do: the analyzer resolves missing filter references
+        # through a Project).
+        from pyspark.sql import types as T
+
+        probe_schema = T.StructType([df.schema[c] for c in part_cols])
+        try:
+            spark.createDataFrame([], probe_schema).filter(partition_filter).schema
+        except Exception as exc:
+            raise ValueError(
+                f"partition_filter may reference only partition columns {part_cols}: {exc}"
+            ) from exc
+        subset = df.filter(partition_filter)
+        # Partition pruning makes inputFiles() the exact matching set.
+        files = [_strip_scheme(f) for f in subset.inputFiles()]
+        rel_dirs = sorted({os.path.relpath(os.path.dirname(f), path) for f in files})
+        subset_bytes = sum(os.path.getsize(f) for f in files if os.path.exists(f))
+        per_part = max(1, round(subset_bytes / (max(len(rel_dirs), 1) * mb)))
+        n_out = max(1, len(rel_dirs) * per_part)
+        salt = F.pmod(F.xxhash64(*subset.columns), F.lit(per_part))
+        out = subset.repartition(n_out, *[F.col(c) for c in part_cols], salt)
+        if sort_by:
+            out = out.sortWithinPartitions(*sort_by)
+        out.write.mode("overwrite").partitionBy(*part_cols).parquet(staging)
+        swapped = []
+        for rel in rel_dirs:
+            src, dst = os.path.join(staging, rel), os.path.join(path, rel)
+            if not os.path.isdir(src):
+                continue  # pruned-empty partition: nothing staged, leave as-is
+            old = f"{dst}__old_{uuid.uuid4().hex[:8]}"
+            os.rename(dst, old)
+            os.rename(src, dst)
+            shutil.rmtree(old)
+            swapped.append(rel)
+        shutil.rmtree(staging)
+        after = table_stats(path)
+        return {
+            "before": before,
+            "after": after,
+            "target_files": n_out,
+            "rewritten_partitions": swapped,
+        }
+
+    n_out = max(1, round(before["total_bytes"] / mb))
+    if part_cols:
+        # Cluster by partition key (+ salt for oversized partitions) so
+        # each hive partition lands in ~n_out/n_partitions files.
+        salt = F.pmod(F.xxhash64(*df.columns), F.lit(n_out))
+        out = df.repartition(n_out, *[F.col(c) for c in part_cols], salt)
+    else:
+        out = df.repartition(n_out)
     if sort_by:
         out = out.sortWithinPartitions(*sort_by)
-    staging = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
-    out.write.mode("overwrite").parquet(staging)
+    writer = out.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(staging)
     old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
     os.rename(staging, path)

@@ -76,8 +76,8 @@ WITH t AS (
   FROM documents
 ), c AS (
   SELECT doc_id, source, est_tokens,
-         SUM(est_tokens) OVER (PARTITION BY source ORDER BY ord
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         CAST(SUM(est_tokens) OVER (PARTITION BY source ORDER BY ord
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
   FROM t
 )
 SELECT doc_id, source, est_tokens, cum_tokens FROM c WHERE cum_tokens <= 2000

@@ -50,7 +50,7 @@ WITH toks AS (
          SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_grams
   FROM cnt GROUP BY 1
 )
-SELECT doc_id, n_grams, distinct_grams, max_gram_count,
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, distinct_grams, max_gram_count,
        CAST(max_gram_count AS DOUBLE) / CAST(n_grams AS DOUBLE) AS top_gram_frac,
        CAST(dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_gram_frac,
        n_grams >= {MIN_GRAMS_FOR_FLAG}
@@ -164,7 +164,7 @@ WITH toks AS (
   FROM train t LEFT JOIN eval_g e ON t.shingle = e.shingle
   GROUP BY 1
 )
-SELECT doc_id, n_grams, n_overlap,
+SELECT doc_id, n_grams, CAST(n_overlap AS BIGINT) AS n_overlap,
        CAST(n_overlap AS DOUBLE) / CAST(n_grams AS DOUBLE) AS overlap_frac,
        CAST(n_overlap AS DOUBLE) / CAST(n_grams AS DOUBLE) >= 0.5 AS is_contaminated
 FROM agg

@@ -34,6 +34,85 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     assert n_files_seen == report["after"]["n_files"]
 
 
+def test_partition_filter_compaction_leaves_other_partitions_untouched(spark, tmp_path):
+    """The incremental-compaction contract: with partition_filter set,
+    every non-matching partition's files survive byte-identical and the
+    matching partition keeps all of its rows."""
+    import os
+
+    path = str(tmp_path / "part_tbl")
+    df = spark.createDataFrame(
+        [(d, i, float(i)) for d in ("2024-01-01", "2024-01-02", "2024-01-03") for i in range(50)],
+        "pickup_date string, k int, v double",
+    )
+    # fragment only one partition's layout
+    df.filter("pickup_date <> '2024-01-02'").write.partitionBy("pickup_date").parquet(path)
+    df.filter("pickup_date = '2024-01-02'").repartition(16).write.mode("append").partitionBy(
+        "pickup_date"
+    ).parquet(path)
+
+    def files_of(day):
+        d = os.path.join(path, f"pickup_date={day}")
+        return {
+            f: (os.path.getsize(os.path.join(d, f)), os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before_d1, before_d3 = files_of("2024-01-01"), files_of("2024-01-03")
+    n_frag = len(files_of("2024-01-02"))
+    assert n_frag >= 10  # fragmented enough to compact
+
+    report = compact_parquet(
+        spark, path, target_mb=128, partition_filter="pickup_date = '2024-01-02'"
+    )
+
+    assert report["rewritten_partitions"] == ["pickup_date=2024-01-02"]
+    assert files_of("2024-01-01") == before_d1
+    assert files_of("2024-01-03") == before_d3
+    assert len(files_of("2024-01-02")) < n_frag
+    got = spark.read.parquet(path)
+    assert got.count() == 150
+    assert got.filter("pickup_date = '2024-01-02'").count() == 50
+
+
+def test_partition_filter_rejects_row_level_predicates(spark, tmp_path):
+    """A predicate on a data column would silently drop rows from every
+    swapped partition — must be refused, not half-applied."""
+    import pytest
+
+    path = str(tmp_path / "part_tbl2")
+    spark.createDataFrame(
+        [("2024-01-01", i, float(i)) for i in range(10)],
+        "pickup_date string, k int, v double",
+    ).write.partitionBy("pickup_date").parquet(path)
+    with pytest.raises(ValueError, match="partition columns"):
+        compact_parquet(spark, path, partition_filter="k > 5")
+    # unpartitioned table + filter is also refused
+    flat = str(tmp_path / "flat_tbl")
+    spark.range(10).write.parquet(flat)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        compact_parquet(spark, flat, partition_filter="id > 5")
+
+
+def test_full_compaction_preserves_hive_layout(spark, tmp_path):
+    """A no-filter rewrite of a partitioned table must keep the
+    key=value directory layout (partition pruning depends on it)."""
+    import os
+
+    path = str(tmp_path / "part_tbl3")
+    spark.createDataFrame(
+        [(d, i) for d in ("a", "b") for i in range(20)], "grp string, k int"
+    ).repartition(8).write.partitionBy("grp").parquet(path)
+
+    compact_parquet(spark, path, target_mb=128)
+
+    assert sorted(d for d in os.listdir(path) if d.startswith("grp=")) == ["grp=a", "grp=b"]
+    got = spark.read.parquet(path)
+    assert got.count() == 40
+    assert got.filter("grp = 'a'").count() == 20
+
+
 def test_incremental_overwrite_touches_only_new_partitions(spark, tmp_path):
     """Dynamic partition overwrite must leave untouched partitions'
     files byte-identical — the 100 TB incremental contract: a daily
