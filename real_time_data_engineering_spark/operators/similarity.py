@@ -209,6 +209,103 @@ def embedding_neardup_pairs_blas(
     return src.mapInPandas(blocks, out_schema)
 
 
+def embedding_neardup_pairs_blocked(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold, fully distributed — the
+    registered form of the exact kernel (no driver collect, no
+    closure-captured corpus).
+
+    Block-partitioned self-pairing: each vector hashes to a block in
+    [0, n_blocks); every unordered block pair {i ≤ j} becomes one
+    applyInPandas group holding block i as its A-side and block j as
+    its B-side, and the group runs the same exact quantized int64
+    matmul as `embedding_neardup_pairs_blas`. Replication is
+    O(N·n_blocks) rows through ONE shuffle (vs. that kernel's
+    driver collect + O(N·d) task closure); compute is the unavoidable
+    O(N²·d/2) of any exact all-pairs scan, spread over
+    n_blocks·(n_blocks+1)/2 independent tasks, each bounded at
+    (N/n_blocks)² — pick n_blocks ≈ √(2·target_parallelism) and the
+    per-task memory is (2N/n_blocks)·d int64s, executor-sized at any
+    corpus scale. Sub-quadratic needs call for `embedding_neardup_lsh`.
+
+    Quantized int64 products are exact (|q| < 2²⁰, 64-dim sums < 2⁴⁶)
+    and the final float64 division is the identical IEEE expression on
+    both engines → oracle parity bit-for-bit.
+    """
+    base = with_quantized(emb, emb_col).select(
+        F.col(id_col).alias("id"),
+        F.col("emb_q").alias("q"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+    )
+    # A-side: block b joins every group (b, j ≥ b); B-side: (i < b, b).
+    a_side = base.select(
+        F.col("blk").alias("bi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("bj"),
+        F.lit(0).alias("role"),
+        "id",
+        "q",
+    )
+    b_side = base.filter(F.col("blk") > 0).select(
+        F.explode(F.sequence(F.lit(0), F.col("blk") - 1)).alias("bi"),
+        F.col("blk").alias("bj"),
+        F.lit(1).alias("role"),
+        "id",
+        "q",
+    )
+    thr = float(threshold)
+
+    def kernel(key, pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        empty = _pd.DataFrame(
+            {
+                "v1": _pd.Series(dtype="int64"),
+                "v2": _pd.Series(dtype="int64"),
+                "cosine": _pd.Series(dtype="float64"),
+            }
+        )
+        bi, bj = key
+        a = pdf[pdf["role"] == 0]
+        if len(a) == 0:
+            return empty
+        ida = a["id"].to_numpy(dtype=_np.int64)
+        ma = _np.array(list(a["q"]), dtype=_np.int64)
+        na = (ma * ma).sum(axis=1).astype(_np.float64)
+        if bi == bj:
+            idb, mb, nb = ida, ma, na
+        else:
+            b = pdf[pdf["role"] == 1]
+            if len(b) == 0:
+                return empty
+            idb = b["id"].to_numpy(dtype=_np.int64)
+            mb = _np.array(list(b["q"]), dtype=_np.int64)
+            nb = (mb * mb).sum(axis=1).astype(_np.float64)
+        cos = (ma @ mb.T) / (_np.sqrt(na)[:, None] * _np.sqrt(nb)[None, :])
+        if bi == bj:
+            # same set on both sides: upper triangle covers each pair once
+            ai, bix = _np.nonzero((cos >= thr) & (ida[:, None] < idb[None, :]))
+            v1, v2 = ida[ai], idb[bix]
+        else:
+            # disjoint blocks: every pair appears in exactly this group,
+            # in arbitrary id order — normalize to (min, max)
+            ai, bix = _np.nonzero(cos >= thr)
+            v1 = _np.minimum(ida[ai], idb[bix])
+            v2 = _np.maximum(ida[ai], idb[bix])
+        return _pd.DataFrame({"v1": v1, "v2": v2, "cosine": cos[ai, bix]})
+
+    return (
+        a_side.unionByName(b_side)
+        .groupBy("bi", "bj")
+        .applyInPandas(kernel, "v1 bigint, v2 bigint, cosine double")
+    )
+
+
 def _rademacher_bit(emb_q: Column, plane: int) -> Column:
     """Sign bit of ⟨w_p, v⟩ for the deterministic ±1 hyperplane w_p,
     where w_p[j] = +1 iff xxhash64(p, j) is even. Exact integer sum."""

@@ -359,11 +359,17 @@ WHERE CAST(d.dot AS DOUBLE) / (sqrt(CAST(n1.norm_q AS DOUBLE)) * sqrt(CAST(n2.no
 
 @register("d7_embedding_neardup", _D7_ORACLE)
 def d7_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cosine ≥ 0.35, exact, BLAS path)."""
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.35, exact).
+
+    Registered on the distributed block-matmul path: identical results
+    to the BLAS kernel, but no driver collect and no closure-captured
+    corpus anywhere in the lineage (gated by
+    tests/test_plans.py::test_registered_embedding_paths_never_collect_corpus).
+    """
     from ..operators import similarity as S
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.embedding_neardup_pairs_blas(emb, threshold=0.35)
+    return S.embedding_neardup_pairs_blocked(emb, threshold=0.35)
 
 
 # ---------------------------------------------------------------------------
@@ -456,7 +462,7 @@ def d15_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity as S
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = S.embedding_neardup_pairs_blas(emb, threshold=0.35)
+    pairs = S.embedding_neardup_pairs_blocked(emb, threshold=0.35)
     return D.connected_components(pairs, src="v1", dst="v2").select(
         F.col("node").alias("vec_id"), "cluster_id", "cluster_size"
     )

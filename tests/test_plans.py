@@ -208,3 +208,48 @@ def test_decontamination_probe_broadcasts(spark):
     plan = _physical(spark, "d14_decontamination")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_registered_embedding_paths_never_collect_corpus(spark, monkeypatch):
+    """d7/d15's registered lineage must not collect corpus data to the
+    driver (the 100 TB stance: the BLAS all-pairs kernel that collects
+    the embedding table is a rerank helper, not the capability).
+    Connected components may collect O(1) convergence probes only."""
+    from pyspark.sql import DataFrame
+
+    from real_time_data_engineering_spark.registry import get
+
+    sizes = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        out = orig(self)
+        sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    get("d7_embedding_neardup").spark(spark, SF_DIR)
+    assert sizes == []  # pure plan construction: zero driver collects
+    get("d15_dup_clusters").spark(spark, SF_DIR)
+    assert all(n <= 1 for n in sizes), sizes
+
+
+def test_blocked_allpairs_matches_blas(spark):
+    """The distributed block-matmul all-pairs must produce exactly the
+    BLAS kernel's pair set and bit-identical cosines."""
+    from real_time_data_engineering_spark.operators import similarity as S
+    from real_time_data_engineering_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    blas = {
+        (r.v1, r.v2): r.cosine
+        for r in S.embedding_neardup_pairs_blas(emb, threshold=0.35).collect()
+    }
+    for n_blocks in (1, 3, 8):
+        blocked = {
+            (r.v1, r.v2): r.cosine
+            for r in S.embedding_neardup_pairs_blocked(
+                emb, threshold=0.35, n_blocks=n_blocks
+            ).collect()
+        }
+        assert blocked == blas, f"n_blocks={n_blocks}"
