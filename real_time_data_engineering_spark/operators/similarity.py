@@ -408,18 +408,20 @@ def ivf_topk(
     Recall < 1.0 by construction; property-tested against brute force.
     """
     base = with_quantized(emb, emb_col)
-    dim = emb.select(F.size(emb_col).alias("d")).first()["d"]
-    # centroid per cell: exact integer mean numerators, one double divide
+    # centroid per cell as exact integer SUM vector + count: affinity
+    # against a mean centroid is then (q · s)/c — an exact int64 dot
+    # with ONE final float64 divide, bit-reproducible on any engine and
+    # under any partition order (double mean centroids would make the
+    # routing depend on summation order).
     cent = (
         base.select(F.col(cell_col).alias("cell"), F.posexplode("emb_q").alias("pos", "v"))
         .groupBy("cell", "pos")
-        .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
+        .agg(F.sum("v").alias("s"))
         .groupBy("cell")
         .agg(
-            F.array_sort(F.collect_list(F.struct("pos", (F.col("s").cast("double") / F.col("c").cast("double")).alias("m"))))
-            .getField("m")
-            .alias("centroid")
+            F.array_sort(F.collect_list(F.struct("pos", "s"))).getField("s").alias("cent_s"),
         )
+        .join(base.groupBy(F.col(cell_col).alias("cell")).agg(F.count("*").alias("c")), "cell")
     )
     q = base.filter(query_pred).select(
         F.col(id_col).alias("qid"), F.col("emb_q").alias("q_emb"), F.col("norm_q").alias("q_norm")
@@ -430,11 +432,9 @@ def ivf_topk(
         "q_emb",
         "q_norm",
         "cell",
-        F.aggregate(
-            F.zip_with(F.col("q_emb"), F.col("centroid"), lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("affinity"),
+        (dot_q(F.col("q_emb"), F.col("cent_s")).cast("double") / F.col("c").cast("double")).alias(
+            "affinity"
+        ),
     )
     wq = Window.partitionBy("qid").orderBy(F.desc("affinity"), F.asc("cell"))
     routed = qc.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") <= n_probe).select("qid", "q_emb", "q_norm", "cell")

@@ -33,14 +33,26 @@ def salted_join(
     Each big-side row gets a deterministic salt in [0, salts); the small
     side is exploded ×salts so every (key, salt) bucket finds its match.
     A key with 10⁹ rows then spreads over `salts` tasks instead of one.
-    Join output is IDENTICAL to ``big.join(small, key, how)`` — the salt
-    is an internal routing column, dropped on exit.
+
+    ``how`` is restricted to ``inner``/``left`` (+ aliases), for which
+    the output is IDENTICAL to ``big.join(small, key, how)`` — the salt
+    is an internal routing column, dropped on exit. Outer joins on the
+    small side are NOT expressible this way: an unmatched small-side
+    row exists once per salt replica, so right/full would emit it
+    ``salts`` times. Salt the other side (swap the arguments) instead.
 
     ``salt_source`` defaults to a hash of the big side's whole row
     (deterministic; reruns route identically). Cost model: small side
     shuffle volume ×salts — use for small-but-over-broadcast-threshold
     dims against skewed facts.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports how in {sorted(allowed)}, got {how!r}: "
+            "the small side is replicated per salt, so small-side outer "
+            "semantics would duplicate unmatched rows"
+        )
     if salt_source is None:
         salt_source = F.xxhash64(*[F.col(c) for c in big.columns])
     b = big.withColumn("_salt", F.pmod(salt_source, F.lit(salts)))

@@ -84,19 +84,142 @@ def s2_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_label_vote(emb, F.col("vec_id") < _N_QUERIES, k=5)
 
 
-@register("s3_ivf_topk", None, doc="IVF-partitioned approximate top-k (no SQL oracle; recall property-tested)")
+# s3's IVF routing and probe are deterministic end-to-end: cell
+# centroids are exact integer SUM vectors (affinity = (q·s)/c, one
+# float64 divide), probe order ties break on cell ASC, and the in-cell
+# scoring is the same quantized-exact cosine as s1 — so the whole
+# approximate index is SQL-expressible and oracle-checked, not just
+# property-tested.
+_S3_ORACLE = f"""
+WITH qv AS (
+  SELECT vec_id, label, list_transform(embedding,
+           e -> CAST(floor(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT)) AS emb
+  FROM embeddings
+), norms AS (
+  SELECT v.vec_id, CAST(SUM(u.e * u.e) AS BIGINT) AS norm_q
+  FROM qv v, unnest(v.emb) AS u(e)
+  GROUP BY 1
+  HAVING SUM(u.e * u.e) > 0
+), u AS (
+  SELECT q.vec_id, q.label, unnest(q.emb) AS v, generate_subscripts(q.emb, 1) AS i
+  FROM qv q JOIN norms n ON n.vec_id = q.vec_id
+), cent AS (
+  SELECT label AS cell, i AS pos, CAST(SUM(v) AS BIGINT) AS s FROM u GROUP BY 1, 2
+), cellc AS (
+  SELECT label AS cell, COUNT(DISTINCT vec_id) AS c FROM u GROUP BY 1
+), aff AS (
+  SELECT qq.vec_id AS qid, ct.cell,
+         CAST(CAST(SUM(qq.v * ct.s) AS BIGINT) AS DOUBLE) / CAST(MAX(cc.c) AS DOUBLE) AS affinity
+  FROM u qq
+  JOIN cent ct ON ct.pos = qq.i
+  JOIN cellc cc ON cc.cell = ct.cell
+  WHERE qq.vec_id < {_N_QUERIES}
+  GROUP BY 1, 2
+), routed AS (
+  SELECT qid, cell FROM (
+    SELECT qid, cell,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY affinity DESC, cell ASC) AS rn
+    FROM aff) WHERE rn <= 2
+), cand AS (
+  SELECT r.qid, n.vec_id AS nid
+  FROM routed r
+  JOIN qv v ON v.label = r.cell
+  JOIN norms n ON n.vec_id = v.vec_id
+  WHERE v.vec_id <> r.qid
+), dots AS (
+  SELECT cd.qid, cd.nid, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+  FROM cand cd
+  JOIN u a ON a.vec_id = cd.qid
+  JOIN u b ON b.vec_id = cd.nid AND b.i = a.i
+  GROUP BY 1, 2
+), scored AS (
+  SELECT d.qid, d.nid,
+         CAST(d.dot AS DOUBLE) / (sqrt(CAST(nq.norm_q AS DOUBLE)) * sqrt(CAST(nv.norm_q AS DOUBLE)))
+             AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.qid
+  JOIN norms nv ON nv.vec_id = d.nid
+)
+SELECT qid, nid, cosine, rank FROM (
+  SELECT qid, nid, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS BIGINT) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
+@register("s3_ivf_topk", _S3_ORACLE)
 def s3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN: probe 2 nearest cells of 10 — the 100 TB path."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ivf_topk(emb, F.col("vec_id") < _N_QUERIES, k=5, n_probe=2)
 
 
+def _kmeans_oracle(k: int = 8, iters: int = 10) -> str:
+    """Generate the Lloyd-iteration oracle: ``iters`` update rounds
+    unrolled as chained CTEs, then one final assignment.
+
+    Sound because Spark's early convergence stop is a fixpoint — once
+    centroids repeat, every further unrolled round reproduces them — so
+    unrolled-N equals converged-at-most-N. Determinism contract mirrored
+    exactly: init = k smallest ids, d² tie-break on lowest cluster,
+    centroid update = exact int64 quantized sums / (1e6·n), empty
+    clusters keep their previous centroid (the COALESCE).
+    """
+    head = f"""
+WITH xu AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+  FROM embeddings
+), init_ids AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS INTEGER) AS cluster
+  FROM embeddings ORDER BY vec_id ASC LIMIT {k}
+), cent0 AS (
+  SELECT ii.cluster, x.i AS pos, x.v AS m
+  FROM init_ids ii JOIN xu x ON x.vec_id = ii.vec_id
+)"""
+    rounds = []
+    for t in range(1, iters + 1):
+        rounds.append(f""", d{t} AS (
+  SELECT x.vec_id, c.cluster, SUM((x.v - c.m) * (x.v - c.m)) AS d2
+  FROM xu x JOIN cent{t - 1} c ON c.pos = x.i
+  GROUP BY 1, 2
+), asg{t} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cluster ASC) AS rn
+    FROM d{t}) WHERE rn = 1
+), nc{t} AS (
+  SELECT a.cluster, x.i AS pos,
+         CAST(CAST(SUM(x.q) AS BIGINT) AS DOUBLE) / (1000000.0 * CAST(COUNT(*) AS DOUBLE)) AS m_new
+  FROM asg{t} a JOIN xu x ON x.vec_id = a.vec_id
+  GROUP BY 1, 2
+), cent{t} AS (
+  SELECT p.cluster, p.pos, COALESCE(n.m_new, p.m) AS m
+  FROM cent{t - 1} p
+  LEFT JOIN nc{t} n ON n.cluster = p.cluster AND n.pos = p.pos
+)""")
+    tail = f""", dF AS (
+  SELECT x.vec_id, c.cluster, SUM((x.v - c.m) * (x.v - c.m)) AS d2
+  FROM xu x JOIN cent{iters} c ON c.pos = x.i
+  GROUP BY 1, 2
+)
+SELECT vec_id, cluster, d2 AS dist_sq FROM (
+  SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cluster ASC) AS rn
+  FROM dF) WHERE rn = 1
+"""
+    return head + "".join(rounds) + tail
+
+
 @register(
     "s4_kmeans_clusters",
-    None,
-    doc="Deterministic Lloyd k-means assignment (iterative algorithm — no "
-    "SQL oracle; nearest-centroid + determinism invariants are tested in "
-    "tests/test_fuzzy_ops.py).",
+    _kmeans_oracle(k=8, iters=10),
+    doc="Deterministic Lloyd k-means assignment, oracle-checked via the "
+    "unrolled-iteration SQL (sound: early stop is a fixpoint). "
+    "Nearest-centroid + determinism invariants additionally tested in "
+    "tests/test_fuzzy_ops.py.",
 )
 def s4_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k=8 Lloyd clustering of the embedding corpus (domain discovery /

@@ -104,6 +104,15 @@ def test_salted_join_equals_plain_join(spark):
     plain = skewed.join(dim, "l_partkey").groupBy("p_brand").count()
     salted = salted_join(skewed, dim, "l_partkey", salts=8).groupBy("p_brand").count()
     assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+    # left join parity too (null-extended big rows appear exactly once)
+    plain_l = skewed.join(dim, "l_partkey", "left").groupBy("p_brand").count()
+    salted_l = salted_join(skewed, dim, "l_partkey", salts=8, how="left").groupBy("p_brand").count()
+    assert {tuple(r) for r in plain_l.collect()} == {tuple(r) for r in salted_l.collect()}
+    # small-side outer semantics are inexpressible under replication —
+    # refused, not silently wrong (unmatched small rows would emit ×salts)
+    for bad in ("right", "full", "left_semi", "left_anti"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(skewed, dim, "l_partkey", how=bad)
 
 
 def test_bucketed_join_has_no_shuffle(spark):
