@@ -88,22 +88,66 @@ def main() -> None:
     from real_time_data_engineering_spark.testing.taxi_datagen import generate_raw_trips
 
     raw = generate_raw_trips(spark, n_valid=10_000)
+    check_summary: dict[str, str] = {}
 
-    def e2e_once() -> float:
+    def e2e_once(with_checks: bool = False) -> float:
         t = time.time()
         with tempfile.TemporaryDirectory() as wh:
             res = run_pipeline(spark, raw, warehouse_dir=wh)
             for name in ("fct_trips", "mart_daily_revenue", "mart_hourly_demand", "mart_location_performance"):
                 res.built[name].write.format("noop").mode("overwrite").save()
+            if with_checks:
+                # full-DAG accounting (reference's dbt `91/91 PASS` +
+                # Soda scan, docs/BENCHMARK_RESULTS.md:42) — timed
+                # separately so the E2E number stays comparable
+                tc = time.time()
+                from real_time_data_engineering_spark.checks.taxi_suite import taxi_check_suite
+
+                summary, flat = taxi_check_suite(res.built, min_rows=5000)
+                n_pass = sum(1 for r in flat if r.passed)
+                check_summary["checks"] = f"{n_pass}/{len(flat)} PASS"
+                check_summary["checks_detail"] = summary
+                check_summary["checks_sec"] = round(time.time() - tc, 3)
+                return time.time() - t - check_summary["checks_sec"]
         return time.time() - t
 
     # two cold runs (fresh warehouse each), p50 — the E2E number swings
     # 2x run-to-run from tempdir I/O + GC; the median is the honest read
-    e2e = sorted(e2e_once() for _ in range(2))
+    e2e = sorted([e2e_once(with_checks=True), e2e_once()])
     times["taxi_e2e_10k"] = round((e2e[0] + e2e[1]) / 2, 3)
 
     total = round(sum(times.values()), 3)
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    # results.csv-compatible comparison row (reference
+    # shared/benchmarks/runner.py:405-457 header set; container/memory
+    # columns are N/A in-process)
+    csv_header = (
+        "pipeline_id,pipeline_name,startup_s,ingestion_s,processing_s,"
+        "dbt_build_s,e2e_total_s,events,events_per_sec,peak_memory_mb,"
+        "peak_cpu_pct,avg_memory_mb,containers,dbt_pass"
+    )
+    e2e_s = times["taxi_e2e_10k"]
+    csv_row = ",".join(
+        str(v)
+        for v in (
+            "SPARK",
+            "pyspark-native-engine",
+            round(startup, 3),
+            0.0,
+            e2e_s,
+            check_summary.get("checks_sec", 0.0),
+            round(startup + e2e_s + float(check_summary.get("checks_sec", 0.0)), 3),
+            10_000,
+            round(10_000 / e2e_s, 1) if e2e_s else "",
+            "",
+            "",
+            "",
+            1,
+            check_summary.get("checks", ""),
+        )
+    )
+    with open(Path(__file__).resolve().parent / "results.csv", "w") as f:
+        f.write(csv_header + "\n" + csv_row + "\n")
     print(
         json.dumps(
             {
@@ -113,7 +157,10 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "startup_sec": round(startup, 3),
-                "protocol": "per query: 1 warm-up discard, p50 of 2 timed runs; taxi_e2e_10k: p50 of 2 cold runs (fresh warehouse each)",
+                "checks": check_summary.get("checks", ""),
+                "checks_detail": check_summary.get("checks_detail", ""),
+                "results_csv": csv_row,
+                "protocol": "per query: 1 warm-up discard, p50 of 2 timed runs; taxi_e2e_10k: p50 of 2 cold runs (fresh warehouse each; checks timed separately)",
             }
         )
     )

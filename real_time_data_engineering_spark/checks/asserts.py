@@ -110,6 +110,92 @@ def freshness(
     return CheckResult(name=f"freshness:{model}.{ts_col}", passed=bool(ok), severity="warn")
 
 
+# ---------------------------------------------------------------------------
+# Soda-class table-level metric bounds (reference
+# pipelines/11-observability-stack/soda/checks/silver_checks.yml:4-12,
+# gold_checks.yml:2-14: row_count > 5000, duplicate_count = 0,
+# avg(fare) between 5 and 30, min(fare) >= 0). Unlike the dbt-class
+# row-violation checks above, these assert on ONE aggregate of the
+# table; `metric_suite` fuses any number of them into a single
+# narrow aggregation pass — one scan however many bounds, which is the
+# form that survives 100 TB.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class MetricBound:
+    """One Soda-style bound: metric in {row_count, avg, min, max, sum,
+    duplicate_count} over ``col`` (None for row_count), violated when
+    outside [min_value, max_value] (either side open)."""
+
+    metric: str
+    col: str | None = None
+    min_value: float | None = None
+    max_value: float | None = None
+    severity: str = "error"
+
+    def expr(self, idx: int) -> Column:
+        agg = {
+            "row_count": lambda: F.count(F.lit(1)),
+            "avg": lambda: F.avg(self.col),
+            "min": lambda: F.min(self.col),
+            "max": lambda: F.max(self.col),
+            "sum": lambda: F.sum(self.col),
+            "duplicate_count": lambda: (
+                F.count(self.col) - F.count_distinct(F.col(self.col))
+            ),
+        }[self.metric]()
+        return agg.cast("double").alias(f"_m{idx}")
+
+    @property
+    def name(self) -> str:
+        tgt = f"({self.col})" if self.col else ""
+        lo = "-inf" if self.min_value is None else self.min_value
+        hi = "inf" if self.max_value is None else self.max_value
+        return f"{self.metric}{tgt}∈[{lo},{hi}]"
+
+
+def metric_suite(df: DataFrame, bounds: list[MetricBound], model: str = "") -> list[CheckResult]:
+    """Evaluate every bound in ONE aggregation over one scan of ``df``."""
+    row = df.agg(*[b.expr(i) for i, b in enumerate(bounds)]).first()
+    out = []
+    for i, b in enumerate(bounds):
+        v = row[f"_m{i}"]
+        ok = v is not None
+        if ok and b.min_value is not None:
+            ok = v >= b.min_value
+        if ok and b.max_value is not None:
+            ok = v <= b.max_value
+        out.append(
+            CheckResult(
+                name=f"metric:{model}.{b.name}",
+                passed=bool(ok),
+                failing_rows=0 if ok else 1,
+                severity=b.severity,
+                detail=f"observed {v}",
+            )
+        )
+    return out
+
+
+def row_count_between(
+    df: DataFrame, min_rows: int, max_rows: int | None = None, model: str = ""
+) -> CheckResult:
+    return metric_suite(df, [MetricBound("row_count", None, min_rows, max_rows)], model)[0]
+
+
+def avg_between(df: DataFrame, col: str, lo: float, hi: float, model: str = "") -> CheckResult:
+    return metric_suite(df, [MetricBound("avg", col, lo, hi)], model)[0]
+
+
+def min_at_least(df: DataFrame, col: str, bound: float, model: str = "") -> CheckResult:
+    return metric_suite(df, [MetricBound("min", col, bound, None)], model)[0]
+
+
+def max_at_most(df: DataFrame, col: str, bound: float, model: str = "") -> CheckResult:
+    return metric_suite(df, [MetricBound("max", col, None, bound)], model)[0]
+
+
 def run_checks(results: Iterable[CheckResult | list[CheckResult]]) -> tuple[str, list[CheckResult]]:
     """Flatten + account like a dbt build: 'PASS=n WARN=n ERROR=n TOTAL=n'."""
     flat: list[CheckResult] = []

@@ -59,34 +59,17 @@ def test_idempotent_rebuild(spark, built, tmp_path):
 
 
 def test_dbt_style_check_suite(built):
-    """The 94-test analogue: generic + singular + contract checks, with
+    """The 94-test analogue: generic + singular + contract + Soda metric
+    checks (the shared full-DAG suite bench.py also runs), with
     dbt-style PASS/WARN/ERROR accounting — must have zero errors."""
-    stg, fct = built["stg_yellow_trips"], built["fct_trips"]
-    metrics = built["int_trip_metrics"]
-    dim = built["dim_locations"]
-    results = [
-        A.not_null(stg, ["trip_id", "pickup_datetime", "dropoff_datetime", "pickup_date"], "stg"),
-        A.unique(stg, "trip_id", "stg"),
-        A.accepted_values(stg, "vendor_id", [1, 2, 6], "stg"),
-        A.accepted_values(stg, "rate_code_id", [1, 2, 3, 4, 5, 6, 99], "stg"),
-        A.accepted_values(stg, "payment_type_id", [0, 1, 2, 3, 4, 5, 6], "stg"),
-        A.relationships(fct, "pickup_location_id", dim, "location_id", "fct"),
-        A.accepted_range(metrics, "trip_duration_minutes", 1, 720, "int"),
-        A.accepted_range(metrics, "pickup_hour", 0, 23, "int"),
-        A.positive_value(stg, "fare_amount", "stg"),
-        A.positive_value(stg, "total_amount", "stg"),
-        A.singular(
-            stg,
-            (F.col("fare_amount") > F.col("total_amount") + 0.01) & (F.col("total_amount") > 0),
-            "fare_not_exceeds_total",
-        ),
-        A.singular(
-            stg, F.col("dropoff_datetime") < F.col("pickup_datetime"), "trip_duration_positive"
-        ),
-    ]
-    summary, flat = A.run_checks(results)
+    from real_time_data_engineering_spark.checks.taxi_suite import taxi_check_suite
+
+    summary, flat = taxi_check_suite(built)
     errors = [r for r in flat if not r.passed and r.severity == "error"]
-    assert not errors, f"{summary}: {[r.name for r in errors]}"
+    assert not errors, f"{summary}: {[(r.name, r.detail) for r in errors]}"
+    # the suite must exercise every check class, Soda metrics included
+    assert any(r.name.startswith("metric:") for r in flat)
+    assert any(r.name.startswith("contract:") for r in flat)
 
 
 def test_contract_enforcement(built):
