@@ -64,15 +64,37 @@ def shingle_exploded(df: DataFrame, n: int = 3, text_col: str = "text", id_col: 
 
 
 def jaccard_pairs(
-    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for every pair sharing ≥1 shingle.
 
     The shingle equi-join means cost scales with shingle collisions, not
     N² — and Catalyst shuffles both sides on `shingle`, so at scale this
     is one co-partitioned join plus one pair-keyed aggregation.
+
+    A shingle shared by f docs costs f(f-1)/2 join rows, so ubiquitous
+    phrases ("all rights reserved") dominate quadratically: pass
+    ``max_doc_freq`` to drop shingles seen in more than that many docs
+    before pairing (the same stop-gram cap as
+    ``fingerprint_neardup_pairs``). Dropped shingles leave BOTH the
+    join and the per-doc sizes, so jaccard stays a true Jaccard over
+    the surviving shingle sets. Default None = exact semantics.
     """
-    sh = shingle_exploded(df, n, text_col, id_col).cache()
+    sh = shingle_exploded(df, n, text_col, id_col)
+    if max_doc_freq is not None:
+        # count-over-window shares the shingle-key shuffle the pair
+        # join below needs anyway (same mechanism as the winnowing cap)
+        w = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("_df", F.count("*").over(w))
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
+    sh = sh.cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -98,7 +120,11 @@ def jaccard_pairs(
 
 
 def jaccard_pairs_canonical(
-    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """`jaccard_pairs`, but the heavy shingle self-join runs on DISTINCT
     normal forms only — identical result, duplication-proof plan.
@@ -126,7 +152,7 @@ def jaccard_pairs_canonical(
     )
     members = base.select("_fp", F.col(id_col))
 
-    rep_pairs = jaccard_pairs(reps, n, text_col, "_rep")
+    rep_pairs = jaccard_pairs(reps, n, text_col, "_rep", max_doc_freq=max_doc_freq)
     fp1 = reps.select(F.col("_rep").alias("d1"), F.col("_fp").alias("_fp1"))
     fp2 = reps.select(F.col("_rep").alias("d2"), F.col("_fp").alias("_fp2"))
     m1 = members.select(F.col("_fp").alias("_fp1"), F.col(id_col).alias("_id1"))
@@ -144,9 +170,17 @@ def jaccard_pairs_canonical(
         )
     )
 
-    rep_sizes = shingle_exploded(reps, n, text_col, "_rep").groupBy("_rep").agg(
-        F.count("*").alias("n_common")
-    )
+    rep_shingles = shingle_exploded(reps, n, text_col, "_rep")
+    if max_doc_freq is not None:
+        # same surviving-set semantics as the rep join above, so the
+        # intra-group n_common matches what cross-group pairs report
+        wdf = Window.partitionBy("shingle")
+        rep_shingles = (
+            rep_shingles.withColumn("_df", F.count("*").over(wdf))
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
+    rep_sizes = rep_shingles.groupBy("_rep").agg(F.count("*").alias("n_common"))
     sized_groups = reps.join(rep_sizes, "_rep").select("_fp", "n_common")
     ix = members.select(F.col("_fp"), F.col(id_col).alias("_id1"))
     iy = members.select(F.col("_fp"), F.col(id_col).alias("_id2"))

@@ -470,20 +470,24 @@ def kmeans_assign(
     order) and divide once in float64.
 
     Scale shape: centroids ride to executors in the closure (k·dim
-    doubles — tiny); each round is one Arrow-batched mapInPandas scan
-    computing argmin against the centroid matrix plus one groupBy(k)
-    partial-mean — shuffle state is O(k·dim) per round, never O(N).
-    Rounds are driver-bounded like d15's label propagation.
+    doubles — tiny); each round is ONE Arrow-batched mapInPandas scan
+    that assigns AND emits per-cluster partial sums (map-side combine
+    in the kernel), so per-round shuffle state is O(k·dim·partitions)
+    — never the O(N) a re-join of the assignment would cost. The
+    kernel quantizes in-place (np.floor(v·1e6) is the same IEEE
+    expression as `quantized()`), so the update stays exact-int and
+    bit-reproducible under any partitioning. Rounds are driver-bounded
+    like d15's label propagation.
     """
     import numpy as np
 
-    src = ensure_min_partitions(emb).select(
+    narrow = ensure_min_partitions(emb).select(
         F.col(id_col).alias("id"),
         F.col(emb_col).cast("array<double>").alias("v"),
-        quantized(emb_col).alias("q"),
     )
-    first = src.orderBy("id").limit(k).collect()
+    first = narrow.orderBy("id").limit(k).collect()
     centroids = np.array([r.v for r in first], dtype=np.float64)
+    dim = centroids.shape[1]
 
     out_schema = "id bigint, cluster int, dist_sq double"
 
@@ -507,24 +511,51 @@ def kmeans_assign(
 
         return go
 
-    # the Python worker only needs (id, v) — don't Arrow-ship `q`
-    narrow = src.select("id", "v")
-    assigned = None
+    def partial_fn(cents):
+        C = cents.copy()
+
+        def go(it):
+            import numpy as _np
+            import pandas as _pd
+
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                M = _np.array(list(pdf["v"]), dtype=_np.float64)
+                d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                cl = d2.argmin(axis=1)
+                Q = _np.floor(M * QUANT_SCALE).astype(_np.int64)
+                ks, counts = _np.unique(cl, return_counts=True)
+                sums = _np.empty((len(ks), M.shape[1]), dtype=_np.int64)
+                for i, kk in enumerate(ks):
+                    sums[i] = Q[cl == kk].sum(axis=0)
+                yield _pd.DataFrame(
+                    {"cluster": ks.astype("int32"), "n": counts.astype("int64"),
+                     "s": list(sums)}
+                )
+
+        return go
+
     for _ in range(max_iter):
-        assigned = narrow.mapInPandas(assign_fn(centroids), out_schema)
+        partials = narrow.mapInPandas(
+            partial_fn(centroids), "cluster int, n bigint, s array<bigint>"
+        )
+        # k·dim tiny rows after one narrow agg; each pos row carries the
+        # cluster's total n (sum of batch ns, constant across pos)
         stats = (
-            assigned.join(src, "id")
-            .groupBy("cluster")
-            .agg(
-                F.count("*").alias("n"),
-                *[F.sum(F.element_at("q", i + 1)).alias(f"s{i}") for i in range(centroids.shape[1])],
-            )
+            partials.select("cluster", "n", F.posexplode("s").alias("pos", "sv"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("sv").alias("s"), F.sum("n").alias("n"))
             .collect()
         )
         new_c = centroids.copy()
+        agg_s = {}
+        agg_n = {}
         for r in stats:
-            sums = np.array([r[f"s{i}"] for i in range(centroids.shape[1])], dtype=np.float64)
-            new_c[r.cluster] = sums / (QUANT_SCALE * r.n)
+            agg_s.setdefault(r.cluster, np.zeros(dim, dtype=np.float64))[r.pos] = float(r.s)
+            agg_n[r.cluster] = r.n
+        for cl, sums in agg_s.items():
+            new_c[cl] = sums / (QUANT_SCALE * agg_n[cl])
         if np.array_equal(new_c, centroids):
             break
         centroids = new_c

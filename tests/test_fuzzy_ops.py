@@ -228,3 +228,31 @@ def test_ivf_kmeans_recall_against_brute_force(spark, embeddings):
 
     assert recall(10) == 1.0
     assert recall(2) >= 0.2
+
+
+def test_jaccard_stop_shingle_cap(spark):
+    """max_doc_freq drops ubiquitous shingles from BOTH the join and
+    the sizes: a boilerplate phrase shared by every doc stops producing
+    pairs, while genuinely-similar docs still pair on their surviving
+    shingles (same cap semantics as the winnowing path)."""
+    from real_time_data_engineering_spark.operators import dedup as D
+
+    boiler = "all rights reserved by the site"
+    rows = [(i, f"{boiler} unique body {i} with words {i * 7}") for i in range(20)]
+    # one true near-dup pair beyond the boilerplate
+    rows += [(100, f"{boiler} identical tail of shared tokens here"),
+             (101, f"{boiler} identical tail of shared tokens here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {(r.d1, r.d2) for r in D.jaccard_pairs(df, n=3).collect()}
+    assert len(uncapped) == 231  # boilerplate pairs everything: C(22,2)
+
+    capped = D.jaccard_pairs(df, n=3, max_doc_freq=5).collect()
+    pairs = {(r.d1, r.d2): r for r in capped}
+    assert set(pairs) == {(100, 101)}  # stop-shingles gone, true pair kept
+    assert pairs[(100, 101)].jaccard == 1.0  # surviving sets identical
+
+    # canonical variant under the same cap agrees
+    canon = {(r.d1, r.d2): (r.n_common, r.jaccard)
+             for r in D.jaccard_pairs_canonical(df, n=3, max_doc_freq=5).collect()}
+    assert set(canon) == {(100, 101)}
