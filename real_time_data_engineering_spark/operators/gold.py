@@ -164,6 +164,11 @@ def int_hourly_patterns(metrics: DataFrame) -> DataFrame:
 
 
 def mart_daily_revenue(daily: DataFrame, dates: DataFrame) -> DataFrame:
+    # Intentionally-global window (WindowExec "No Partition Defined" is
+    # expected): input is the ALREADY-AGGREGATED daily frame — one row
+    # per calendar day, bounded at thousands of rows regardless of fact
+    # volume, same single-stream running total as the reference SQL.
+    # At a 100×-longer calendar, partition by year and stitch.
     w = Window.orderBy("date_key")
     joined = daily.join(F.broadcast(dates), daily.pickup_date == dates.date_key, "inner")
     return joined.select(
@@ -228,6 +233,9 @@ def mart_location_performance(fct: DataFrame) -> DataFrame:
 
 
 def anomaly_daily_trips(daily: DataFrame) -> DataFrame:
+    # Global window over the per-day aggregate (bounded cardinality —
+    # see mart_daily_revenue note); the z-score needs the whole-series
+    # mean/stddev by definition.
     w = Window.partitionBy()
     stats = daily.select(
         "pickup_date",

@@ -10,6 +10,16 @@ key for min/max pruning), and swap atomically.
 Scale note: compaction is itself a big job at 100 TB — the rewrite
 reads and rewrites only the partitions whose small-file count crosses
 the threshold (pass `partition_filter`), never the whole lake.
+
+Table-format note: these are the plain-parquet emulations of Delta
+MERGE / OPTIMIZE / dynamic overwrite (and Iceberg rewrite_data_files /
+snapshot expiry). delta-spark is NOT available in this environment
+(verified: no package, no jars, no network), so ACID commit,
+concurrent-reader snapshot isolation and VACUUM retention are out of
+scope here; the operator semantics are written so a Delta backend can
+replace the staging-swap bodies without touching any caller
+(merge_upsert ≙ MERGE INTO, incremental_overwrite ≙
+replaceWhere/dynamic overwrite, compact_parquet ≙ OPTIMIZE).
 """
 
 from __future__ import annotations

@@ -165,6 +165,9 @@ def q5_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = o.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
         F.sum(money("o_totalprice")).alias("rev")
     )
+    # Global window over the per-DAY aggregate (bounded: one row per
+    # calendar day at any fact scale) — the expected WindowExec
+    # "No Partition Defined"; partition by year + stitch at 100×.
     w = Window.orderBy("order_date")
     return d.select(
         "order_date",

@@ -526,3 +526,25 @@ def d16_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
         )
     )
+
+
+@register(
+    "d19_embedding_neardup_lsh",
+    None,
+    doc="Sub-quadratic embedding near-dup: random-hyperplane LSH bands "
+    "generate candidates, the exact quantized cosine reranks them — the "
+    "path that replaces d7's all-pairs scan when N² is unpayable. "
+    "Rows-only check (the Rademacher planes derive from xxhash64, which "
+    "DuckDB lacks); recall vs. the exact pair set is property-tested in "
+    "tests/test_fuzzy_ops.py.",
+)
+def d19_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates → exact rerank at cosine ≥ 0.45 (this corpus's
+    near-dup tail; see d7's distribution). 16 bands × 4 rows keeps
+    banded recall ≈ 0.96 at that angle while candidate volume stays
+    ~N·bands, not N² — the production trade when all-pairs is
+    unpayable."""
+    from ..operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_neardup_lsh(emb, threshold=0.45, planes=64, bands=16)

@@ -143,3 +143,72 @@ def d11_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("shard")
         .agg(F.count("*").alias("n_docs"), F.sum("est_tokens").alias("total_tokens"))
     )
+
+
+# ---------------------------------------------------------------------------
+# d18 — sequence packing (concat-and-chunk): the step between "mixed
+# corpus" and "training batches". Documents are concatenated in
+# deterministic md5 order within their shard and chunked into
+# fixed-capacity token sequences; each document reports the sequence
+# span [start_seq, end_seq] it lands in. One windowed cumsum per shard
+# (same shuffle shape as d10); the /2048 is a power-of-two double
+# divide, exact in IEEE on both engines, so floor() never straddles.
+# ---------------------------------------------------------------------------
+_PACK_CAP = 2048
+
+_D18_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+          + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % {_N_SHARDS} AS shard,
+         CAST(ceil(CAST(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS BIGINT) / 4.0)
+              AS BIGINT) AS est_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS ord
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, est_tokens,
+         CAST(SUM(est_tokens) OVER (PARTITION BY shard ORDER BY ord
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM t WHERE est_tokens > 0
+)
+SELECT doc_id, shard, est_tokens,
+       CAST(floor((cum - est_tokens) / {_PACK_CAP}.0) AS BIGINT) AS start_seq,
+       CAST(floor((cum - 1) / {_PACK_CAP}.0) AS BIGINT) AS end_seq
+FROM c
+"""
+
+
+@register("d18_sequence_packing", _D18_ORACLE)
+def d18_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into {_PACK_CAP}-token training
+    sequences, per shard, in deterministic md5 order.
+
+    A doc spanning a chunk boundary is split across sequences (standard
+    pretraining packing — no padding waste), hence the [start_seq,
+    end_seq] span. Zero-token docs pack nowhere and are excluded.
+    At 100 TB this is one cumsum window per shard; skewed shards would
+    sub-stratify on a second hash char, same as d10's note.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = F.pmod(
+        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1)), F.lit(_N_SHARDS)
+    )
+    t = docs.select(
+        "doc_id",
+        shard.alias("shard"),
+        est_bpe_tokens("text").alias("est_tokens"),
+        h.alias("_ord"),
+    ).filter(F.col("est_tokens") > 0)
+    w = Window.partitionBy("shard").orderBy("_ord").rowsBetween(Window.unboundedPreceding, 0)
+    cap = float(_PACK_CAP)
+    return (
+        t.withColumn("cum", F.sum("est_tokens").over(w))
+        .select(
+            "doc_id",
+            "shard",
+            "est_tokens",
+            F.floor((F.col("cum") - F.col("est_tokens")) / F.lit(cap)).cast("long").alias("start_seq"),
+            F.floor((F.col("cum") - 1) / F.lit(cap)).cast("long").alias("end_seq"),
+        )
+    )

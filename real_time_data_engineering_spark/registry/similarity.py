@@ -158,6 +158,11 @@ def _kmeans_oracle(k: int = 8, iters: int = 10) -> str:
     """Generate the Lloyd-iteration oracle: ``iters`` update rounds
     unrolled as chained CTEs, then one final assignment.
 
+    Every CTE is MATERIALIZED: each round references the previous
+    round's centroids twice, so DuckDB's default CTE inlining would
+    expand the 10-round chain exponentially (empirically: minutes at
+    50 vectors); materialization keeps it linear (~1 s).
+
     Sound because Spark's early convergence stop is a fixpoint — once
     centroids repeat, every further unrolled round reproduces them — so
     unrolled-N equals converged-at-most-N. Determinism contract mirrored
@@ -166,36 +171,36 @@ def _kmeans_oracle(k: int = 8, iters: int = 10) -> str:
     clusters keep their previous centroid (the COALESCE).
     """
     head = f"""
-WITH xu AS (
+WITH xu AS MATERIALIZED (
   SELECT vec_id,
          generate_subscripts(embedding, 1) AS i,
          CAST(unnest(embedding) AS DOUBLE) AS v,
          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q
   FROM embeddings
-), init_ids AS (
+), init_ids AS MATERIALIZED (
   SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS INTEGER) AS cluster
   FROM embeddings ORDER BY vec_id ASC LIMIT {k}
-), cent0 AS (
+), cent0 AS MATERIALIZED (
   SELECT ii.cluster, x.i AS pos, x.v AS m
   FROM init_ids ii JOIN xu x ON x.vec_id = ii.vec_id
 )"""
     rounds = []
     for t in range(1, iters + 1):
-        rounds.append(f""", d{t} AS (
+        rounds.append(f""", d{t} AS MATERIALIZED (
   SELECT x.vec_id, c.cluster, SUM((x.v - c.m) * (x.v - c.m)) AS d2
   FROM xu x JOIN cent{t - 1} c ON c.pos = x.i
   GROUP BY 1, 2
-), asg{t} AS (
+), asg{t} AS MATERIALIZED (
   SELECT vec_id, cluster FROM (
     SELECT vec_id, cluster,
            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cluster ASC) AS rn
     FROM d{t}) WHERE rn = 1
-), nc{t} AS (
+), nc{t} AS MATERIALIZED (
   SELECT a.cluster, x.i AS pos,
          CAST(CAST(SUM(x.q) AS BIGINT) AS DOUBLE) / (1000000.0 * CAST(COUNT(*) AS DOUBLE)) AS m_new
   FROM asg{t} a JOIN xu x ON x.vec_id = a.vec_id
   GROUP BY 1, 2
-), cent{t} AS (
+), cent{t} AS MATERIALIZED (
   SELECT p.cluster, p.pos, COALESCE(n.m_new, p.m) AS m
   FROM cent{t - 1} p
   LEFT JOIN nc{t} n ON n.cluster = p.cluster AND n.pos = p.pos
@@ -205,7 +210,7 @@ WITH xu AS (
   FROM xu x JOIN cent{iters} c ON c.pos = x.i
   GROUP BY 1, 2
 )
-SELECT vec_id, cluster, d2 AS dist_sq FROM (
+SELECT vec_id, cluster, round(d2, 9) AS dist_sq FROM (
   SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, d2,
          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cluster ASC) AS rn
   FROM dF) WHERE rn = 1
@@ -225,4 +230,8 @@ def s4_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k=8 Lloyd clustering of the embedding corpus (domain discovery /
     IVF coarse-quantizer training)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.kmeans_assign(emb, k=8, max_iter=10)
+    out = S.kmeans_assign(emb, k=8, max_iter=10)
+    # dist_sq's last ulp depends on summation order (numpy pairwise vs
+    # SQL fold); 9-decimal rounding on both sides removes engine noise
+    # while cluster assignment stays exact-arithmetic deterministic.
+    return out.withColumn("dist_sq", F.round("dist_sq", 9))
