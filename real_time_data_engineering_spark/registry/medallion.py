@@ -30,6 +30,31 @@ def m1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.withColumn("feature_vec", F.to_json("feature_vec"))
 
 
+@register(
+    "m2_media_resize",
+    None,
+    doc="Arrow-batched image resize over the opaque binary payload "
+    "(pixel kernel is the documented deterministic byte-resampler stand-in "
+    "— container lacks codecs; batch mechanics, pruned input and output "
+    "contract are the real plumbing). Rows-only check: binary kernel "
+    "output is not SQL-expressible in DuckDB.",
+)
+def m2_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.synthesize_media_from_documents(docs)
+    resized = M.resize_images(media, width=32, height=32)
+    # registered projection digests the payload to scalars (driver
+    # canonicalizer contract; consumers use resize_images directly)
+    return resized.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        F.length("payload").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # q24 — SCD Type-2 snapshot history (dbt "check" strategy,
 # snap_locations.sql:13-26). Two deterministic loads derived from the

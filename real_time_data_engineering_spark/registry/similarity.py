@@ -90,12 +90,10 @@ def s2_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scoring is the same quantized-exact cosine as s1 — so the whole
 # approximate index is SQL-expressible and oracle-checked, not just
 # property-tested.
-_S3_ORACLE = f"""
-WITH qv AS (
-  SELECT vec_id, label, list_transform(embedding,
-           e -> CAST(floor(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT)) AS emb
-  FROM embeddings
-), norms AS (
+# The IVF pipeline body, parameterized only by the `qv` CTE that
+# provides (vec_id, label, emb) — s3 uses the raw label column as the
+# cell, s5 feeds the kmeans-trained cluster in as the label.
+_IVF_BODY = f"""), norms AS (
   SELECT v.vec_id, CAST(SUM(u.e * u.e) AS BIGINT) AS norm_q
   FROM qv v, unnest(v.emb) AS u(e)
   GROUP BY 1
@@ -146,6 +144,13 @@ SELECT qid, nid, cosine, rank FROM (
   FROM scored) WHERE rank <= 5
 """
 
+_S3_ORACLE = """
+WITH qv AS (
+  SELECT vec_id, label, list_transform(embedding,
+           e -> CAST(floor(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT)) AS emb
+  FROM embeddings
+""" + _IVF_BODY
+
 
 @register("s3_ivf_topk", _S3_ORACLE)
 def s3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,9 +159,10 @@ def s3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, F.col("vec_id") < _N_QUERIES, k=5, n_probe=2)
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 10) -> str:
-    """Generate the Lloyd-iteration oracle: ``iters`` update rounds
-    unrolled as chained CTEs, then one final assignment.
+def _kmeans_cte(k: int = 8, iters: int = 10) -> str:
+    """Generate the Lloyd-iteration CTE chain: ``iters`` update rounds
+    unrolled, ending in ``kasg`` (vec_id, cluster, d2) — composable
+    into s4's direct read or s5's IVF-over-trained-cells pipeline.
 
     Every CTE is MATERIALIZED: each round references the previous
     round's centroids twice, so DuckDB's default CTE inlining would
@@ -205,17 +211,24 @@ WITH xu AS MATERIALIZED (
   FROM cent{t - 1} p
   LEFT JOIN nc{t} n ON n.cluster = p.cluster AND n.pos = p.pos
 )""")
-    tail = f""", dF AS (
+    tail = f""", dF AS MATERIALIZED (
   SELECT x.vec_id, c.cluster, SUM((x.v - c.m) * (x.v - c.m)) AS d2
   FROM xu x JOIN cent{iters} c ON c.pos = x.i
   GROUP BY 1, 2
-)
-SELECT vec_id, cluster, round(d2, 9) AS dist_sq FROM (
-  SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, d2,
-         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cluster ASC) AS rn
-  FROM dF) WHERE rn = 1
-"""
+), kasg AS MATERIALIZED (
+  SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, d2 FROM (
+    SELECT vec_id, cluster, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cluster ASC) AS rn
+    FROM dF) WHERE rn = 1
+)"""
     return head + "".join(rounds) + tail
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 10) -> str:
+    """s4's oracle: the CTE chain + the (vec_id, cluster, dist_sq) read."""
+    return _kmeans_cte(k, iters) + """
+SELECT vec_id, cluster, round(d2, 9) AS dist_sq FROM kasg
+"""
 
 
 @register(
@@ -235,3 +248,34 @@ def s4_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SQL fold); 9-decimal rounding on both sides removes engine noise
     # while cluster assignment stays exact-arithmetic deterministic.
     return out.withColumn("dist_sq", F.round("dist_sq", 9))
+
+
+# s5 composes the two deterministic pieces end-to-end: train the coarse
+# quantizer with the unrolled-Lloyd CTE chain, then run the identical
+# IVF pipeline with the learned cluster as the cell. Everything the
+# composition relies on is already individually exact (s4 assignment,
+# s3 routing/probe), so the composite stays oracle-checkable.
+_S5_ORACLE = (
+    _kmeans_cte(k=10, iters=10)
+    + """, qv AS MATERIALIZED (
+  SELECT e.vec_id, ka.cluster AS label, list_transform(e.embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS emb
+  FROM embeddings e JOIN kasg ka ON ka.vec_id = e.vec_id
+"""
+    + _IVF_BODY
+)
+
+
+@register(
+    "s5_ivf_topk_kmeans",
+    _S5_ORACLE,
+    doc="IVF with a REAL trained coarse quantizer: k-means cells (k=10) "
+    "instead of the label stand-in — train, bucket, probe 2 cells, exact "
+    "rerank. Oracle = unrolled-Lloyd CTEs composed with the IVF SQL.",
+)
+def s5_ivf_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ANN build-and-query path over trained cells (at scale:
+    assignment computed at write time, corpus bucketed by cell, queries
+    probe without any corpus shuffle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk_kmeans(emb, F.col("vec_id") < _N_QUERIES, k=5, n_probe=2, n_cells=10)
