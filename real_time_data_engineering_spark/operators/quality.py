@@ -38,6 +38,56 @@ TOP_GRAM_FRAC_CUTOFF = 0.2
 MIN_GRAMS_FOR_FLAG = 20
 
 
+def gopher_quality_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The Gopher rule-set quality gate (Rae et al. 2021 §A1.1 class of
+    heuristics, as used by every open pretraining pipeline since):
+    token-count window, mean-word-length window, fraction of words
+    containing an alphabetic character, and minimum distinct-stopword
+    evidence. One narrow projection + per-doc aggregates of the token
+    array — pure Column expressions, no shuffle beyond the scan.
+
+    All fractions are single float64 divides of exact integer counts,
+    so the verdict column reproduces bit-for-bit on any engine.
+    """
+    from ..functions.text import STOPWORDS
+
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr)).cast("long")
+    mean_len = sum_len.cast("double") / n_tok.cast("double")
+    alpha_frac = n_alpha.cast("double") / n_tok.cast("double")
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(mean_len, 9).alias("mean_word_len"),
+        F.round(alpha_frac, 9).alias("alpha_word_frac"),
+        n_stop.alias("stopword_hits"),
+        (
+            n_tok.between(min_tokens, max_tokens)
+            & mean_len.between(min_mean_word_len, max_mean_word_len)
+            & (alpha_frac >= min_alpha_word_frac)
+            & (n_stop >= min_stopword_hits)
+        ).alias("passes_gopher"),
+    )
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -242,3 +242,47 @@ def _register_d17() -> None:
 
 
 _register_d17()
+
+
+# ---------------------------------------------------------------------------
+# d20 — the Gopher rule-set quality gate (the companion to d12's
+# repetition rules): token-count window, mean-word-length window,
+# alphabetic-word fraction, distinct-stopword evidence. Flags are
+# computed from UNROUNDED single-divide doubles (deterministic given
+# exact integer counts); the reported fractions are rounded to 9
+# decimals purely for display/hash stability.
+# ---------------------------------------------------------------------------
+_D20_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+), tok AS (
+  SELECT doc_id, unnest(t) AS w FROM toks
+), agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(length(w)) AS BIGINT) AS sum_len,
+         CAST(SUM(CASE WHEN regexp_matches(w, '[a-z]') THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+         CAST(COUNT(DISTINCT CASE WHEN w IN ('the','a','of','and','to','is','in') THEN w END)
+              AS BIGINT) AS n_stop
+  FROM tok GROUP BY 1
+)
+SELECT doc_id, n_tokens,
+       round(CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9) AS mean_word_len,
+       round(CAST(n_alpha AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9) AS alpha_word_frac,
+       n_stop AS stopword_hits,
+       (n_tokens BETWEEN 20 AND 100000)
+           AND (CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE) BETWEEN 3.0 AND 10.0)
+           AND (CAST(n_alpha AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.8)
+           AND (n_stop >= 2) AS passes_gopher
+FROM agg
+"""
+
+
+@register("d20_gopher_quality", _D20_ORACLE)
+def d20_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-set verdict per document (see
+    operators.quality.gopher_quality_rules)."""
+    from ..operators.quality import gopher_quality_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_quality_rules(ensure_min_partitions(docs))
