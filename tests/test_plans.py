@@ -262,3 +262,30 @@ def test_blocked_allpairs_matches_blas(spark):
             ).collect()
         }
         assert blocked == blas, f"n_blocks={n_blocks}"
+
+
+def test_sequence_packing_single_window_no_extra_shuffle(spark):
+    """d18 must plan exactly one Exchange (the shard-keyed window) over
+    a pruned scan — packing is a cumsum, not a join."""
+    plan = _physical(spark, "d18_sequence_packing")
+    assert plan.count("Exchange") <= 2, plan  # hashpartition + the fan-out guard at most
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "text" in read and "doc_id" in read
+    assert "lang" not in read and "source" not in read, read  # pruned
+
+
+def test_gopher_rules_is_narrow(spark):
+    """d20 is a pure per-row projection + no join/window: zero Exchange
+    beyond the optional small-scan fan-out repartition."""
+    plan = _physical(spark, "d20_gopher_quality")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_blocked_allpairs_plans_one_shuffle_no_collectlimit(spark):
+    """d7's distributed all-pairs: the only wide operation feeding the
+    Arrow kernel is the block-pair groupBy; nothing in the plan pulls
+    rows to the driver."""
+    plan = _physical(spark, "d7_embedding_neardup")
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan, plan
+    assert "CollectLimit" not in plan, plan
