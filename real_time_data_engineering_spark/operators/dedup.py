@@ -431,10 +431,11 @@ def connected_components(
     needs no join to compare — one cheap agg per round. Rounds needed =
     graph diameter; near-dup clusters are shallow (pairs/chains), so
     this converges in a handful of rounds. At petabyte scale with deep
-    components, switch the propagation step to large-star/small-star
-    (Kiveris et al.) for O(log n) rounds — same fixpoint, same output
-    contract. localCheckpoint truncates the iterative lineage so plans
-    don't grow unboundedly.
+    components, use `connected_components_star` below (large-star/
+    small-star, O(log n) rounds — same fixpoint, same output contract;
+    equivalence + deep-chain convergence tested in
+    tests/test_fuzzy_ops.py). localCheckpoint truncates the iterative
+    lineage so plans don't grow unboundedly.
     """
     edges = (
         pairs.select(F.col(src).alias("s"), F.col(dst).alias("t"))
@@ -459,6 +460,86 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        "node", F.col("label").alias("cluster_id"), "cluster_size"
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame, src: str = "d1", dst: str = "d2", max_iter: int = 25
+) -> DataFrame:
+    """`connected_components` via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the deep-graph form: O(log n) rounds regardless of component
+    diameter, vs. diameter rounds for plain min-label propagation.
+    Same output contract: (node, cluster_id = component min,
+    cluster_size); singletons (no pair) absent, join corpus for them.
+
+    Each round is two groupBy-min + join steps over the edge set:
+
+    * large-star: every node points its LARGER neighbors at
+      m = min(neighborhood ∪ self);
+    * small-star: every node points its smaller-or-self neighbors at m.
+
+    Components contract toward stars rooted at their min; fixpoint when
+    the canonical edge set stops changing (O(1) probe: count + an
+    order-insensitive xxhash64 XOR — exact set equality would cost
+    another shuffle, and XOR can't overflow under ANSI mode).
+    """
+    # canonical undirected edge set (lo, hi), no self-loops
+    canon = (
+        pairs.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sym(c: DataFrame) -> DataFrame:
+        return c.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionByName(
+            c.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+
+    def _mins(sym: DataFrame) -> DataFrame:
+        return sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+
+    def _fingerprint(c: DataFrame):
+        row = c.agg(
+            F.count("*").alias("n"), F.bit_xor(F.xxhash64("lo", "hi")).alias("h")
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = _fingerprint(canon)
+    for _ in range(max_iter):
+        # large-star
+        sym = _sym(canon)
+        mins = _mins(sym)
+        big = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.least("v", "m").alias("lo"), F.greatest("v", "m").alias("hi"))
+        )
+        canon = big.filter(F.col("lo") != F.col("hi")).distinct().localCheckpoint(eager=True)
+        # small-star
+        sym = _sym(canon)
+        mins = _mins(sym)
+        small = (
+            sym.join(mins, "u")
+            .filter(F.col("v") < F.col("u"))
+            .select(F.least("v", "m").alias("lo"), F.greatest("v", "m").alias("hi"))
+            .unionByName(
+                mins.select(F.least("u", "m").alias("lo"), F.greatest("u", "m").alias("hi"))
+            )
+        )
+        canon = small.filter(F.col("lo") != F.col("hi")).distinct().localCheckpoint(eager=True)
+        cur = _fingerprint(canon)
+        if cur == prev:
+            break
+        prev = cur
+    labels = _mins(_sym(canon)).select(F.col("u").alias("node"), F.col("m").alias("label"))
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "label").select(
         "node", F.col("label").alias("cluster_id"), "cluster_size"

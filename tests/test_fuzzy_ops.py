@@ -256,3 +256,31 @@ def test_jaccard_stop_shingle_cap(spark):
     canon = {(r.d1, r.d2): (r.n_common, r.jaccard)
              for r in D.jaccard_pairs_canonical(df, n=3, max_doc_freq=5).collect()}
     assert set(canon) == {(100, 101)}
+
+
+def test_star_cc_equals_label_propagation(spark):
+    """large-star/small-star must produce the identical component map as
+    min-label propagation on an arbitrary pair graph."""
+    from real_time_data_engineering_spark.operators import dedup as D
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (20, 21), (5, 3), (7, 8)],
+        "d1 long, d2 long",
+    )
+    a = {(r.node, r.cluster_id, r.cluster_size) for r in D.connected_components(pairs).collect()}
+    b = {(r.node, r.cluster_id, r.cluster_size) for r in D.connected_components_star(pairs).collect()}
+    assert a == b
+
+
+def test_star_cc_deep_chain_converges_in_log_rounds(spark):
+    """A 200-node chain has diameter 200: label propagation would need
+    ~200 rounds, the star algorithm must collapse it within its default
+    25 (actually O(log n)) and still find one component rooted at 0."""
+    from real_time_data_engineering_spark.operators import dedup as D
+
+    n = 200
+    chain = spark.createDataFrame([(i, i + 1) for i in range(n)], "d1 long, d2 long")
+    got = D.connected_components_star(chain, max_iter=12).collect()
+    assert len(got) == n + 1
+    assert {r.cluster_id for r in got} == {0}
+    assert all(r.cluster_size == n + 1 for r in got)
