@@ -78,6 +78,22 @@ def main() -> None:
         timed = sorted(run(name) for _ in range(2))
         times[name] = round((timed[0] + timed[1]) / 2, 3)  # p50 of 2
 
+    # Capabilities added after round 1 — timed the same way but reported
+    # separately so headline_suite_sec stays comparable round-over-round.
+    EXTRA = [
+        "d18_sequence_packing",
+        "d19_embedding_neardup_lsh",
+        "d20_gopher_quality",
+        "s3_ivf_topk",
+        "s5_ivf_topk_kmeans",
+        "m2_media_resize",
+    ]
+    extra_times: dict[str, float] = {}
+    for name in EXTRA:
+        run(name)
+        timed = sorted(run(name) for _ in range(2))
+        extra_times[name] = round((timed[0] + timed[1]) / 2, 3)
+
     # E2E medallion analogue of the reference's 10k-event benchmark
     # (BASELINE.md P02: 53 s processing + 18 s gold at the same event
     # count): generate 10k raw trips, run silver + the 16-model gold
@@ -157,6 +173,7 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "startup_sec": round(startup, 3),
+                "extra_queries": extra_times,
                 "checks": check_summary.get("checks", ""),
                 "checks_detail": check_summary.get("checks_detail", ""),
                 "results_csv": csv_row,

@@ -39,6 +39,34 @@ def read_file_stream(spark: SparkSession, path: str, schema: T.StructType, fmt: 
     return spark.readStream.format(fmt).schema(schema).load(path)
 
 
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream twin of ``sources.readers.load_table('events')``:
+    timestamp-resolution agnostic.
+
+    The corpus's ``ts`` has shipped as both TIMESTAMP(NANOS) (scans as
+    int64 under ``nanosAsLong``, needs the ÷1000 truncation to micros)
+    and TIMESTAMP(MICROS) (scans as a native timestamp). A batch probe
+    of the footer decides which normalization the stream needs, so
+    regenerated testdata can't silently shift event time by 1000×
+    (symptom: every watermark lands in 1970 and no window ever closes).
+    """
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    stream = (
+        spark.readStream.schema(probe.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(probe.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ntz = [f.name for f in stream.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    for c in ntz:
+        stream = stream.withColumn(c, F.col(c).cast("timestamp"))
+    return stream
+
+
 def read_kafka_stream(
     spark: SparkSession, bootstrap: str, topic: str, starting_offsets: str = "earliest"
 ) -> DataFrame:

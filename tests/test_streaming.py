@@ -97,22 +97,7 @@ def test_streaming_hourly_rollup_equals_batch(spark):
     batch_events = load_table(spark, SF_DIR, "events")
     # File-stream the events parquet (ts arrives as int64 nanos under the
     # session conf; normalize exactly like the batch reader).
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(SF_DIR)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = si.read_events_stream(spark, SF_DIR)
     agg = si.hourly_rollup_stream(stream)
     q = agg.writeStream.format("memory").queryName("hourly_mv").outputMode("complete").start()
     q.processAllAvailable()
@@ -140,22 +125,7 @@ def test_streaming_sliding_rollup_equals_batch(spark):
     every event in exactly 4 overlapping windows."""
     from real_time_data_engineering_spark.registry import all_specs
 
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(SF_DIR)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = si.read_events_stream(spark, SF_DIR)
     agg = si.hourly_rollup_stream(stream, slide="15 minutes")
     q = agg.writeStream.format("memory").queryName("sliding_mv").outputMode("complete").start()
     q.processAllAvailable()
@@ -292,22 +262,7 @@ def test_stateful_sessionization_matches_batch(spark):
     from real_time_data_engineering_spark.streaming.stateful import sessionize_stream
 
     gap_sec = 1800
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(SF_DIR)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = si.read_events_stream(spark, SF_DIR)
     sess = sessionize_stream(stream, gap_sec=gap_sec, watermark="0 seconds")
     q = sess.writeStream.format("memory").queryName("sessions_out").outputMode("append").start()
     q.processAllAvailable()
@@ -358,23 +313,9 @@ def test_progress_listener_observability(spark):
 
     from real_time_data_engineering_spark.streaming import observe
 
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
     listener = observe.attach(spark)
     try:
-        stream = (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(SF_DIR)
-        )
+        stream = si.read_events_stream(spark, SF_DIR)
         q = (
             stream.select("event_id")
             .writeStream.format("memory")
@@ -401,23 +342,7 @@ def test_streaming_asof_enrich_equals_batch(spark, tmp_path):
     as-of join over the same inputs — one operator, two execution modes."""
     from real_time_data_engineering_spark.operators.asof import asof_join
 
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(SF_DIR)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .select("event_id", "user_id", "ts")
-    )
+    stream = si.read_events_stream(spark, SF_DIR).select("event_id", "user_id", "ts")
     orders = load_table(spark, SF_DIR, "orders").select("o_custkey", "o_orderdate", "o_orderkey")
     kwargs = dict(
         left_time="ts",
