@@ -267,6 +267,9 @@ def test_blocked_allpairs_matches_blas(spark):
 def test_sequence_packing_single_window_no_extra_shuffle(spark):
     """d18 must plan exactly one Exchange (the shard-keyed window) over
     a pruned scan — packing is a cumsum, not a join."""
+    # cached frames from other tests can substitute an InMemoryRelation
+    # under this plan and mask the scan-level pruning being asserted
+    spark.catalog.clearCache()
     plan = _physical(spark, "d18_sequence_packing")
     assert plan.count("Exchange") <= 2, plan  # hashpartition + the fan-out guard at most
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]

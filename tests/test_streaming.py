@@ -431,3 +431,55 @@ def test_kafka_record_shape_roundtrips_through_bronze(spark):
         "PULocationID",
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_read_events_stream_handles_both_timestamp_resolutions(spark, tmp_path):
+    """The corpus has shipped ts as TIMESTAMP(NANOS) and as
+    TIMESTAMP(MICROS); read_events_stream must yield identical event
+    time for both (regression: a micros corpus read through the nanos
+    path lands every event in 1970 and no window ever closes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base_us = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in micros
+    ids = list(range(4))
+    us = [base_us + i * 60_000_000 for i in ids]
+    for sub, typ, vals in (
+        ("micros", pa.timestamp("us"), us),
+        ("nanos", pa.timestamp("ns"), [v * 1000 for v in us]),
+    ):
+        d = tmp_path / sub
+        d.mkdir()
+        tbl = pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array(vals, typ),
+                "user_id": pa.array(ids, pa.int64()),
+                "event_type": pa.array(["a"] * 4),
+                "value": pa.array([1.0] * 4),
+                "props": pa.array(["{}"] * 4),
+            }
+        )
+        pq.write_table(tbl, str(d / "events.parquet"))
+
+    def collect_ts(sf_dir):
+        stream = si.read_events_stream(spark, sf_dir)
+        name = f"res_{sf_dir.split('/')[-1]}"
+        q = (
+            stream.select("event_id", "ts")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return {
+            (r.event_id, r.ts) for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+
+    a = collect_ts(str(tmp_path / "micros"))
+    b = collect_ts(str(tmp_path / "nanos"))
+    assert a == b and len(a) == 4
+    years = {ts.year for _, ts in a}
+    assert years == {2024}, years
