@@ -306,19 +306,6 @@ def embedding_neardup_pairs_blocked(
     )
 
 
-def _rademacher_bit(emb_q: Column, plane: int) -> Column:
-    """Sign bit of ⟨w_p, v⟩ for the deterministic ±1 hyperplane w_p,
-    where w_p[j] = +1 iff xxhash64(p, j) is even. Exact integer sum."""
-    signed = F.transform(
-        F.sequence(F.lit(1), F.size(emb_q)),
-        lambda j: F.when(
-            F.pmod(F.xxhash64(F.lit(plane), j), 2) == 0, F.element_at(emb_q, j)
-        ).otherwise(-F.element_at(emb_q, j)),
-    )
-    tot = F.aggregate(signed, F.lit(0).cast("long"), lambda acc, x: acc + x)
-    return F.when(tot >= 0, F.lit("1")).otherwise(F.lit("0"))
-
-
 def lsh_candidate_pairs(
     emb: DataFrame,
     planes: int = 64,
@@ -328,25 +315,67 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Random-hyperplane (sign) LSH candidate pairs.
 
-    Each vector gets `planes` sign bits in ONE narrow projection (no
-    shuffle); bits are banded (`bands` bands × planes/bands rows) and
-    vectors sharing any band bucket become candidates. The only
-    shuffles are the band-bucket self-join keyed on (band, hash) —
-    cardinality ~N·bands — never N². Hyperplanes are ±1 Rademacher
-    vectors derived from xxhash64(plane, dim): deterministic, no
-    stored model.
+    Each Arrow batch computes ALL `planes` sign bits as one int64
+    matmul against the deterministic ±1 hyperplane matrix (Q @ Sᵀ ≥ 0)
+    and packs them into `bands` integer band hashes — one narrow
+    mapInPandas, no shuffle. (The earlier per-plane Column-expression
+    form traversed the vector 64 separate times per row; dense linear
+    algebra is exactly the case where a vectorized kernel wins 10×+.)
+    Vectors sharing any (band, hash) bucket become candidates; the only
+    shuffle is the band-bucket self-join — cardinality ~N·bands, never
+    N². Exact integer arithmetic end-to-end, so the signature is
+    deterministic under any partitioning.
     """
     rows = planes // bands
-    base = with_quantized(emb, emb_col).select(
-        F.col(id_col).alias("id"), *[_rademacher_bit(F.col("emb_q"), p).alias(f"bit_{p}") for p in range(planes)]
-    )
-    stack_args = ", ".join(
-        "{b}, concat({cols})".format(
-            b=b, cols=", ".join(f"bit_{p}" for p in range(b * rows, (b + 1) * rows))
-        )
-        for b in range(bands)
-    )
-    banded = base.select("id", F.expr(f"stack({bands}, {stack_args}) AS (band, band_hash)"))
+
+    def kernel(it):
+        # Everything the worker needs lives in THIS closure: cloudpickle
+        # ships nested functions by value, while a module-global helper
+        # would pickle by reference and require the package to be
+        # importable on executor PYTHONPATH (it isn't on the driver's).
+        import hashlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        def sign_matrix(dim):
+            # deterministic ±1 hyperplanes: parity of md5(f"{p}:{j}")'s
+            # first byte — stable across runs/machines, no stored model
+            return _np.array(
+                [
+                    [
+                        1 if hashlib.md5(f"{p}:{j}".encode()).digest()[0] % 2 == 0 else -1
+                        for j in range(dim)
+                    ]
+                    for p in range(planes)
+                ],
+                dtype=_np.int64,
+            )
+
+        S_mat = None
+        weights = 1 << _np.arange(rows, dtype=_np.int64)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            Q = _np.array(list(pdf["q"]), dtype=_np.int64)
+            if S_mat is None:
+                S_mat = sign_matrix(Q.shape[1])
+            bits = (Q @ S_mat.T) >= 0  # n×planes
+            n = len(Q)
+            ids = pdf["id"].to_numpy(dtype=_np.int64)
+            hashes = _np.empty((n, bands), dtype=_np.int64)
+            for b in range(bands):
+                hashes[:, b] = bits[:, b * rows : (b + 1) * rows] @ weights
+            yield _pd.DataFrame(
+                {
+                    "id": _np.repeat(ids, bands),
+                    "band": _np.tile(_np.arange(bands, dtype=_np.int32), n),
+                    "band_hash": hashes.reshape(-1),
+                }
+            )
+
+    base = with_quantized(emb, emb_col).select(F.col(id_col).alias("id"), F.col("emb_q").alias("q"))
+    banded = base.mapInPandas(kernel, "id bigint, band int, band_hash bigint")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
