@@ -407,15 +407,39 @@ def embedding_neardup_lsh(
     base = with_quantized(emb, emb_col)
     s1 = base.select(F.col(id_col).alias("v1"), F.col("emb_q").alias("e1"), F.col("norm_q").alias("n1"))
     s2 = base.select(F.col(id_col).alias("v2"), F.col("emb_q").alias("e2"), F.col("norm_q").alias("n2"))
-    return (
-        cand.join(s1, "v1")
-        .join(s2, "v2")
-        .select(
-            "v1",
-            "v2",
-            cosine_q(dot_q(F.col("e1"), F.col("e2")), F.col("n1"), F.col("n2")).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= F.lit(threshold))
+    joined = cand.join(s1, "v1").join(s2, "v2")
+    thr = float(threshold)
+
+    # Vectorized rerank (same exact int64-dot + float64-divide math as
+    # the blocked all-pairs kernel): the candidate set is large on LSH-
+    # unfavorable corpora and a per-pair higher-order-function cosine
+    # interprets 64 array ops per row — one numpy pass per Arrow batch
+    # instead. Fully closure-contained (see lsh_candidate_pairs note).
+    def rerank(it):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            e1 = _np.array(list(pdf["e1"]), dtype=_np.int64)
+            e2 = _np.array(list(pdf["e2"]), dtype=_np.int64)
+            dots = (e1 * e2).sum(axis=1)
+            cos = dots / (
+                _np.sqrt(pdf["n1"].to_numpy(dtype=_np.float64))
+                * _np.sqrt(pdf["n2"].to_numpy(dtype=_np.float64))
+            )
+            m = cos >= thr
+            yield _pd.DataFrame(
+                {
+                    "v1": pdf["v1"].to_numpy(dtype=_np.int64)[m],
+                    "v2": pdf["v2"].to_numpy(dtype=_np.int64)[m],
+                    "cosine": cos[m],
+                }
+            )
+
+    return joined.select("v1", "v2", "e1", "n1", "e2", "n2").mapInPandas(
+        rerank, "v1 bigint, v2 bigint, cosine double"
     )
 
 
