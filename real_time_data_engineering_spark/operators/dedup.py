@@ -22,6 +22,7 @@ not required.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -94,7 +95,10 @@ def jaccard_pairs(
             .filter(F.col("_df") <= max_doc_freq)
             .drop("_df")
         )
-    sh = sh.cache()
+    # reused by sizes + both join sides; DISK_ONLY because the exploded
+    # shingle relation is corpus-sized x n-grams — an uncapped
+    # MEMORY_AND_DISK cache of it is executor memory pressure at scale
+    sh = sh.persist(StorageLevel.DISK_ONLY)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -396,7 +400,9 @@ def fingerprint_neardup_pairs(
             .filter(F.col("_df") <= max_doc_freq)
             .drop("_df")
         )
-    sel = sel.cache()
+    # same policy as jaccard_pairs: spill-only reuse of the exploded
+    # fingerprint relation, never executor memory
+    sel = sel.persist(StorageLevel.DISK_ONLY)
     sizes = sel.groupBy(id_col).agg(F.count("*").alias("n_sel"))
     a = sel.select(F.col(id_col).alias("d1"), "fp_hash")
     b = sel.select(F.col(id_col).alias("d2"), "fp_hash")

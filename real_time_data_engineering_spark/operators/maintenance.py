@@ -52,6 +52,25 @@ def _partition_columns(path: str) -> list[str]:
         cur = os.path.join(cur, subdirs[0])
 
 
+def _hive_leaf_dirs(path: str, part_cols: list[str]) -> dict[str, int]:
+    """rel_dir -> parquet bytes for every hive leaf partition directory
+    (depth == len(part_cols), every segment key=value)."""
+    out: dict[str, int] = {}
+    for root, _dirs, names in os.walk(path):
+        rel = os.path.relpath(root, path)
+        if rel == ".":
+            continue
+        segs = rel.split(os.sep)
+        if len(segs) != len(part_cols) or not all("=" in s for s in segs):
+            continue
+        size = sum(
+            os.path.getsize(os.path.join(root, n)) for n in names if n.endswith(".parquet")
+        )
+        if size or any(n.endswith(".parquet") for n in names):
+            out[rel] = size
+    return out
+
+
 def table_stats(path: str) -> dict:
     """File-level health of a parquet directory (the compaction input)."""
     files = []
@@ -122,10 +141,26 @@ def compact_parquet(
                 f"partition_filter may reference only partition columns {part_cols}: {exc}"
             ) from exc
         subset = df.filter(partition_filter)
-        # Partition pruning makes inputFiles() the exact matching set.
-        files = [_strip_scheme(f) for f in subset.inputFiles()]
-        rel_dirs = sorted({os.path.relpath(os.path.dirname(f), path) for f in files})
-        subset_bytes = sum(os.path.getsize(f) for f in files if os.path.exists(f))
+        # inputFiles() is NOT partition-pruned for path-based parquet
+        # reads (verified on Spark 4.1.2: a filtered read lists ALL
+        # table files), so the matching directories must come from the
+        # data: evaluate the filter's distinct partition-key tuples
+        # (partition pruning applies at execution, so this scans only
+        # matching partitions' footers) and match them against the hive
+        # leaf dirs on disk by their written value strings. str() of
+        # date/int/plain-string partition values equals the dir
+        # rendering; hive special-char escaping is out of scope here.
+        wanted = {
+            tuple(str(r[c]) for c in part_cols)
+            for r in subset.select(*part_cols).distinct().collect()
+        }
+        leaf = _hive_leaf_dirs(path, part_cols)
+        rel_dirs = sorted(
+            rel
+            for rel in leaf
+            if tuple(s.split("=", 1)[1] for s in rel.split(os.sep)) in wanted
+        )
+        subset_bytes = sum(leaf[rel] for rel in rel_dirs)
         per_part = max(1, round(subset_bytes / (max(len(rel_dirs), 1) * mb)))
         n_out = max(1, len(rel_dirs) * per_part)
         salt = F.pmod(F.xxhash64(*subset.columns), F.lit(per_part))
@@ -154,9 +189,15 @@ def compact_parquet(
 
     n_out = max(1, round(before["total_bytes"] / mb))
     if part_cols:
-        # Cluster by partition key (+ salt for oversized partitions) so
-        # each hive partition lands in ~n_out/n_partitions files.
-        salt = F.pmod(F.xxhash64(*df.columns), F.lit(n_out))
+        # Cluster by partition key + a PER-PARTITION salt so each hive
+        # partition lands in ~n_out/n_partitions files. The salt range
+        # must be per_part, not n_out: salting over [0, n_out) scatters
+        # every hive partition across up to n_out tasks and the
+        # partitionBy write then emits up to n_partitions x n_out files
+        # — compaction would MULTIPLY file count instead of reducing it.
+        n_partitions = max(1, len(_hive_leaf_dirs(path, part_cols)))
+        per_part = max(1, round(n_out / n_partitions))
+        salt = F.pmod(F.xxhash64(*df.columns), F.lit(per_part))
         out = df.repartition(n_out, *[F.col(c) for c in part_cols], salt)
     else:
         out = df.repartition(n_out)

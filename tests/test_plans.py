@@ -239,8 +239,41 @@ def test_registered_embedding_paths_never_collect_corpus(spark, monkeypatch):
     monkeypatch.setattr(DataFrame, "collect", spy)
     get("d7_embedding_neardup").spark(spark, SF_DIR)
     assert sizes == []  # pure plan construction: zero driver collects
+    get("d19_embedding_neardup_lsh").spark(spark, SF_DIR)
+    assert sizes == []  # the LSH scale path is collect-free too
     get("d15_dup_clusters").spark(spark, SF_DIR)
     assert all(n <= 1 for n in sizes), sizes
+
+
+def test_d15_lineage_is_lsh_not_allpairs(spark, monkeypatch):
+    """d15's registered pair feed must be the sub-quadratic LSH
+    candidate→rerank path, never an O(N²) all-pairs kernel. The CC
+    rounds eagerly localCheckpoint, which truncates the physical plan —
+    so the gate spies on the similarity module instead: every quadratic
+    pair generator trips, and the LSH path must be what runs."""
+    from real_time_data_engineering_spark.operators import similarity as S
+    from real_time_data_engineering_spark.registry import get
+
+    lsh_calls = []
+    real_lsh = S.embedding_neardup_lsh
+    monkeypatch.setattr(
+        S, "embedding_neardup_lsh", lambda *a, **k: lsh_calls.append(1) or real_lsh(*a, **k)
+    )
+    for quad in (
+        "embedding_neardup_pairs",
+        "embedding_neardup_pairs_blas",
+        "embedding_neardup_pairs_blocked",
+    ):
+        monkeypatch.setattr(
+            S,
+            quad,
+            lambda *a, _q=quad, **k: (_ for _ in ()).throw(
+                AssertionError(f"d15 called quadratic kernel {_q}")
+            ),
+        )
+    out = get("d15_dup_clusters").spark(spark, SF_DIR)
+    assert lsh_calls, "d15 did not route through embedding_neardup_lsh"
+    assert out.count() > 0
 
 
 def test_blocked_allpairs_matches_blas(spark):
