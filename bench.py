@@ -127,6 +127,7 @@ def main() -> None:
         "d18_sequence_packing",
         "d19_embedding_neardup_lsh",
         "d20_gopher_quality",
+        "d21_simhash_neardup",
         "s3_ivf_topk",
         "s5_ivf_topk_kmeans",
         "m2_media_resize",

@@ -374,8 +374,17 @@ def lsh_candidate_pairs(
                 }
             )
 
+    from pyspark import StorageLevel
+
     base = with_quantized(emb, emb_col).select(F.col(id_col).alias("id"), F.col("emb_q").alias("q"))
-    banded = base.mapInPandas(kernel, "id bigint, band int, band_hash bigint")
+    # persist: both sides of the band self-join read `banded`, and
+    # without it the signature kernel re-scans the corpus twice. The
+    # relation is narrow (id, band, hash = N·bands rows) but still
+    # corpus-scaled, so DISK_ONLY per the repo-wide cache policy —
+    # spill-backed reuse, never executor memory pressure.
+    banded = base.mapInPandas(kernel, "id bigint, band int, band_hash bigint").persist(
+        StorageLevel.DISK_ONLY
+    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

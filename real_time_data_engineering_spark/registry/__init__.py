@@ -62,7 +62,11 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # r1; q21/m1/m2 are rows-only by design (HLL sketch / binary media
 # kernels have no SQL oracle) — so every hash-checkable query lands
 # inside a 50-query budget and a truncation costs the least signal.
+# Round-3 additions (d21) also sit in the tail, AHEAD of the re-checks:
+# under a budget they must not evict a previously-green hash check, but
+# given room a first-ever check beats a re-confirmation.
 _DRIVER_TAIL = (
+    "d21_simhash_neardup",
     "q16_hourly_demand_summary",
     "q21_approx_distinct",
     "m1_media_features",

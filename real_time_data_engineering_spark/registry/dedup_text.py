@@ -324,6 +324,76 @@ def d6_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# d21 — SimHash near-dup PAIRS via block permutation (the step d6 stops
+# short of): 32-bit signatures (md5 supplies 32 hex vote positions —
+# 16 bits saturates: ~30% of all pairs land within hamming 3 on this
+# corpus) split into 4 contiguous 8-bit blocks; docs sharing ≥1 block
+# become candidates; exact Hamming ≤ 2 verifies. By pigeonhole the
+# banding is EXACT for hamming < bands, so the operator returns
+# precisely the all-pairs hamming ≤ 2 set while the join stays keyed
+# on (band, block) — N·bands rows, never N². The oracle mirrors the
+# signature votes (d6's machinery widened), the banding substrings and
+# the 32-term Hamming sum.
+# ---------------------------------------------------------------------------
+_D21_N_BITS = 32
+_D21_SIGS = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+), h AS (
+  SELECT doc_id, md5(w) AS d FROM tok
+), votes AS (
+  SELECT doc_id,
+         {vote_cols}
+  FROM h GROUP BY 1
+), sigs AS (
+  SELECT doc_id, CAST({sig_sum} AS BIGINT) AS sig FROM votes
+)""".format(
+    vote_cols=",\n         ".join(
+        f"SUM(CASE WHEN substr(d, {j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(_D21_N_BITS)
+    ),
+    sig_sum=" + ".join(
+        f"(CASE WHEN b{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(_D21_N_BITS)
+    ),
+)
+
+_D21_ORACLE = (
+    _D21_SIGS
+    + """, bandx AS (
+  SELECT s.doc_id, s.sig, b.band, (s.sig >> (b.band * 8)) & 255 AS block
+  FROM sigs s CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS d1, a.sig AS sig1, b.doc_id AS d2, b.sig AS sig2
+  FROM bandx a
+  JOIN bandx b ON a.band = b.band AND a.block = b.block AND a.doc_id < b.doc_id
+)
+SELECT d1, d2, CAST(bit_count(xor(sig1, sig2)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sig1, sig2)) <= 2
+"""
+)
+
+
+@register(
+    "d21_simhash_neardup",
+    _D21_ORACLE,
+    doc="SimHash block-permutation near-dup pairs: band join on 8-bit "
+    "signature blocks (32-bit md5-vote signature), exact Hamming ≤ 2 "
+    "verify — pigeonhole-exact, join keyed on (band, block) so cost is "
+    "N·bands + collision mass. The 64-bit production variant "
+    "(simhash64 + 16-bit blocks) runs the identical shape; pigeonhole "
+    "exactness is property-tested in tests/test_fuzzy_ops.py.",
+)
+def d21_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs within Hamming distance 2 of each other's
+    32-bit SimHash, found without an N² scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_neardup_pairs(docs, max_hamming=2, bands=4, n_bits=32)
+
+
+# ---------------------------------------------------------------------------
 # d7 — embedding-cosine near-duplicate pairs (exact baseline over the
 # quantized integer dot product; the LSH candidate→rerank variant is the
 # scale path, property-tested in tests/test_fuzzy_ops.py).

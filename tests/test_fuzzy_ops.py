@@ -284,3 +284,50 @@ def test_star_cc_deep_chain_converges_in_log_rounds(spark):
     assert len(got) == n + 1
     assert {r.cluster_id for r in got} == {0}
     assert all(r.cluster_size == n + 1 for r in got)
+
+
+def test_simhash_banding_is_pigeonhole_exact(spark, documents):
+    """d21's block-permutation candidate join must return EXACTLY the
+    all-pairs hamming <= max_hamming set whenever max_hamming < bands —
+    the pigeonhole guarantee the operator's scale shape rests on."""
+    got = {
+        (r.d1, r.d2): r.hamming
+        for r in D.simhash_neardup_pairs(documents, max_hamming=2, bands=4, n_bits=32).collect()
+    }
+    sigs = D.simhash_hex(documents, 32).collect()
+    brute = {}
+    for i, a in enumerate(sigs):
+        for b in sigs[i + 1 :]:
+            h = sum(x != y for x, y in zip(a.simhash_bits, b.simhash_bits))
+            if h <= 2:
+                k = (a.doc_id, b.doc_id) if a.doc_id < b.doc_id else (b.doc_id, a.doc_id)
+                brute[k] = h
+    assert got == brute
+    with pytest.raises(ValueError):
+        D.simhash_neardup_pairs(documents, max_hamming=4, bands=4)
+    with pytest.raises(ValueError):
+        D.simhash_neardup_pairs(documents, n_bits=33)
+
+
+def test_lsh_oracle_generator_mirrors_kernel_across_params(spark, embeddings):
+    """The DuckDB mirror of the LSH candidate→rerank pipeline must stay
+    bit-exact for ANY (planes, bands) tuning, not just the registered
+    ones — guards future retuning against a silent oracle drift."""
+    import duckdb
+
+    from real_time_data_engineering_spark.registry.dedup_text import _lsh_pairs_oracle
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'")
+    for planes, bands, thr in [(32, 8, 0.3), (64, 16, 0.4)]:
+        got = {
+            (r.v1, r.v2): r.cosine
+            for r in S.embedding_neardup_lsh(
+                embeddings, threshold=thr, planes=planes, bands=bands
+            ).collect()
+        }
+        want = {
+            (int(r[0]), int(r[1])): float(r[2])
+            for r in con.sql(_lsh_pairs_oracle(thr, planes, bands)).fetchall()
+        }
+        assert got == want, f"planes={planes} bands={bands}: spark={len(got)} duck={len(want)}"
