@@ -551,11 +551,19 @@ def kmeans_assign(
     like d15's label propagation.
     """
     import numpy as np
+    from pyspark import StorageLevel
 
     narrow = ensure_min_partitions(emb).select(
         F.col(id_col).alias("id"),
         F.col(emb_col).cast("array<double>").alias("v"),
     )
+    # iterative working set: every Lloyd round re-scans this relation,
+    # so persist it once (memory, disk spill) instead of re-reading
+    # parquet + re-projecting per round — the canonical Spark iterative-
+    # algorithm pattern; released before returning the lazy final plan
+    # is NOT possible (the assignment scan still needs it), so the
+    # unpersist is blocking=False best-effort at GC.
+    narrow = narrow.persist(StorageLevel.MEMORY_AND_DISK)
     first = narrow.orderBy("id").limit(k).collect()
     centroids = np.array([r.v for r in first], dtype=np.float64)
     dim = centroids.shape[1]
