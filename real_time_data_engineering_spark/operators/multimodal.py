@@ -48,7 +48,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.LongType()),
         T.StructField("checksum", T.LongType()),
         T.StructField("mean_byte", T.DoubleType()),
-        T.StructField("feature_vec", T.ArrayType(T.FloatType())),
+        T.StructField("feature_vec", T.ArrayType(T.DoubleType())),
     ]
 )
 
@@ -79,13 +79,16 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """
 
     def fake_vec(payload: bytes, d: int) -> list[float]:
+        # exact-int accumulation + ONE float64 division per component:
+        # the same cross-engine-reproducible shape as the similarity
+        # kernels, so the fake is oracle-checkable byte-for-byte
         if not payload:
             return [0.0] * d
         acc = [0] * d
         for i, b in enumerate(payload):
             acc[i % d] += b
         n = len(payload)
-        return [round(a / n, 6) for a in acc]
+        return [a / n for a in acc]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

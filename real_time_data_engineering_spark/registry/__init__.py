@@ -57,20 +57,19 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # 50 registered queries (CORRECTNESS_r02.json cut q25/q26/q22/q23 — the
 # last 4 in registration order), so whatever the budget is (query count
 # or wall clock), REGISTRATION ORDER decides which checks make the
-# artifact. The tail below holds the weakest-information checks — q16
-# is a derivative summary of q3, doubly-green with unchanged code since
-# r1; q21/m1/m2 are rows-only by design (HLL sketch / binary media
-# kernels have no SQL oracle) — so every hash-checkable query lands
-# inside a 50-query budget and a truncation costs the least signal.
-# Round-3 additions (d21) also sit in the tail, AHEAD of the re-checks:
-# under a budget they must not evict a previously-green hash check, but
-# given room a first-ever check beats a re-confirmation.
+# artifact. The 50 queries green in earlier driver rounds keep the head
+# positions; the tail holds (in order of decreasing signal) the round-3
+# additions and upgrades — first-ever hash checks that must not evict a
+# previously-green one under a budget — then q16 (a derivative summary
+# of q3, doubly-green with unchanged code since r1) and finally q21,
+# the one remaining rows-only check (HLL sketch — approximate by
+# construction, accuracy property-tested instead).
 _DRIVER_TAIL = (
     "d21_simhash_neardup",
-    "q16_hourly_demand_summary",
-    "q21_approx_distinct",
     "m1_media_features",
     "m2_media_resize",
+    "q16_hourly_demand_summary",
+    "q21_approx_distinct",
 )
 
 

@@ -12,46 +12,126 @@ from ..sources.readers import load_table
 from . import register
 
 
+# ---------------------------------------------------------------------------
+# m1/m2 oracles. The media payload is the utf-8 byte encoding of `text`
+# (synthesize_media_from_documents) and the feature/resize fakes are
+# pure byte arithmetic, so DuckDB can mirror them exactly by walking
+# the payload's hex rendering two characters (= one byte) at a time:
+# hex(encode(text)) renders identically on both engines (verified:
+# uppercase, no separators), and strpos over a nibble alphabet converts
+# each pair back to its byte value. Everything downstream is exact-int
+# accumulation + one float64 divide — the repo-wide parity shape. The
+# REAL codec kernels (PIL/ffmpeg) stay documented stubs; what the
+# oracle checks is the Spark-side plumbing and the deterministic fake
+# the tests run on.
+# ---------------------------------------------------------------------------
+_NIBBLES = "'0123456789ABCDEF'"
+
+_M_PAYLOAD_BYTES = f"""
+WITH pay AS (
+  SELECT doc_id AS media_id, 'image' AS kind, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+), bytes AS (
+  SELECT media_id, i,
+         (strpos({_NIBBLES}, substr(hx, 2 * i - 1, 1)) - 1) * 16
+       + (strpos({_NIBBLES}, substr(hx, 2 * i, 1)) - 1) AS b
+  FROM pay, unnest(generate_series(1, n)) AS t(i)
+)"""
+
+_M1_ORACLE = (
+    _M_PAYLOAD_BYTES
+    + """, agg AS (
+  SELECT media_id, CAST(SUM(b) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS nb
+  FROM bytes GROUP BY 1
+), vec AS (
+  SELECT media_id, CAST((i - 1) % 8 AS INT) AS pos, CAST(SUM(b) AS BIGINT) AS acc
+  FROM bytes GROUP BY 1, 2
+)
+SELECT p.media_id, p.kind,
+       a.nb AS n_bytes,
+       a.total % 2147483648 AS checksum,
+       CAST(a.total AS DOUBLE) / CAST(a.nb AS DOUBLE) AS mean_byte,
+       v.pos,
+       CAST(v.acc AS DOUBLE) / CAST(a.nb AS DOUBLE) AS feature
+FROM pay p
+JOIN agg a ON a.media_id = p.media_id
+JOIN vec v ON v.media_id = p.media_id
+"""
+)
+
+
 @register(
     "m1_media_features",
-    None,
+    _M1_ORACLE,
     doc="Arrow-batched feature extraction over an opaque binary media column "
-    "(decode kernels stubbed — no codecs in container; plumbing real). "
-    "Rows-only check: mapInPandas output is not SQL-expressible in DuckDB.",
+    "(real codec decode stubbed — no codecs in container; plumbing real). "
+    "Value-checked: the registered projection explodes the feature vector "
+    "to (pos, feature) rows and DuckDB recomputes every byte-level stat "
+    "from the payload's hex rendering.",
 )
 def m1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = M.synthesize_media_from_documents(docs)
     feats = M.extract_features(media, dim=8)
-    # Registered projection serializes the vector: the driver's
-    # canonicalizer hashes row values and array columns are unhashable.
-    # Downstream consumers use extract_features directly for the typed
-    # array<float> column.
-    return feats.withColumn("feature_vec", F.to_json("feature_vec"))
+    # Registered projection explodes the vector: one (pos, feature) row
+    # per dimension, plain doubles — hashable by the driver and
+    # value-comparable against SQL, unlike a JSON-rendered float array
+    # (cross-engine float-to-string rendering is not stable). Downstream
+    # consumers use extract_features directly for the typed array.
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "checksum",
+        "mean_byte",
+        F.posexplode("feature_vec").alias("pos", "feature"),
+    )
+
+
+_M2_ORACLE = """
+WITH pay AS (
+  SELECT doc_id AS media_id, 'image' AS kind, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+), sel AS (
+  SELECT media_id, i, substr(hx, 2 * ((i * n) // 1024) + 1, 2) AS hp
+  FROM pay, unnest(generate_series(0, 1023)) AS t(i)
+), rez AS (
+  SELECT media_id, string_agg(hp, '' ORDER BY i) AS payload_hex
+  FROM sel GROUP BY 1
+)
+SELECT p.media_id, p.kind,
+       CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+       CAST(1024 AS INT) AS n_bytes,
+       r.payload_hex
+FROM pay p JOIN rez r ON r.media_id = p.media_id
+"""
 
 
 @register(
     "m2_media_resize",
-    None,
+    _M2_ORACLE,
     doc="Arrow-batched image resize over the opaque binary payload "
     "(pixel kernel is the documented deterministic byte-resampler stand-in "
     "— container lacks codecs; batch mechanics, pruned input and output "
-    "contract are the real plumbing). Rows-only check: binary kernel "
-    "output is not SQL-expressible in DuckDB.",
+    "contract are the real plumbing). Value-checked: DuckDB rebuilds the "
+    "index-scaled resample from the payload's hex rendering and compares "
+    "the full resized payload hex-for-hex.",
 )
 def m2_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = M.synthesize_media_from_documents(docs)
     resized = M.resize_images(media, width=32, height=32)
-    # registered projection digests the payload to scalars (driver
-    # canonicalizer contract; consumers use resize_images directly)
+    # registered projection renders the payload as hex (exact, both
+    # engines render identically); consumers use resize_images directly
     return resized.select(
         "media_id",
         "kind",
         "width",
         "height",
         F.length("payload").alias("n_bytes"),
-        F.md5("payload").alias("payload_md5"),
+        F.hex("payload").alias("payload_hex"),
     )
 
 
