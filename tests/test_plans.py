@@ -325,3 +325,26 @@ def test_blocked_allpairs_plans_one_shuffle_no_collectlimit(spark):
     plan = _physical(spark, "d7_embedding_neardup")
     assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan, plan
     assert "CollectLimit" not in plan, plan
+
+
+def test_no_registered_query_plans_a_cartesian_product(spark):
+    """Blanket 100 TB gate over the ENTIRE registered surface: no query
+    may plan an unbroadcast CartesianProduct — the one join shape that
+    is quadratic in cluster traffic no matter the data. The only
+    nested-loop joins allowed are broadcast ones, and only in the
+    similarity queries whose SEMANTICS are a deliberate fan-out of a
+    tiny broadcast side (query block / centroid routing) over the
+    corpus — the correct IVF/top-k shape."""
+    BROADCAST_FANOUT_OK = {
+        "s1_cosine_topk",
+        "s2_knn_label_vote",
+        "s3_ivf_topk",
+        "s5_ivf_topk_kmeans",
+    }
+    for name, spec in all_specs().items():
+        plan = spec.spark(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+        if name not in BROADCAST_FANOUT_OK:
+            assert "BroadcastNestedLoopJoin" not in plan, (
+                f"{name} plans a nested-loop join outside the sanctioned broadcast fan-outs"
+            )
