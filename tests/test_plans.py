@@ -348,3 +348,26 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
             assert "BroadcastNestedLoopJoin" not in plan, (
                 f"{name} plans a nested-loop join outside the sanctioned broadcast fan-outs"
             )
+
+
+def test_bench_contention_guard_detects_live_jvm(spark):
+    """bench.py's contention guard must see the live JVM this test
+    session is running — if it can't detect THIS process's Spark, it
+    cannot protect a real bench run from a contended measurement."""
+    import bench
+
+    sibs = bench._sibling_jvms()
+    assert sibs, "guard found no JVM while a SparkSession is active"
+    assert any("java" in s or "spark" in s.lower() for s in sibs), sibs
+
+
+def test_driver_tail_names_are_registered_and_last():
+    """_DRIVER_TAIL must reference real registry entries and all_specs()
+    must order them last — a renamed query would silently fall out of
+    the driver-budget ordering otherwise."""
+    from real_time_data_engineering_spark import registry
+
+    specs = registry.all_specs()
+    missing = [n for n in registry._DRIVER_TAIL if n not in specs]
+    assert not missing, f"_DRIVER_TAIL names not in registry: {missing}"
+    assert list(specs)[-len(registry._DRIVER_TAIL):] == list(registry._DRIVER_TAIL)
