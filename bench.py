@@ -130,6 +130,7 @@ def main() -> None:
         "d21_simhash_neardup",
         "s3_ivf_topk",
         "s5_ivf_topk_kmeans",
+        "s6_pq_topk",
         "m2_media_resize",
     ]
     extra_times: dict[str, float] = {}

@@ -644,6 +644,221 @@ def kmeans_assign(
     return (final, centroids) if with_centroids else final
 
 
+def pq_train_codes(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Product-quantization codebook training + encoding (Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search"): the vector is
+    split into ``m`` subvectors, each subspace gets its own k-means
+    codebook, and every vector compresses to ``m`` small codes — at
+    dim 64 / m=8 / k=16 that's 64 floats → 8 nibbles, the memory-side
+    ANN answer at 100 TB (the corpus index fits in RAM when raw
+    vectors cannot).
+
+    Deterministic contract (same as `kmeans_assign`, per subspace):
+    init = the k smallest-id vectors' subvectors; assignment tie-break
+    = lowest cluster; empty clusters keep their centroid; updates sum
+    QUANTIZED int64 components and divide once in float64.
+
+    Scale shape: ONE Arrow-batched pass per Lloyd round trains ALL m
+    subspaces simultaneously (per-round shuffle state is
+    O(m·k·sub_dim·partitions), never O(N)); codebooks ride in the
+    closure (m·k·sub_dim doubles — tiny); rounds are driver-bounded.
+
+    Returns (codes DataFrame (id_col, sub, code), codebooks ndarray
+    of shape (m, k, sub_dim)).
+    """
+    import numpy as np
+    from pyspark import StorageLevel
+
+    narrow = (
+        ensure_min_partitions(emb)
+        .select(F.col(id_col).alias("id"), F.col(emb_col).cast("array<double>").alias("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    first = narrow.orderBy("id").limit(k).collect()
+    full = np.array([r.v for r in first], dtype=np.float64)
+    dim = full.shape[1]
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    sub_dim = dim // m
+    # C[j][c] = subvector j of the c-th smallest-id vector
+    C = full.reshape(k, m, sub_dim).transpose(1, 0, 2).copy()
+
+    def partial_fn(cents):
+        Cc = cents.copy()
+
+        def go(it):
+            import numpy as _np
+            import pandas as _pd
+
+            mm, _kk, ss = Cc.shape
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                X = _np.array(list(pdf["v"]), dtype=_np.float64)
+                subs, cls, ns, sums = [], [], [], []
+                for j in range(mm):
+                    Xj = X[:, j * ss : (j + 1) * ss]
+                    d2 = ((Xj[:, None, :] - Cc[j][None, :, :]) ** 2).sum(axis=2)
+                    cl = d2.argmin(axis=1)  # first-min → lowest cluster
+                    Qj = _np.floor(Xj * QUANT_SCALE).astype(_np.int64)
+                    uk, cnt = _np.unique(cl, return_counts=True)
+                    for idx, c in enumerate(uk):
+                        subs.append(j)
+                        cls.append(int(c))
+                        ns.append(int(cnt[idx]))
+                        sums.append(Qj[cl == c].sum(axis=0))
+                yield _pd.DataFrame(
+                    {
+                        "sub": _np.array(subs, dtype="int32"),
+                        "cluster": _np.array(cls, dtype="int32"),
+                        "n": _np.array(ns, dtype="int64"),
+                        "s": sums,
+                    }
+                )
+
+        return go
+
+    for _ in range(max_iter):
+        partials = narrow.mapInPandas(
+            partial_fn(C), "sub int, cluster int, n bigint, s array<bigint>"
+        )
+        stats = (
+            partials.select("sub", "cluster", "n", F.posexplode("s").alias("pos", "sv"))
+            .groupBy("sub", "cluster", "pos")
+            .agg(F.sum("sv").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+        new_C = C.copy()
+        acc: dict = {}
+        cnt: dict = {}
+        for r in stats:
+            acc.setdefault((r.sub, r.cluster), np.zeros(sub_dim, dtype=np.float64))[r.pos] = float(r.s)
+            cnt[(r.sub, r.cluster)] = r.n
+        for (j, c), s_arr in acc.items():
+            new_C[j, c] = s_arr / (QUANT_SCALE * cnt[(j, c)])
+        if np.array_equal(new_C, C):
+            break
+        C = new_C
+
+    def codes_fn(cents):
+        Cc = cents.copy()
+
+        def go(it):
+            import numpy as _np
+            import pandas as _pd
+
+            mm, _kk, ss = Cc.shape
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                X = _np.array(list(pdf["v"]), dtype=_np.float64)
+                ids = pdf["id"].to_numpy(dtype=_np.int64)
+                n = len(X)
+                codes = _np.empty((n, mm), dtype=_np.int32)
+                for j in range(mm):
+                    Xj = X[:, j * ss : (j + 1) * ss]
+                    d2 = ((Xj[:, None, :] - Cc[j][None, :, :]) ** 2).sum(axis=2)
+                    codes[:, j] = d2.argmin(axis=1)
+                yield _pd.DataFrame(
+                    {
+                        "id": _np.repeat(ids, mm),
+                        "sub": _np.tile(_np.arange(mm, dtype=_np.int32), n),
+                        "code": codes.reshape(-1),
+                    }
+                )
+
+        return go
+
+    codes = narrow.mapInPandas(codes_fn(C), "id bigint, sub int, code int").select(
+        F.col("id").alias(id_col), "sub", "code"
+    )
+    return codes, C
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    m: int = 8,
+    k: int = 16,
+    max_iter: int = 5,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: the full train→encode→search path.
+
+    ADC (asymmetric distance computation): the query stays exact while
+    corpus vectors are looked up by code — distance estimate is
+    Σⱼ ‖qⱼ − Cⱼ[codeⱼ(v)]‖². Per query the lookup table is m·k cells
+    (tiny, broadcast); scoring touches the CODES relation (m small ints
+    per vector), never the raw vectors — that is the entire point of PQ
+    at scale.
+
+    Cross-engine exactness: the trained codebook is quantized with the
+    repo-standard floor(x·1e6) and the LUT + score are exact int64
+    sums, so ranking is bit-deterministic on any engine — the whole
+    composite (Lloyd rounds → codes → ADC) is DuckDB-oracle-checkable.
+    """
+    import numpy as np
+
+    codes, C = pq_train_codes(emb, m, k, max_iter, id_col, emb_col)
+    sub_dim = C.shape[2]
+    spark = emb.sparkSession
+    Cq = np.floor(C * QUANT_SCALE).astype(np.int64)
+    cb_rows = [
+        (j, c, [int(x) for x in Cq[j, c]]) for j in range(m) for c in range(k)
+    ]
+    cb = spark.createDataFrame(cb_rows, "sub int, cluster int, cq array<bigint>")
+    q = emb.filter(query_pred).select(F.col(id_col).alias("qid"), quantized(emb_col).alias("qq"))
+    qsub = q.select(
+        "qid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("sub"),
+                        F.slice("qq", j * sub_dim + 1, sub_dim).alias("qv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("x"),
+    ).select("qid", F.col("x.sub").alias("sub"), F.col("x.qv").alias("qv"))
+    lut = qsub.join(F.broadcast(cb), "sub").select(
+        "qid",
+        "sub",
+        "cluster",
+        F.aggregate(
+            F.zip_with("qv", "cq", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dist"),
+    )
+    cd = codes.select(F.col(id_col).alias("nid"), F.col("sub").alias("c_sub"), "code")
+    scored = (
+        cd.join(
+            F.broadcast(lut),
+            (cd.c_sub == lut.sub) & (cd.code == lut.cluster),
+        )
+        .filter(F.col("qid") != F.col("nid"))
+        .groupBy("qid", "nid")
+        .agg(F.sum("dist").cast("long").alias("est_dist"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("est_dist"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .select("qid", "nid", "est_dist", "rank")
+    )
+
+
 def ivf_topk_kmeans(
     emb: DataFrame,
     query_pred: Column,

@@ -66,6 +66,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # construction, accuracy property-tested instead).
 _DRIVER_TAIL = (
     "d21_simhash_neardup",
+    "s6_pq_topk",
     "m1_media_features",
     "m2_media_resize",
     "q16_hourly_demand_summary",

@@ -279,3 +279,108 @@ def s5_ivf_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe without any corpus shuffle)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ivf_topk_kmeans(emb, F.col("vec_id") < _N_QUERIES, k=5, n_probe=2, n_cells=10)
+
+
+# ---------------------------------------------------------------------------
+# s6 — product quantization (Jégou et al.): per-subspace Lloyd
+# codebooks → m-code compression → asymmetric-distance top-k. The
+# oracle unrolls the per-subspace Lloyd rounds exactly like s4's CTE
+# chain but keyed by (sub, cluster), quantizes the trained codebook
+# with floor(x·1e6), and scores with exact int64 LUT sums — the whole
+# train→encode→search composite is bit-deterministic on both engines.
+# Every CTE is MATERIALIZED (same inlining-blowup reason as s4).
+# ---------------------------------------------------------------------------
+
+
+def _pq_oracle(
+    k: int = 16,
+    iters: int = 5,
+    m: int = 8,
+    sub_dim: int = 8,
+    n_queries: int = 20,
+    topk: int = 5,
+) -> str:
+    head = f"""
+WITH pxu AS MATERIALIZED (
+  SELECT vec_id,
+         CAST((generate_subscripts(embedding, 1) - 1) // {sub_dim} AS INT) AS sub,
+         CAST((generate_subscripts(embedding, 1) - 1) % {sub_dim} AS INT) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+  FROM embeddings
+), pinit AS MATERIALIZED (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS INT) AS cluster
+  FROM embeddings ORDER BY vec_id ASC LIMIT {k}
+), pcent0 AS MATERIALIZED (
+  SELECT x.sub, ii.cluster, x.pos, x.v AS mval
+  FROM pinit ii JOIN pxu x ON x.vec_id = ii.vec_id
+)"""
+    rounds = []
+    for t in range(1, iters + 1):
+        rounds.append(f""", pd{t} AS MATERIALIZED (
+  SELECT x.vec_id, x.sub, c.cluster, SUM((x.v - c.mval) * (x.v - c.mval)) AS d2
+  FROM pxu x JOIN pcent{t - 1} c ON c.sub = x.sub AND c.pos = x.pos
+  GROUP BY 1, 2, 3
+), pasg{t} AS MATERIALIZED (
+  SELECT vec_id, sub, cluster FROM (
+    SELECT vec_id, sub, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, cluster ASC) AS rn
+    FROM pd{t}) WHERE rn = 1
+), pnc{t} AS MATERIALIZED (
+  SELECT a.sub, a.cluster, x.pos,
+         CAST(CAST(SUM(x.q) AS BIGINT) AS DOUBLE) / (1000000.0 * CAST(COUNT(*) AS DOUBLE)) AS m_new
+  FROM pasg{t} a JOIN pxu x ON x.vec_id = a.vec_id AND x.sub = a.sub
+  GROUP BY 1, 2, 3
+), pcent{t} AS MATERIALIZED (
+  SELECT p.sub, p.cluster, p.pos, COALESCE(n.m_new, p.mval) AS mval
+  FROM pcent{t - 1} p
+  LEFT JOIN pnc{t} n ON n.sub = p.sub AND n.cluster = p.cluster AND n.pos = p.pos
+)""")
+    tail = f""", pdF AS MATERIALIZED (
+  SELECT x.vec_id, x.sub, c.cluster, SUM((x.v - c.mval) * (x.v - c.mval)) AS d2
+  FROM pxu x JOIN pcent{iters} c ON c.sub = x.sub AND c.pos = x.pos
+  GROUP BY 1, 2, 3
+), pkasg AS MATERIALIZED (
+  SELECT vec_id, sub, cluster FROM (
+    SELECT vec_id, sub, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, cluster ASC) AS rn
+    FROM pdF) WHERE rn = 1
+), qcent AS MATERIALIZED (
+  SELECT sub, cluster, pos, CAST(floor(mval * 1000000.0) AS BIGINT) AS cq
+  FROM pcent{iters}
+), lut AS MATERIALIZED (
+  SELECT x.vec_id AS qid, x.sub, c.cluster,
+         CAST(SUM((x.q - c.cq) * (x.q - c.cq)) AS BIGINT) AS dist
+  FROM pxu x JOIN qcent c ON c.sub = x.sub AND c.pos = x.pos
+  WHERE x.vec_id < {n_queries}
+  GROUP BY 1, 2, 3
+), pscored AS (
+  SELECT l.qid, g.vec_id AS nid, CAST(SUM(l.dist) AS BIGINT) AS est_dist
+  FROM pkasg g JOIN lut l ON l.sub = g.sub AND l.cluster = g.cluster
+  WHERE g.vec_id <> l.qid
+  GROUP BY 1, 2
+)
+SELECT qid, nid, est_dist, rank FROM (
+  SELECT qid, nid, est_dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY est_dist ASC, nid ASC) AS BIGINT) AS rank
+  FROM pscored) WHERE rank <= {topk}
+"""
+    return head + "".join(rounds) + tail
+
+
+@register(
+    "s6_pq_topk",
+    _pq_oracle(k=16, iters=5, m=8, sub_dim=8, n_queries=_N_QUERIES, topk=5),
+    doc="Product-quantization ANN: per-subspace Lloyd codebooks (8 "
+    "subspaces × 16 centroids), vectors compressed to 8 codes, "
+    "asymmetric-distance top-k via an exact-int64 broadcast LUT — the "
+    "memory-side ANN path at 100 TB (the codes relation is ~8 bytes per "
+    "vector). Oracle = per-subspace unrolled-Lloyd CTEs composed with "
+    "the quantized LUT scoring; planted-duplicate recall is "
+    "property-tested in tests/test_fuzzy_ops.py.",
+)
+def s6_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 8×16 PQ codebooks, encode the corpus, answer the standard
+    20-query top-5 by asymmetric distance over codes only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.pq_adc_topk(emb, F.col("vec_id") < _N_QUERIES, m=8, k=16, max_iter=5, topk=5)

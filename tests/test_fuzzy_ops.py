@@ -331,3 +331,26 @@ def test_lsh_oracle_generator_mirrors_kernel_across_params(spark, embeddings):
             for r in con.sql(_lsh_pairs_oracle(thr, planes, bands)).fetchall()
         }
         assert got == want, f"planes={planes} bands={bands}: spark={len(got)} duck={len(want)}"
+
+
+def test_pq_adc_recovers_planted_duplicates(spark, embeddings):
+    """PQ is lossy, but a jittered copy of a vector must land in the
+    same cells subspace-by-subspace almost surely — so ADC must rank
+    the planted twin at (or within a hair of) the top for every query."""
+    jitter = F.transform(
+        "embedding",
+        lambda x, j: x * (1.0 + ((F.col("vec_id") + j) % 5 - 2).cast("double") / 2000.0),
+    )
+    copies = embeddings.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        jitter.cast("array<float>").alias("embedding"),
+        "label",
+    )
+    corpus = embeddings.select("vec_id", "embedding", "label").unionByName(copies)
+    got = S.pq_adc_topk(corpus, F.col("vec_id") < 100000, m=8, k=16, max_iter=5, topk=3)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r.qid, []).append(r.nid)
+    n_q = embeddings.count()
+    hits = sum(1 for qid, nids in by_q.items() if qid + 100000 in nids)
+    assert hits / n_q >= 0.9, f"planted-twin recall@3 {hits}/{n_q}"
