@@ -16,6 +16,7 @@ Closures are self-contained — executors never import this package.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 
 SESSION_SCHEMA = "user_id bigint, session_start timestamp, n_events bigint, duration_sec bigint"
@@ -92,4 +93,130 @@ def sessionize_stream(
         .applyInPandasWithState(
             fn, SESSION_SCHEMA, _STATE_SCHEMA, "append", GroupStateTimeout.EventTimeTimeout
         )
+    )
+
+
+NEARDUP_SCHEMA = "doc_id bigint, band int, dup_of bigint, est_jaccard double"
+_ND_STATE_SCHEMA = "ids array<bigint>, sigs array<string>"
+
+
+def neardup_filter_stream(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming near-duplicate filter: the d5 MinHash-LSH dedup ladder
+    as a CONTINUOUS operator — each arriving document is flagged when
+    its estimated Jaccard against ANY earlier document sharing one of
+    its LSH band buckets reaches ``threshold``. This is the shape a
+    production ingest dedup takes: the signature index lives in keyed
+    state, new data probes it, and nothing re-scans the corpus.
+
+    Construction mirrors the batch path exactly so the two are
+    equivalence-testable:
+
+    * signatures are the same md5 min-hashes — computed here as pure
+      array expressions (``array_min(transform(...))``: MIN is
+      duplicate-insensitive, so the non-distinct shingle array yields
+      the identical signature to the batch distinct-explode-groupBy,
+      without a streaming aggregation before the stateful op);
+    * band hashes are the same ``md5(concat_ws('|', sig…))``;
+    * the flag predicate ("∃ earlier doc sharing a band with full-
+      signature est ≥ τ") is the batch `minhash_candidate_pairs`
+      filter — bucket-mates ARE candidates and vice versa.
+
+    State per (band, band_hash) bucket = the ids+signatures seen there:
+    O(docs·bands) across the state store, hash-partitioned by bucket —
+    the honest memory cost of any streaming dedup index. Production
+    deployments bound it by retention (drop state for buckets idle
+    past the dedup horizon via a timeout) — kept unbounded here
+    because the batch-equivalence contract is over the full history.
+    Docs emit once per flagging band; consumers aggregate
+    ``max(est_jaccard)`` per doc (the equivalence test does exactly
+    that). Emission order inside a micro-batch is doc_id-sorted, so a
+    single-batch replay is arrival-order-independent.
+    """
+    from ..functions.text import tokens, word_ngrams_tokens
+
+    rows = k // bands
+    arr = word_ngrams_tokens(tokens(F.col(text_col)), n)
+
+    def sig(i: int):
+        # seed captured via factory closure, NOT a lambda default arg:
+        # `lambda s, i=i` has arity 2, which F.transform interprets as
+        # (element, array_index) — the seed would silently become the
+        # element index and every signature would be wrong
+        return F.array_min(
+            F.transform(F.col("_sh"), lambda s: F.md5(F.concat_ws("|", F.lit(str(i)), s)))
+        )
+
+    wide = (
+        docs.select(F.col(id_col).alias("doc_id"), arr.alias("_sh"))
+        .filter(F.size("_sh") > 0)  # <n-token docs have no signature (batch parity)
+        .select("doc_id", *[sig(i).alias(f"sig_{i}") for i in range(k)])
+    )
+    sigcat = F.concat_ws("|", *[F.col(f"sig_{i}") for i in range(k)])
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"sig_{i}") for i in range(b * rows, (b + 1) * rows)])
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    exploded = wide.select("doc_id", sigcat.alias("sigcat"), F.explode(band_structs).alias("bb")).select(
+        "doc_id", "sigcat", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
+    )
+    thr = float(threshold)
+    kk = int(k)
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        incoming = []
+        for pdf in pdfs:
+            incoming.extend(zip(pdf["doc_id"].tolist(), pdf["sigcat"].tolist()))
+        incoming.sort()  # doc_id order: deterministic within a micro-batch
+        if state.exists:
+            ids, sigs = state.get
+            ids, sigs = list(ids), list(sigs)
+        else:
+            ids, sigs = [], []
+        out_id, out_dup, out_est = [], [], []
+        for did, sc in incoming:
+            parts = sc.split("|")
+            best = None
+            for eid, esc in zip(ids, sigs):
+                m = sum(1 for a, b in zip(parts, esc.split("|")) if a == b)
+                est = m / kk
+                if est >= thr and (
+                    best is None or est > best[1] or (est == best[1] and eid < best[0])
+                ):
+                    best = (eid, est)
+            if best is not None:
+                out_id.append(did)
+                out_dup.append(best[0])
+                out_est.append(best[1])
+            ids.append(did)
+            sigs.append(sc)
+        state.update((ids, sigs))
+        if out_id:
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_id,
+                    "band": [key[0]] * len(out_id),
+                    "dup_of": out_dup,
+                    "est_jaccard": out_est,
+                }
+            )
+
+    return exploded.groupBy("band", "band_hash").applyInPandasWithState(
+        fn, NEARDUP_SCHEMA, _ND_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
     )

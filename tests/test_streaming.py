@@ -483,3 +483,83 @@ def test_read_events_stream_handles_both_timestamp_resolutions(spark, tmp_path):
     assert a == b and len(a) == 4
     years = {ts.year for _, ts in a}
     assert years == {2024}, years
+
+
+def test_streaming_neardup_filter_matches_batch(spark, tmp_path):
+    """The stateful MinHash dedup filter must flag EXACTLY the docs the
+    batch candidate ladder flags (a doc with an earlier bucket-mate at
+    est_jaccard >= threshold), with identical best estimates."""
+    from real_time_data_engineering_spark.operators import dedup as D
+    from real_time_data_engineering_spark.streaming.stateful import neardup_filter_stream
+
+    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(150)
+    dup = base.unionByName(
+        base.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    src = str(tmp_path / "docs_stream")
+    dup.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(dup.schema).parquet(src)
+    flagged = neardup_filter_stream(stream, threshold=0.5)
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("neardup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got_rows = spark.sql("SELECT * FROM neardup_out").collect()
+    got = {}
+    for r in got_rows:
+        got[r.doc_id] = max(got.get(r.doc_id, 0.0), r.est_jaccard)
+
+    # batch twin: flag d iff an earlier doc shares a band bucket with
+    # full-signature est >= threshold; best estimate = max over those
+    cand = D.minhash_candidate_pairs(dup.cache()).filter(F.col("est_jaccard") >= 0.5)
+    want = {
+        r.d2: r.best
+        for r in cand.groupBy("d2").agg(F.max("est_jaccard").alias("best")).collect()
+    }
+    assert set(got) == set(want), (
+        f"flag sets differ: stream-only={set(got) - set(want)} batch-only={set(want) - set(got)}"
+    )
+    for d, est in want.items():
+        assert abs(got[d] - est) < 1e-12, (d, got[d], est)
+    # every planted copy must be flagged (est 1.0 against its original)
+    for r in base.collect():
+        assert got.get(r.doc_id + 100000) == 1.0
+
+
+def test_streaming_neardup_state_survives_micro_batches(spark, tmp_path):
+    """Same contract across TWO micro-batches: originals arrive first,
+    copies arrive in a later file — every copy must be flagged against
+    state persisted from the earlier batch."""
+    from real_time_data_engineering_spark.streaming.stateful import neardup_filter_stream
+
+    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(80)
+    src = tmp_path / "docs_stream2"
+    base.coalesce(1).write.mode("overwrite").parquet(str(src / "b0"))
+    base.select((F.col("doc_id") + 100000).alias("doc_id"), "text").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "b1"))
+
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    flagged = neardup_filter_stream(stream, threshold=0.5)
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("neardup_mb")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r.doc_id: r.est_jaccard for r in spark.sql("SELECT * FROM neardup_mb").collect()}
+    for r in base.collect():
+        assert got.get(r.doc_id + 100000) == 1.0, f"copy of {r.doc_id} not flagged cross-batch"
