@@ -553,7 +553,14 @@ def kmeans_assign(
     import numpy as np
     from pyspark import StorageLevel
 
-    narrow = ensure_min_partitions(emb).select(
+    # NO ensure_min_partitions here, deliberately: Lloyd's per-row work
+    # is a handful of flops (k·dim distance terms), so a small compact
+    # corpus gains nothing from a 32-way fan-out — it pays 32 task
+    # overheads per ROUND (10 rounds × 32 tasks dominated s5's wall
+    # time at bench scale). A real lake scan arrives with its natural
+    # file/row-group parallelism, which is exactly right for a
+    # bandwidth-bound pass.
+    narrow = emb.select(
         F.col(id_col).alias("id"),
         F.col(emb_col).cast("array<double>").alias("v"),
     )
@@ -676,9 +683,11 @@ def pq_train_codes(
     import numpy as np
     from pyspark import StorageLevel
 
+    # natural partitioning, same reasoning as kmeans_assign: per-row
+    # Lloyd work is tiny, so fanning a compact corpus out to 32 tasks
+    # costs more in per-round scheduling than it buys in parallelism
     narrow = (
-        ensure_min_partitions(emb)
-        .select(F.col(id_col).alias("id"), F.col(emb_col).cast("array<double>").alias("v"))
+        emb.select(F.col(id_col).alias("id"), F.col(emb_col).cast("array<double>").alias("v"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     first = narrow.orderBy("id").limit(k).collect()
