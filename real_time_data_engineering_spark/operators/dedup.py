@@ -410,13 +410,32 @@ def simhash_neardup_pairs(
 
     Returns (d1, d2, hamming), d1 < d2, hamming ≤ max_hamming.
     """
+    sig = simhash_int(df, n_bits, text_col, id_col)
+    return hamming_neardup_pairs(sig, max_hamming, bands, n_bits, id_col=id_col)
+
+
+def hamming_neardup_pairs(
+    sig: DataFrame,
+    max_hamming: int = 2,
+    bands: int = 4,
+    n_bits: int = 32,
+    sig_col: str = "simhash",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The block-permutation pairing core over ANY integer-signature
+    frame (id_col, sig_col): this is what `simhash_neardup_pairs`
+    composes with the md5-vote signature, and what the production
+    64-bit path composes with `simhash64` (n_bits=64, 16-bit blocks —
+    pigeonhole counts blocks, not bits, so 4 blocks still guarantee
+    hamming < 4 recall). Same contract: EXACT for max_hamming < bands.
+    """
     if max_hamming >= bands:
         raise ValueError(f"pigeonhole exactness needs max_hamming < bands, got {max_hamming} >= {bands}")
     if n_bits % bands:
         raise ValueError(f"bands must divide n_bits, got {n_bits} % {bands}")
     width = n_bits // bands
     mask = (1 << width) - 1
-    sig = simhash_int(df, n_bits, text_col, id_col)
+    sig = sig.select(F.col(id_col), F.col(sig_col).alias("simhash"))
     banded = sig.select(
         F.col(id_col),
         F.col("simhash"),

@@ -354,3 +354,24 @@ def test_pq_adc_recovers_planted_duplicates(spark, embeddings):
     n_q = embeddings.count()
     hits = sum(1 for qid, nids in by_q.items() if qid + 100000 in nids)
     assert hits / n_q >= 0.9, f"planted-twin recall@3 {hits}/{n_q}"
+
+
+def test_hamming_pairing_core_on_simhash64(spark, documents):
+    """The pairing core must be pigeonhole-exact on the PRODUCTION
+    64-bit xxhash64 signatures too (16-bit blocks, hamming <= 3),
+    including negative longs (bit 63 set) through shift/mask/xor."""
+    sig = D.simhash64(documents)
+    got = {
+        (r.d1, r.d2): r.hamming
+        for r in D.hamming_neardup_pairs(sig, max_hamming=3, bands=4, n_bits=64).collect()
+    }
+    rows = sig.collect()
+    brute = {}
+    for i, a in enumerate(rows):
+        for b in rows[i + 1 :]:
+            h = bin((a.simhash ^ b.simhash) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                k = (a.doc_id, b.doc_id) if a.doc_id < b.doc_id else (b.doc_id, a.doc_id)
+                brute[k] = h
+    assert got == brute
+    assert any(r.simhash < 0 for r in rows), "corpus should exercise negative longs"
