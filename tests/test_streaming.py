@@ -563,3 +563,41 @@ def test_streaming_neardup_state_survives_micro_batches(spark, tmp_path):
     got = {r.doc_id: r.est_jaccard for r in spark.sql("SELECT * FROM neardup_mb").collect()}
     for r in base.collect():
         assert got.get(r.doc_id + 100000) == 1.0, f"copy of {r.doc_id} not flagged cross-batch"
+
+
+def test_streaming_neardup_state_survives_restart(spark, tmp_path):
+    """Stop the query after the originals, RESTART from the checkpoint,
+    then stream the copies: flags must come from state recovered off
+    the state store, not from anything in-memory."""
+    from real_time_data_engineering_spark.streaming.stateful import neardup_filter_stream
+
+    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(60)
+    src = tmp_path / "docs_stream3"
+    ck = str(tmp_path / "ck3")
+    base.coalesce(1).write.mode("overwrite").parquet(str(src / "b0"))
+
+    out = str(tmp_path / "flags_out")
+
+    def run_once():
+        # memory sink does not support checkpoint recovery; a file sink
+        # is the fault-tolerant shape a real pipeline uses anyway
+        stream = spark.readStream.schema(base.schema).parquet(str(src / "b*"))
+        q = (
+            neardup_filter_stream(stream, threshold=0.5)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    base.select((F.col("doc_id") + 100000).alias("doc_id"), "text").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "b1"))
+    run_once()
+    got = {r.doc_id: r.est_jaccard for r in spark.read.parquet(out).collect()}
+    for r in base.collect():
+        assert got.get(r.doc_id + 100000) == 1.0, f"copy of {r.doc_id} not flagged after restart"
