@@ -132,6 +132,7 @@ def main() -> None:
         "s5_ivf_topk_kmeans",
         "s6_pq_topk",
         "m2_media_resize",
+        "m3_frame_sample",
     ]
     extra_times: dict[str, float] = {}
     for name in EXTRA:

@@ -130,10 +130,60 @@ def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:  # pragma: no cover
-    """Video frame sampling stub — requires ffmpeg bindings; the operator
-    contract (one row per sampled frame, frame_idx column) is fixed here."""
-    raise NotImplementedError("frame sampling requires ffmpeg; container lacks codecs")
+FRAME_BYTES = 256  # fake-codec frame granule (real path: decoder-determined)
+
+
+def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """Video frame sampling over the opaque payload — Spark plumbing
+    real (Arrow-batched ``mapInPandas``, pruned input, one output row
+    per sampled frame), codec stubbed: the real path seeks keyframes
+    with ffmpeg bindings (absent in this container); the deterministic
+    stand-in treats the payload as a stream of ``FRAME_BYTES``-sized
+    frames and emits every ``every_n``-th one. Output contract
+    (media_id, kind, frame_idx, n_frames, frame payload) is what the
+    real decoder fills identically.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fb = FRAME_BYTES
+
+        def frames(p):
+            if not p:
+                return []
+            n_frames = len(p) // fb
+            return [
+                (f, n_frames, p[f * fb : (f + 1) * fb]) for f in range(0, n_frames, every_n)
+            ]
+
+        for pdf in it:
+            out_id, out_kind, out_idx, out_n, out_frame = [], [], [], [], []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                for f, n_frames, frame in frames(payload):
+                    out_id.append(mid)
+                    out_kind.append(kind)
+                    out_idx.append(f)
+                    out_n.append(n_frames)
+                    out_frame.append(frame)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out_id, dtype="int64"),
+                    "kind": pd.Series(out_kind, dtype="object"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "n_frames": pd.Series(out_n, dtype="int32"),
+                    "frame": pd.Series(out_frame, dtype="object"),
+                }
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+    return media.select("media_id", "kind", "payload").mapInPandas(batches, out_schema)
 
 
 def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:

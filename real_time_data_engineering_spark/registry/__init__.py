@@ -69,6 +69,7 @@ _DRIVER_TAIL = (
     "s6_pq_topk",
     "m1_media_features",
     "m2_media_resize",
+    "m3_frame_sample",
     "q16_hourly_demand_summary",
     "q21_approx_distinct",
 )

@@ -203,3 +203,40 @@ def q24_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("dbt_valid_from", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_from"),
         F.date_format("dbt_valid_to", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_to"),
     )
+
+
+_M3_ORACLE = """
+WITH pay AS (
+  SELECT doc_id AS media_id, 'image' AS kind, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+), fr AS (
+  SELECT media_id, kind,
+         CAST(f AS INT) AS frame_idx,
+         CAST(n // 256 AS INT) AS n_frames,
+         substr(hx, f * 512 + 1, 512) AS frame_hex
+  FROM pay, unnest(generate_series(0, greatest(n // 256 - 1, 0))) AS t(f)
+  WHERE n // 256 > 0 AND f % 4 = 0
+)
+SELECT media_id, kind, frame_idx, n_frames, frame_hex FROM fr
+"""
+
+
+@register(
+    "m3_frame_sample",
+    _M3_ORACLE,
+    doc="Video frame sampling over the opaque binary payload (real "
+    "decoder needs ffmpeg — absent; the deterministic stand-in emits "
+    "every 4th 256-byte frame granule). Plumbing real: Arrow-batched "
+    "mapInPandas, pruned input, one row per sampled frame. "
+    "Value-checked: DuckDB slices the same frames out of the payload's "
+    "hex rendering (one frame = 512 hex chars).",
+)
+def m3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.synthesize_media_from_documents(docs)
+    frames = M.sample_frames(media, every_n=4)
+    # registered projection renders the frame as hex (exact both engines)
+    return frames.select(
+        "media_id", "kind", "frame_idx", "n_frames", F.hex("frame").alias("frame_hex")
+    )

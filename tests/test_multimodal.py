@@ -60,8 +60,6 @@ def test_column_pruning_reaches_scan(spark, media, tmp_path):
 def test_decode_stub_is_gated(media):
     with pytest.raises(NotImplementedError):
         M._decode_image(b"xx", "jpeg")
-    with pytest.raises(NotImplementedError):
-        M.sample_frames(media)
 
 
 def test_resize_images_contract(spark):
@@ -79,3 +77,26 @@ def test_resize_images_contract(spark):
     assert (out[1].width, out[1].height) == (4, 3)
     again = {r.media_id: bytes(r.payload) for r in M.resize_images(media, width=4, height=3).collect()}
     assert again[1] == bytes(out[1].payload)
+
+
+def test_frame_sampling_slices_and_strides(spark, load):
+    """m3 plumbing: every emitted frame must be the exact FRAME_BYTES
+    slice at its index, indices stride by every_n, and sub-frame
+    payloads emit nothing."""
+    from real_time_data_engineering_spark.operators import multimodal as M
+
+    docs = load("documents").limit(40)
+    media = M.synthesize_media_from_documents(docs)
+    out = M.sample_frames(media, every_n=4).collect()
+    texts = {r.doc_id: r.text.encode("utf-8") for r in docs.collect()}
+    fb = M.FRAME_BYTES
+    seen = {}
+    for r in out:
+        p = texts[r.media_id]
+        assert r.n_frames == len(p) // fb
+        assert r.frame_idx % 4 == 0
+        assert bytes(r.frame) == p[r.frame_idx * fb : (r.frame_idx + 1) * fb]
+        seen.setdefault(r.media_id, set()).add(r.frame_idx)
+    for mid, p in texts.items():
+        want = set(range(0, len(p) // fb, 4))
+        assert seen.get(mid, set()) == want, mid
