@@ -14,12 +14,15 @@ the threshold (pass `partition_filter`), never the whole lake.
 Table-format note: these are the plain-parquet emulations of Delta
 MERGE / OPTIMIZE / dynamic overwrite (and Iceberg rewrite_data_files /
 snapshot expiry). delta-spark is NOT available in this environment
-(verified: no package, no jars, no network), so ACID commit,
-concurrent-reader snapshot isolation and VACUUM retention are out of
-scope here; the operator semantics are written so a Delta backend can
-replace the staging-swap bodies without touching any caller
-(merge_upsert ≙ MERGE INTO, incremental_overwrite ≙
-replaceWhere/dynamic overwrite, compact_parquet ≙ OPTIMIZE).
+(verified: no package, no jars, no network); the operator semantics
+are written so a Delta backend can replace the staging-swap bodies
+without touching any caller (merge_upsert ≙ MERGE INTO,
+incremental_overwrite ≙ replaceWhere/dynamic overwrite,
+compact_parquet ≙ OPTIMIZE). For the COMMIT-PROTOCOL side the formats
+provide — snapshot isolation, atomic metadata swap, time travel,
+optimistic concurrency, expire/vacuum retention — see
+`operators.manifest.ManifestTable`, which implements it directly on
+the filesystem (no library needed).
 """
 
 from __future__ import annotations
