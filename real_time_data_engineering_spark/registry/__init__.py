@@ -70,6 +70,7 @@ _DRIVER_TAIL = (
     "m1_media_features",
     "m2_media_resize",
     "m3_frame_sample",
+    "q28_trailing_window",
     "q16_hourly_demand_summary",
     "q21_approx_distinct",
 )

@@ -697,3 +697,60 @@ def q27_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.95)").alias("p95"),
         F.expr("percentile(value, 0.99)").alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q28 — trailing 7-day revenue window over the daily series: a RANGE
+# frame keyed on the DATE AXIS, not row position. Distinct from q5's
+# ROWS frames: gaps in the calendar shrink the window (a day with only
+# 3 preceding days within a week averages over what exists), which a
+# ROWS BETWEEN 6 PRECEDING frame gets wrong whenever dates are sparse.
+# Both engines frame on an integer day index (days since epoch) so the
+# RANGE arithmetic is exact; the trailing SUM stays decimal-exact and
+# the average is the one final float64 divide.
+# ---------------------------------------------------------------------------
+_Q28_ORACLE = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS order_date,
+         CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day_idx,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+  FROM orders GROUP BY 1, 2
+)
+SELECT order_date,
+       CAST(rev AS DOUBLE) AS daily_revenue,
+       CAST(SUM(rev) OVER w AS DOUBLE) AS trailing_7d_revenue,
+       CAST(COUNT(*) OVER w AS BIGINT) AS days_in_window,
+       CAST(SUM(rev) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE)
+           AS trailing_7d_avg
+FROM d
+WINDOW w AS (ORDER BY day_idx RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "q28_trailing_window",
+    _Q28_ORACLE,
+    doc="Trailing 7-day revenue via a RANGE frame on the date axis — "
+    "the time-interval window-frame class (calendar gaps shrink the "
+    "window; ROWS frames cannot express this). Exact decimal trailing "
+    "sum, one float64 divide for the average.",
+)
+def q28_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing revenue sum/avg per day (RANGE frame, gap-aware)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.to_date("o_orderdate").alias("order_date"),
+        F.unix_date(F.to_date("o_orderdate")).alias("day_idx"),
+    ).agg(F.sum(money("o_totalprice")).alias("rev"))
+    # global RANGE window over the per-day aggregate (bounded rows; see
+    # q5's note — partition by year + stitch at 100×)
+    w = Window.orderBy("day_idx").rangeBetween(-6, 0)
+    return d.select(
+        "order_date",
+        F.col("rev").cast("double").alias("daily_revenue"),
+        F.sum("rev").over(w).cast("double").alias("trailing_7d_revenue"),
+        F.count("*").over(w).alias("days_in_window"),
+        (F.sum("rev").over(w).cast("double") / F.count("*").over(w).cast("double")).alias(
+            "trailing_7d_avg"
+        ),
+    )
