@@ -71,6 +71,7 @@ _DRIVER_TAIL = (
     "m2_media_resize",
     "m3_frame_sample",
     "q28_trailing_window",
+    "d22_dup_span_coverage",
     "q16_hourly_demand_summary",
     "q21_approx_distinct",
 )

@@ -701,3 +701,87 @@ def d19_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return S.embedding_neardup_lsh(emb, threshold=0.45, planes=64, bands=8)
+
+
+# ---------------------------------------------------------------------------
+# d22 — exact-substring duplication coverage (the span-level signal
+# behind "Deduplicating Training Data Makes Language Models Better",
+# Lee et al. 2022): for every document, the fraction of its characters
+# covered by some 8-char window that ALSO appears in another document.
+# Pair listings (d2/d8/d21) say WHICH docs collide; this says HOW MUCH
+# of each doc is duplicated text — the signal span-removal pipelines
+# act on. Distributed shape: one gram-hash shuffle (doc-frequency) +
+# one span explode; the exact union-of-intervals is computed as
+# DISTINCT covered character positions, so overlapping spans are not
+# double-counted. Suffix arrays do this on one machine; the gram-hash
+# join is the shape that distributes.
+# ---------------------------------------------------------------------------
+_D22_ORACLE = """
+WITH base AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+  FROM documents
+), grams AS (
+  SELECT doc_id, i, md5(substr(norm, i, 8)) AS h
+  FROM base, unnest(generate_series(1, greatest(length(norm) - 7, 0))) AS t(i)
+), df AS (
+  SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
+), cov AS (
+  SELECT g.doc_id, COUNT(DISTINCT p.pos) AS covered_chars
+  FROM grams g
+  JOIN df ON df.h = g.h
+  CROSS JOIN unnest(generate_series(0, 7)) AS s(off)
+  CROSS JOIN LATERAL (SELECT g.i + s.off AS pos) p
+  GROUP BY 1
+)
+SELECT b.doc_id,
+       CAST(length(b.norm) AS BIGINT) AS n_chars,
+       CAST(COALESCE(c.covered_chars, 0) AS BIGINT) AS covered_chars,
+       CAST(COALESCE(c.covered_chars, 0) AS DOUBLE) / CAST(length(b.norm) AS DOUBLE)
+           AS dup_coverage,
+       COALESCE(c.covered_chars, 0) >= 0.5 * length(b.norm) AS is_flagged
+FROM base b LEFT JOIN cov c ON c.doc_id = b.doc_id
+"""
+
+
+@register(
+    "d22_dup_span_coverage",
+    _D22_ORACLE,
+    doc="Exact-substring duplication coverage per document: fraction of "
+    "characters inside an 8-gram shared with ANOTHER document, spans "
+    "unioned exactly via distinct covered positions. One gram-hash "
+    "shuffle + one bounded span explode; flag at 50% coverage.",
+)
+def d22_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of each doc is text duplicated elsewhere in the corpus
+    (the span-level dedup signal, not just a pair verdict)."""
+    from ..functions.text import normalize_text
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", normalize_text("text").alias("norm"))
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("transform(sequence(1, greatest(length(norm) - 7, 0)), i -> md5(substr(norm, i, 8)))")
+        ).alias("p0", "h"),
+    ).select("doc_id", (F.col("p0") + 1).alias("i"), "h")
+    df_dup = grams.groupBy("h").agg(F.countDistinct("doc_id").alias("nd")).filter(F.col("nd") > 1)
+    cov = (
+        grams.join(df_dup.select("h"), "h")
+        .select("doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + 7)).alias("pos"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("pos").alias("covered_chars"))
+    )
+    out = base.join(cov, "doc_id", "left").select(
+        "doc_id",
+        F.length("norm").cast("long").alias("n_chars"),
+        F.coalesce(F.col("covered_chars"), F.lit(0)).cast("long").alias("covered_chars"),
+        (
+            F.coalesce(F.col("covered_chars"), F.lit(0)).cast("double")
+            / F.length("norm").cast("double")
+        ).alias("dup_coverage"),
+        (
+            F.coalesce(F.col("covered_chars"), F.lit(0))
+            >= F.lit(0.5) * F.length("norm")
+        ).alias("is_flagged"),
+    )
+    return out
