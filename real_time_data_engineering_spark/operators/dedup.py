@@ -583,10 +583,20 @@ def connected_components(
             edges.join(labels, edges.s == labels.node)
             .select(F.col("t").alias("node"), "label")
         )
+        labels = labels.unionByName(prop).groupBy("node").agg(F.min("label").alias("label"))
+        # path halving (pointer jumping): every label is itself a node,
+        # so following the label's own label doubles propagation reach —
+        # chains converge in O(log diameter) rounds instead of diameter
+        # rounds (at 0.4s of job overhead per round, a 12-hop chain cost
+        # 12 rounds before this). Monotone-min is preserved, so the
+        # label-sum convergence probe is unchanged.
+        hop = labels.select(F.col("node").alias("pnode"), F.col("label").alias("plabel"))
         labels = (
-            labels.unionByName(prop)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            labels.join(hop, labels.label == hop.pnode, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("plabel", "label")).alias("label"),
+            )
             .localCheckpoint(eager=True)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
