@@ -247,3 +247,31 @@ def test_cdc_materialize_matches_python_replay(spark, ops):
         else:
             state[k] = v
     assert got == state
+
+
+def test_range_frame_shrinks_over_calendar_gaps(spark):
+    """q28's RANGE frame must be keyed on the date axis: after a 10-day
+    gap the trailing window contains ONLY the current day, where a ROWS
+    BETWEEN 6 PRECEDING frame would wrongly reach across the gap."""
+    import datetime as dt
+    import unittest.mock as mock
+
+    from real_time_data_engineering_spark.registry import get
+    import real_time_data_engineering_spark.registry.analytics as RA
+
+    rows = [
+        (dt.date(2024, 1, 1), 100.0),
+        (dt.date(2024, 1, 2), 100.0),
+        (dt.date(2024, 1, 3), 100.0),
+        (dt.date(2024, 1, 20), 70.0),  # 10+ day gap
+        (dt.date(2024, 1, 22), 30.0),
+    ]
+    orders = spark.createDataFrame(
+        [(d, v) for d, v in rows], "o_orderdate date, o_totalprice double"
+    )
+    with mock.patch.object(RA, "load_table", lambda *_a, **_k: orders):
+        out = {r.order_date: (r.days_in_window, r.trailing_7d_revenue)
+               for r in get("q28_trailing_window").spark(spark, "ignored").collect()}
+    assert out[dt.date(2024, 1, 3)] == (3, 300.0)
+    assert out[dt.date(2024, 1, 20)] == (1, 70.0), "gap must reset the window"
+    assert out[dt.date(2024, 1, 22)] == (2, 100.0), "in-range prior day joins the window"

@@ -109,3 +109,39 @@ def test_leakage_safe_split_invariants(spark):
         by_key.setdefault(r.cluster_key, set()).add(r.split)
     assert all(len(s) == 1 for s in by_key.values())  # no cluster straddles
     assert {r.split for r in out} == {"train", "val", "test"}
+
+
+def test_dup_span_coverage_planted_semantics(spark):
+    """d22 semantics on a constructed corpus: a doc fully copied into a
+    larger doc is 100% covered; the host doc is covered exactly over
+    the copied span (plus its 8-gram bridge windows); a unique doc is
+    0% covered and unflagged."""
+    from real_time_data_engineering_spark.registry import get
+
+    import real_time_data_engineering_spark.registry.dedup_text as R
+
+    copied = "alpha beta gamma delta epsilon zeta eta theta"
+    host = "unique prefix words here " + copied
+    loner = "completely different standalone content with zero overlap"
+    docs = spark.createDataFrame(
+        [(1, copied), (2, host), (3, loner)], "doc_id long, text string"
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = {
+        int(r[0]): (int(r[1]), int(r[2]), bool(r[4]))
+        for r in con.sql(R._D22_ORACLE).fetchall()
+    }
+    # Spark side over the same frame (bypass load_table: in-memory corpus)
+    import unittest.mock as mock
+
+    with mock.patch.object(R, "load_table", lambda *_a, **_k: docs):
+        got_df = get("d22_dup_span_coverage").spark(spark, "ignored")
+    got = {r.doc_id: (r.n_chars, r.covered_chars, r.is_flagged) for r in got_df.collect()}
+    assert got == want
+    assert got[1][1] == got[1][0], "fully-copied doc must be 100% covered"
+    assert got[1][2] is True
+    assert got[3] == (len(loner), 0, False)
+    assert 0 < got[2][1] < got[2][0], "host doc is partially covered"
