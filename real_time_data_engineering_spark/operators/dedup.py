@@ -254,7 +254,12 @@ def minhash_candidate_pairs(
     survivors.
     """
     rows = k // bands
-    wide = minhash_signatures_wide(df, n, k, text_col, id_col).cache()
+    # corpus-scaled reuse (N rows × k digests, read by the band join's
+    # two sides + both signature joins) → DISK_ONLY per the repo cache
+    # policy: spill-backed, never executor memory pressure
+    wide = minhash_signatures_wide(df, n, k, text_col, id_col).persist(
+        StorageLevel.DISK_ONLY
+    )
     # band_hash per band straight from the wide columns (no extra shuffle);
     # band index = floor(seed / rows) on both engines.
     stack_args = ", ".join(
