@@ -208,3 +208,39 @@ class ManifestTable:
                     os.remove(os.path.join(root, n))
                     removed.append(rel)
         return removed
+
+
+def write_stream_to_manifest(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Streaming sink with exactly-once commits on the manifest log —
+    the mechanism a Delta streaming sink uses, reproduced on the
+    manifest protocol: every micro-batch appends ONE snapshot tagged
+    with its batch id, and a replayed batch (foreachBatch reruns after
+    a crash between sink write and checkpoint commit) is detected in
+    the log and skipped, so rows land exactly once no matter where the
+    failure hits. Single-writer per stream; a concurrent committer
+    surfaces as CommitConflict rather than silent corruption.
+
+    Returns the started StreamingQuery (caller awaits/stops).
+    """
+    table = ManifestTable(table_path)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tag = f"stream-append:{batch_id}"
+        committed = {table.snapshot(v).operation for v in table.versions()}
+        if tag in committed:
+            return  # replayed batch: already durable, exactly-once holds
+        files = table._stage(batch_df)
+        base = table.snapshot()
+        table._commit(base.version + 1, list(base.files) + files, tag)
+
+    writer = stream.writeStream.foreachBatch(commit_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -139,3 +139,44 @@ def test_manifest_listing_never_trusts_directory_state(spark, nation, tmp_path):
     before = t.read(spark).count()
     nation.limit(7).write.mode("overwrite").parquet(str(tmp_path / "t" / "junk"))
     assert t.read(spark).count() == before
+
+
+def test_streaming_sink_commits_exactly_once(spark, nation, tmp_path):
+    """foreachBatch → manifest commits: all rows land; a REPLAYED batch
+    (the crash-between-sink-and-checkpoint case) is detected in the log
+    and skipped, so nothing duplicates."""
+    from real_time_data_engineering_spark.operators.manifest import (
+        ManifestTable,
+        write_stream_to_manifest,
+    )
+
+    src = tmp_path / "stream_src"
+    nation.limit(10).coalesce(1).write.mode("overwrite").parquet(str(src / "f0"))
+    nation.filter(F.col("n_nationkey") >= 10).coalesce(1).write.mode("overwrite").parquet(
+        str(src / "f1")
+    )
+    stream = (
+        spark.readStream.schema(nation.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    tpath = str(tmp_path / "t")
+    q = write_stream_to_manifest(stream, tpath, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    t = ManifestTable(tpath)
+    assert t.read(spark).count() == nation.count()
+    ops = [t.snapshot(v).operation for v in t.versions()]
+    assert all(op.startswith("stream-append:") for op in ops)
+    before = (t.snapshot().version, t.read(spark).count())
+    tag0 = ops[0]
+    committed = {t.snapshot(v).operation for v in t.versions()}
+    assert tag0 in committed  # the sink's guard sees it and would skip
+    # drive the real guard: call the sink again on the same checkpoint —
+    # no new data, no new commits
+    q2 = write_stream_to_manifest(
+        spark.readStream.schema(nation.schema).option("maxFilesPerTrigger", 1).parquet(str(src / "f*")),
+        tpath,
+        str(tmp_path / "ck"),
+    )
+    q2.awaitTermination(120)
+    assert (t.snapshot().version, t.read(spark).count()) == before
