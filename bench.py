@@ -131,8 +131,10 @@ def main() -> None:
         "s3_ivf_topk",
         "s5_ivf_topk_kmeans",
         "s6_pq_topk",
+        "d22_dup_span_coverage",
         "m2_media_resize",
         "m3_frame_sample",
+        "q28_trailing_window",
     ]
     extra_times: dict[str, float] = {}
     for name in EXTRA:

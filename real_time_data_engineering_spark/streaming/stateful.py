@@ -131,7 +131,11 @@ def neardup_filter_stream(
 
     State per (band, band_hash) bucket = the ids+signatures seen there:
     O(docs·bands) across the state store, hash-partitioned by bucket —
-    the honest memory cost of any streaming dedup index. Production
+    the honest memory cost of any streaming dedup index. Per-batch cost
+    scales with ARRIVING docs × bands (each touched bucket is one
+    Arrow-batched state group), so a bootstrap batch replaying a whole
+    corpus pays a one-off group-overhead spike; steady-state ingest
+    touches only the new docs' buckets. Production
     deployments bound it by retention (drop state for buckets idle
     past the dedup horizon via a timeout) — kept unbounded here
     because the batch-equivalence contract is over the full history.
