@@ -72,6 +72,7 @@ _DRIVER_TAIL = (
     "m3_frame_sample",
     "q28_trailing_window",
     "d22_dup_span_coverage",
+    "d23_source_scorecard",
     "q16_hourly_demand_summary",
     "q21_approx_distinct",
 )

@@ -785,3 +785,123 @@ def d22_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("is_flagged"),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# d23 — per-source corpus scorecard: the governance rollup a curation
+# pipeline keeps per dump/domain (doc volume, token budget, exact-dup
+# rate, pooled quality, language mix — the FineWeb-style per-source
+# dashboard that decides which sources get up/down-weighted in d10's
+# mix). Parity discipline: NO mean over per-doc doubles (float64 sum
+# order differs across engines) — quality is POOLED from exact integer
+# sums with the float64 divisions at the very end, and the dominant
+# language is a mode with (count DESC, lang ASC) tie-break.
+# ---------------------------------------------------------------------------
+_D23_ORACLE = f"""
+WITH per_doc AS (
+  SELECT doc_id, source, lang,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+         CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens,
+         CAST(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS BIGINT) AS n_chars,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST((SELECT COUNT(*) FROM unnest(string_split_regex(lower(trim(text)), '\\s+')) AS u(tok)
+               WHERE tok IN ({_STOP_IN})) AS BIGINT) AS n_stop,
+         CAST(ceil(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) / 4.0) AS BIGINT)
+             AS est_tokens
+  FROM documents
+), agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct_texts,
+         CAST(SUM(est_tokens) AS BIGINT) AS total_est_tokens,
+         CAST(SUM(n_tokens) AS BIGINT) AS s_tok,
+         CAST(SUM(n_chars) AS BIGINT) AS s_chars,
+         CAST(SUM(n_punct) AS BIGINT) AS s_punct,
+         CAST(SUM(n_stop) AS BIGINT) AS s_stop
+  FROM per_doc GROUP BY 1
+), langs AS (
+  SELECT source, lang, COUNT(*) AS c,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY COUNT(*) DESC, lang ASC) AS rn
+  FROM per_doc GROUP BY 1, 2
+)
+SELECT a.source, a.n_docs, a.n_distinct_texts,
+       1.0 - CAST(a.n_distinct_texts AS DOUBLE) / CAST(a.n_docs AS DOUBLE) AS dup_rate,
+       a.total_est_tokens,
+       0.4 * (CAST(least(a.s_tok / a.n_docs, 100) AS DOUBLE) / 100.0)
+         + 0.3 * (CAST(a.s_stop AS DOUBLE) / CAST(a.s_tok AS DOUBLE))
+         + 0.3 * (1.0 - CAST(a.s_punct AS DOUBLE) / CAST(a.s_chars AS DOUBLE)) AS pooled_quality,
+       l.lang AS top_lang,
+       CAST(l.c AS DOUBLE) / CAST(a.n_docs AS DOUBLE) AS top_lang_share
+FROM agg a JOIN langs l ON l.source = a.source AND l.rn = 1
+"""
+
+
+@register(
+    "d23_source_scorecard",
+    _D23_ORACLE,
+    doc="Per-source curation scorecard: doc volume, token budget, exact "
+    "dup rate, pooled quality from integer sums (no cross-engine "
+    "float-sum-order hazard), dominant language with deterministic "
+    "tie-break — the per-dump governance stats that drive mix weights.",
+)
+def d23_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source dashboard a curation pipeline up/down-weights
+    sources with (volume, dup rate, pooled quality, language mix)."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        fingerprint("text").alias("fp"),
+        token_count("text").alias("n_tokens"),
+        char_count("text").alias("n_chars"),
+        punct_count("text").alias("n_punct"),
+        marker_hits("text", STOPWORDS).alias("n_stop"),
+        est_bpe_tokens("text").alias("est_tokens"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp").alias("n_distinct_texts"),
+        F.sum("est_tokens").alias("total_est_tokens"),
+        F.sum("n_tokens").alias("s_tok"),
+        F.sum("n_chars").alias("s_chars"),
+        F.sum("n_punct").alias("s_punct"),
+        F.sum("n_stop").alias("s_stop"),
+    )
+    wl = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("lang"))
+    langs = (
+        per_doc.groupBy("source", "lang")
+        .agg(F.count("*").alias("c"))
+        .withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") == 1)
+    )
+    # `/` on integer columns is FLOAT division on both engines (DuckDB
+    # and Spark alike), so least(s_tok/n_docs, 100) is the identical
+    # IEEE expression on both sides — no floor-vs-divide divergence.
+    return (
+        agg.join(langs.select("source", "lang", "c"), "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct_texts",
+            (
+                F.lit(1.0)
+                - F.col("n_distinct_texts").cast("double") / F.col("n_docs").cast("double")
+            ).alias("dup_rate"),
+            "total_est_tokens",
+            (
+                F.lit(0.4)
+                * (
+                    F.least(
+                        (F.col("s_tok") / F.col("n_docs")).cast("double"), F.lit(100.0)
+                    )
+                    / F.lit(100.0)
+                )
+                + F.lit(0.3) * (F.col("s_stop").cast("double") / F.col("s_tok").cast("double"))
+                + F.lit(0.3)
+                * (F.lit(1.0) - F.col("s_punct").cast("double") / F.col("s_chars").cast("double"))
+            ).alias("pooled_quality"),
+            F.col("lang").alias("top_lang"),
+            (F.col("c").cast("double") / F.col("n_docs").cast("double")).alias("top_lang_share"),
+        )
+    )
