@@ -38,6 +38,30 @@ def _strip_scheme(uri: str) -> str:
     return uri[7:] if uri.startswith("file://") else uri[5:] if uri.startswith("file:") else uri
 
 
+# The characters Hive/Spark escape in partition dir names
+# (Hive FileUtils.escapePathName / Spark ExternalCatalogUtils — verified
+# empirically on Spark 4.1.2: 'a=b/c%d e' renders as 'a%3Db%2Fc%25d e').
+_HIVE_UNSAFE = set('"#%\'*/:=?\\\x7f[]^')
+
+
+def _hive_escape(value: str) -> str:
+    """Render a partition VALUE the way Spark renders it into the
+    ``key=value`` dir name: %XX-escape Hive's unsafe set + control
+    chars, pass everything else (incl. space) through."""
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _HIVE_UNSAFE or ord(ch) < 0x20 else ch
+        for ch in value
+    )
+
+
+def _hive_part_value(v) -> str:
+    """Partition value → its exact on-disk dir rendering (NULL becomes
+    Hive's default-partition sentinel)."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    return _hive_escape(str(v))
+
+
 def _partition_columns(path: str) -> list[str]:
     """Hive-style partition columns inferred from ``key=value`` dir names,
     outermost first (follows one branch — layout is uniform by contract)."""
@@ -150,11 +174,13 @@ def compact_parquet(
         # data: evaluate the filter's distinct partition-key tuples
         # (partition pruning applies at execution, so this scans only
         # matching partitions' footers) and match them against the hive
-        # leaf dirs on disk by their written value strings. str() of
-        # date/int/plain-string partition values equals the dir
-        # rendering; hive special-char escaping is out of scope here.
+        # leaf dirs on disk by their written value strings — rendered
+        # through the SAME %XX escaping Spark applies when writing the
+        # dirs (`_hive_part_value`), so string partitions containing
+        # '='/'/'/'%' match their directories instead of silently
+        # missing them.
         wanted = {
-            tuple(str(r[c]) for c in part_cols)
+            tuple(_hive_part_value(r[c]) for c in part_cols)
             for r in subset.select(*part_cols).distinct().collect()
         }
         leaf = _hive_leaf_dirs(path, part_cols)

@@ -26,20 +26,25 @@ discipline, implemented here from first principles:
 
 At 100 TB the same layout holds: manifests are O(files) metadata, data
 files never move or mutate, and compaction is a rewrite + one metadata
-commit. (Production formats add a catalog/log store for cross-writer
-atomicity on object stores without atomic create — out of scope here,
-as is column-level stats pruning.)
+commit. Manifests additionally carry per-file column MIN/MAX stats
+(read from the parquet footers at commit — the Iceberg manifest-entry
+`lower_bounds`/`upper_bounds` idea), so point/range reads prune files
+BEFORE Spark plans the scan. (Production formats add a catalog/log
+store for cross-writer atomicity on object stores without atomic
+create — out of scope here.)
 """
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import time
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class CommitConflict(Exception):
@@ -47,6 +52,7 @@ class CommitConflict(Exception):
 
 
 _MANIFEST_DIR = "_manifests"
+_BATCHES_MARKER = "_batches"  # durable committed-batch-id log (streaming sink)
 
 
 @dataclass(frozen=True)
@@ -55,6 +61,124 @@ class Snapshot:
     files: tuple[str, ...]  # relative to the table root
     operation: str
     committed_at: float
+    # per-file column stats: {rel_path: {col: {"min", "max", "null_count",
+    # "num_rows"}}}; {} for pre-stats manifests (no pruning, still correct)
+    stats: dict = field(default_factory=dict)
+
+
+def _stat_encode(v):
+    """JSON-safe, ORDER-PRESERVING encoding for stat bounds and predicate
+    values: dates/timestamps render as ISO strings (lexicographic order
+    == chronological order at fixed precision), numbers/strings/bools
+    pass through, anything else (binary, nested) is unprunable."""
+    if isinstance(v, bool) or v is None:
+        return v
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, datetime.datetime):
+        # fixed-width so lexicographic compare stays chronological
+        return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.strftime("%Y-%m-%d")
+    return None
+
+
+_OPS = ("==", "!=", "<", "<=", ">", ">=")
+
+
+def _provably_empty(file_stats: dict, predicate: list[tuple]) -> bool:
+    """True only when the file's [min, max] for some conjunct is provably
+    disjoint from the predicate — i.e. NO row in the file can satisfy
+    it. Unknown stats / incomparable types → False (keep the file)."""
+    for col, op, value in predicate:
+        if op not in _OPS:
+            raise ValueError(f"unsupported predicate op {op!r}; use one of {_OPS}")
+        s = file_stats.get(col)
+        if not s:
+            continue
+        lo, hi, nulls, rows = s.get("min"), s.get("max"), s.get("null_count"), s.get("num_rows")
+        v = _stat_encode(value)
+        if v is None:
+            continue
+        # an all-NULL file matches no comparison predicate
+        if nulls is not None and rows is not None and nulls == rows:
+            return True
+        if lo is None or hi is None:
+            continue
+        try:
+            if op == "==" and (v < lo or v > hi):
+                return True
+            if op == "!=" and lo == hi == v and not nulls:
+                return True
+            if op == "<" and lo >= v:
+                return True
+            if op == "<=" and lo > v:
+                return True
+            if op == ">" and hi <= v:
+                return True
+            if op == ">=" and hi < v:
+                return True
+        except TypeError:
+            continue  # cross-type compare: keep the file
+    return False
+
+
+def _predicate_column(predicate: list[tuple]) -> Column:
+    """The same conjunction as a Spark filter — applied on top of the
+    pruned scan so results are exact however coarse the stats are."""
+    cond = F.lit(True)
+    for col, op, value in predicate:
+        c = F.col(col)
+        cond = cond & {
+            "==": c == value, "!=": c != value,
+            "<": c < value, "<=": c <= value,
+            ">": c > value, ">=": c >= value,
+        }[op]
+    return cond
+
+
+def _footer_stats(abs_path: str) -> dict:
+    """Per-column min/max/null_count/num_rows from the parquet FOOTER
+    (no data pages read) — the same numbers Iceberg persists as
+    manifest-entry bounds. Columns missing stats in ANY row group are
+    recorded without bounds (unprunable); nested columns are skipped."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(abs_path).metadata
+    out: dict = {}
+    dropped: set = set()
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in dropped:
+                continue
+            s = col.statistics
+            ent = out.setdefault(
+                name, {"min": None, "max": None, "null_count": 0, "num_rows": 0}
+            )
+            ent["num_rows"] += g.num_rows
+            if s is None or s.null_count is None:
+                dropped.add(name)
+                continue
+            ent["null_count"] += s.null_count
+            if g.num_rows == s.null_count:
+                continue  # all-NULL group: no bounds to merge, still prunable
+            if not s.has_min_max:
+                dropped.add(name)
+                continue
+            lo, hi = _stat_encode(s.min), _stat_encode(s.max)
+            if lo is None or hi is None:
+                dropped.add(name)
+                continue
+            ent["min"] = lo if ent["min"] is None or lo < ent["min"] else ent["min"]
+            ent["max"] = hi if ent["max"] is None or hi > ent["max"] else ent["max"]
+    # a column with unusable stats in ANY row group carries no entry at
+    # all — conservatively unprunable rather than partially accounted
+    for name in dropped:
+        out.pop(name, None)
+    return out
 
 
 class ManifestTable:
@@ -90,19 +214,61 @@ class ManifestTable:
             files=tuple(m["files"]),
             operation=m["operation"],
             committed_at=m["committed_at"],
+            stats=m.get("stats", {}),
         )
 
     # -- read ---------------------------------------------------------------
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def files_for(
+        self, predicate: list[tuple] | None = None, version: int | None = None
+    ) -> list[str]:
+        """The snapshot's file list, pruned by per-file min/max stats.
+
+        ``predicate`` is a conjunction of ``(col, op, value)`` triples,
+        op ∈ {==, !=, <, <=, >, >=}. A file is skipped only when its
+        stats PROVE no row can match (min/max disjoint from the
+        predicate range) — files without stats for the column, or with
+        incomparable types, are conservatively kept, so pruning is
+        always an optimization, never a correctness decision."""
+        snap = self.snapshot(version)
+        if not predicate:
+            return list(snap.files)
+        return [
+            f
+            for f in snap.files
+            if not _provably_empty(snap.stats.get(f, {}), predicate)
+        ]
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        predicate: list[tuple] | None = None,
+    ) -> DataFrame:
         """Read one immutable snapshot (latest by default; pass a version
         for time travel). An empty table reads as an empty frame only if
         a schema-bearing snapshot ever existed — reading version 0 of a
-        never-written table is an error by design."""
+        never-written table is an error by design.
+
+        With ``predicate`` (see `files_for`), the scan opens ONLY the
+        files whose stats admit a match — file-level data skipping, the
+        half of partition pruning Iceberg/Delta do from manifest stats —
+        and the row-level filter is applied on top, so the result is
+        exactly the predicate rows regardless of how coarse the stats
+        are. At 100 TB this is the difference between a full-table scan
+        and touching a handful of files for a date-range query."""
         snap = self.snapshot(version)
         if not snap.files:
             raise ValueError(f"{self.path} has no committed snapshot to read")
-        return spark.read.parquet(*[os.path.join(self.path, f) for f in snap.files])
+        files = self.files_for(predicate, version)
+        if not files:
+            # every file pruned: empty frame with the table's schema
+            df = spark.read.parquet(os.path.join(self.path, snap.files[0]))
+            return df.filter(F.lit(False))
+        df = spark.read.parquet(*[os.path.join(self.path, f) for f in files])
+        if predicate:
+            df = df.filter(_predicate_column(predicate))
+        return df
 
     # -- write / commit -----------------------------------------------------
 
@@ -120,12 +286,25 @@ class ManifestTable:
                     rels.append(os.path.relpath(os.path.join(root, n), self.path))
         return sorted(rels)
 
-    def _commit(self, version: int, files: list[str], operation: str) -> Snapshot:
+    def _stats_for(self, files: list[str]) -> dict:
+        """Footer min/max stats per staged file — O(files) metadata reads,
+        no data pages (the cost Iceberg pays at commit for its
+        manifest-entry bounds)."""
+        return {f: _footer_stats(os.path.join(self.path, f)) for f in files}
+
+    def _commit(
+        self, version: int, files: list[str], operation: str, stats: dict | None = None
+    ) -> Snapshot:
         """Publish `files` as snapshot `version` — atomically, via
         O_CREAT|O_EXCL on the version file: exactly one racing writer
         can create it; everyone else gets CommitConflict."""
         payload = json.dumps(
-            {"files": files, "operation": operation, "committed_at": time.time()}
+            {
+                "files": files,
+                "operation": operation,
+                "committed_at": time.time(),
+                "stats": stats or {},
+            }
         )
         try:
             fd = os.open(
@@ -147,9 +326,14 @@ class ManifestTable:
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode}")
         new_files = self._stage(df)
+        new_stats = self._stats_for(new_files)
         base = self.snapshot()
-        files = new_files if mode == "overwrite" else list(base.files) + new_files
-        return self._commit(base.version + 1, files, mode)
+        if mode == "overwrite":
+            files, stats = new_files, new_stats
+        else:
+            files = list(base.files) + new_files
+            stats = {**base.stats, **new_stats}
+        return self._commit(base.version + 1, files, mode, stats)
 
     def merge_upsert(
         self,
@@ -180,7 +364,7 @@ class ManifestTable:
         total = sum(os.path.getsize(os.path.join(self.path, f)) for f in snap.files)
         n_out = max(1, round(total / (target_mb * 1024 * 1024)))
         files = self._stage(df.repartition(n_out))
-        return self._commit(snap.version + 1, files, "compact")
+        return self._commit(snap.version + 1, files, "compact", self._stats_for(files))
 
     def expire(self, keep_last: int = 1) -> list[int]:
         """expire_snapshots analogue: drop all but the newest
@@ -191,21 +375,34 @@ class ManifestTable:
             os.remove(self._manifest_path(v))
         return expired
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, older_than_s: float = 3600.0) -> list[str]:
         """remove_orphan_files analogue: delete data files no retained
-        manifest references. Safe by construction: the referenced set is
-        read from the manifests that still exist."""
+        manifest references AND older than the retention grace
+        (Iceberg remove_orphan_files' ``older_than``). The grace is
+        what makes vacuum safe under concurrent writers: a racing
+        writer's staged-but-not-yet-committed files are unreferenced by
+        definition, and deleting them would make its subsequent commit
+        publish dangling entries — files younger than the grace are
+        left alone so an in-flight commit always beats the cleaner.
+        Pass ``older_than_s=0`` only when no writer can be in flight
+        (single-writer repair/test path)."""
         referenced = set()
         for v in self.versions():
             referenced.update(self.snapshot(v).files)
+        cutoff = time.time() - older_than_s
         removed = []
         for root, _dirs, names in os.walk(self.path):
             if _MANIFEST_DIR in root:
                 continue
             for n in names:
-                rel = os.path.relpath(os.path.join(root, n), self.path)
-                if n.endswith(".parquet") and rel not in referenced:
-                    os.remove(os.path.join(root, n))
+                p = os.path.join(root, n)
+                rel = os.path.relpath(p, self.path)
+                if (
+                    n.endswith(".parquet")
+                    and rel not in referenced
+                    and os.path.getmtime(p) <= cutoff
+                ):
+                    os.remove(p)
                     removed.append(rel)
         return removed
 
@@ -225,18 +422,51 @@ def write_stream_to_manifest(
     failure hits. Single-writer per stream; a concurrent committer
     surfaces as CommitConflict rather than silent corruption.
 
+    The committed-batch record is a dedicated append-only marker file
+    (`_manifests/_batches`) DURABLE ACROSS SNAPSHOT RETENTION — if it
+    lived only in manifest operation tags, `expire()` pruning the
+    manifest that carried a tag would let a replayed micro-batch
+    re-append and duplicate rows; the marker also makes the replay
+    check O(1) file read instead of O(versions) manifest reads per
+    batch. Crash window between manifest commit and marker append: the
+    just-committed batch is by construction the LATEST snapshot (the
+    marker for batch N is written before batch N+1 can commit), so the
+    guard additionally checks only the newest snapshot's tag and
+    repairs the marker when it hits.
+
     Returns the started StreamingQuery (caller awaits/stops).
     """
     table = ManifestTable(table_path)
+    marker = os.path.join(table.path, _MANIFEST_DIR, _BATCHES_MARKER)
+
+    def _committed_ids() -> set[str]:
+        if not os.path.exists(marker):
+            return set()
+        with open(marker) as f:
+            return {line.strip() for line in f if line.strip()}
+
+    def _record(batch_id: int) -> None:
+        with open(marker, "a") as f:
+            f.write(f"{batch_id}\n")
+            f.flush()
+            os.fsync(f.fileno())
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         tag = f"stream-append:{batch_id}"
-        committed = {table.snapshot(v).operation for v in table.versions()}
-        if tag in committed:
+        if str(batch_id) in _committed_ids():
             return  # replayed batch: already durable, exactly-once holds
-        files = table._stage(batch_df)
         base = table.snapshot()
-        table._commit(base.version + 1, list(base.files) + files, tag)
+        if base.operation == tag:
+            # crashed between manifest commit and marker append — the
+            # data is durable; repair the marker and skip
+            _record(batch_id)
+            return
+        files = table._stage(batch_df)
+        stats = table._stats_for(files)
+        table._commit(
+            base.version + 1, list(base.files) + files, tag, {**base.stats, **stats}
+        )
+        _record(batch_id)
 
     writer = stream.writeStream.foreachBatch(commit_batch).option(
         "checkpointLocation", checkpoint

@@ -45,6 +45,22 @@ def norm_sq_q(a: Column) -> Column:
     return dot_q(a, a)
 
 
+def dot_dec(a: Column, b: Column) -> Column:
+    """Exact integer dot product accumulated in decimal(38,0) — for dots
+    where one side is a per-cell SUM vector whose components scale with
+    cell row count, so int64 would overflow (hard ANSI error) once a
+    cell passes ~2^17 rows at dim 64. Decimal keeps the arithmetic
+    exact (and bit-identical to DuckDB, whose SUM(BIGINT) is HUGEINT)
+    to 38 digits ≈ 10^26 rows per cell — effectively unbounded. Only
+    used on tiny relations (|queries| × |cells| routing), so the
+    decimal-vs-long cost is irrelevant."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("decimal(19,0)") * y.cast("decimal(19,0)")),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, x: acc + x,
+    )
+
+
 def cosine_q(dot: Column, n1: Column, n2: Column) -> Column:
     """cos = dot / (sqrt(n1)·sqrt(n2)) — one deterministic double expr."""
     return dot.cast("double") / (F.sqrt(n1.cast("double")) * F.sqrt(n2.cast("double")))
@@ -476,14 +492,14 @@ def ivf_topk(
     # under any partition order (double mean centroids would make the
     # routing depend on summation order).
     #
-    # Exactness ceiling: the routing dot multiplies a query component
-    # (|q| < 2^20) by a cell SUM component (~cell_rows · 2^20), so the
-    # int64 accumulation over dim=64 overflows (hard ANSI error, never
-    # a silent wrong route) once a cell exceeds ~2^17 ≈ 1.3e5 vectors.
-    # At that cell size the quantizer is under-trained anyway — grow
-    # n_cells so cells stay ≲ 1e5 rows (IVF guidance is √N cells), or
-    # pre-divide cent_s to a double mean where cross-engine exactness
-    # isn't required. The reference corpus peaks far below the ceiling.
+    # Exactness ceiling — ENFORCED, not just documented: the routing dot
+    # multiplies a query component (|q| < 2^20) by a cell SUM component
+    # (~cell_rows · 2^20), which overflows int64 once a cell passes
+    # ~2^17 ≈ 1.3e5 vectors. The routing therefore accumulates in
+    # decimal(38,0) (`dot_dec`) — still exact, still order-independent,
+    # matching DuckDB's HUGEINT SUM, with the ceiling pushed to ~10^26
+    # rows/cell. Cells that large are still a quantizer-quality smell
+    # (IVF guidance is √N cells), but they route correctly.
     cent = (
         base.select(F.col(cell_col).alias("cell"), F.posexplode("emb_q").alias("pos", "v"))
         .groupBy("cell", "pos")
@@ -503,7 +519,7 @@ def ivf_topk(
         "q_emb",
         "q_norm",
         "cell",
-        (dot_q(F.col("q_emb"), F.col("cent_s")).cast("double") / F.col("c").cast("double")).alias(
+        (dot_dec(F.col("q_emb"), F.col("cent_s")).cast("double") / F.col("c").cast("double")).alias(
             "affinity"
         ),
     )
@@ -527,6 +543,7 @@ def kmeans_assign(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     with_centroids: bool = False,
+    sample_n: int | None = None,
 ):
     """Deterministic Lloyd k-means over an embedding column →
     (id, cluster, dist_sq). Iterative algorithm #2 beside connected
@@ -549,6 +566,14 @@ def kmeans_assign(
     expression as `quantized()`), so the update stays exact-int and
     bit-reproducible under any partitioning. Rounds are driver-bounded
     like d15's label propagation.
+
+    ``sample_n``: the 100 TB knob. Lloyd rounds over the full corpus
+    cost max_iter full scans; a coarse quantizer does not need them —
+    train on the ``sample_n`` smallest-id vectors (deterministic:
+    TakeOrderedAndProject, no RNG, reproducible on any engine), then
+    assign the WHOLE corpus in one final pass. ``sample_n=None`` (the
+    default, and the oracle-checked config) trains on everything;
+    ``sample_n >= N`` is exactly equivalent to None by construction.
     """
     import numpy as np
     from pyspark import StorageLevel
@@ -567,11 +592,17 @@ def kmeans_assign(
     # iterative working set: every Lloyd round re-scans this relation,
     # so persist it once (memory, disk spill) instead of re-reading
     # parquet + re-projecting per round — the canonical Spark iterative-
-    # algorithm pattern; released before returning the lazy final plan
-    # is NOT possible (the assignment scan still needs it), so the
-    # unpersist is blocking=False best-effort at GC.
-    narrow = narrow.persist(StorageLevel.MEMORY_AND_DISK)
-    first = narrow.orderBy("id").limit(k).collect()
+    # algorithm pattern. Released via unpersist(blocking=False) before
+    # returning: the cache pays for itself across the max_iter training
+    # rounds; the single final assignment scan recomputes the narrow
+    # projection from source, which costs ~one read and frees the
+    # corpus-scaled cache instead of leaking it for the session's life
+    # (bench runs s4/s5/s6 back to back in one JVM).
+    # training set: full corpus, or the sample_n smallest ids (see
+    # docstring) — the Lloyd loop below only ever touches `train`
+    train = narrow if sample_n is None else narrow.orderBy("id").limit(sample_n)
+    train = train.persist(StorageLevel.MEMORY_AND_DISK)
+    first = train.orderBy("id").limit(k).collect()
     centroids = np.array([r.v for r in first], dtype=np.float64)
     dim = centroids.shape[1]
 
@@ -623,7 +654,7 @@ def kmeans_assign(
         return go
 
     for _ in range(max_iter):
-        partials = narrow.mapInPandas(
+        partials = train.mapInPandas(
             partial_fn(centroids), "cluster int, n bigint, s array<bigint>"
         )
         # k·dim tiny rows after one narrow agg; each pos row carries the
@@ -648,6 +679,7 @@ def kmeans_assign(
     final = narrow.mapInPandas(assign_fn(centroids), out_schema).select(
         F.col("id").alias(id_col), "cluster", "dist_sq"
     )
+    train.unpersist(blocking=False)
     return (final, centroids) if with_centroids else final
 
 
@@ -788,6 +820,9 @@ def pq_train_codes(
     codes = narrow.mapInPandas(codes_fn(C), "id bigint, sub int, code int").select(
         F.col("id").alias(id_col), "sub", "code"
     )
+    # release the training working set (see kmeans_assign): the lazy
+    # codes scan recomputes the narrow projection once from source
+    narrow.unpersist(blocking=False)
     return codes, C
 
 
@@ -876,13 +911,15 @@ def ivf_topk_kmeans(
     n_cells: int = 10,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    sample_n: int | None = None,
 ) -> DataFrame:
     """IVF with a REAL trained coarse quantizer: k-means cells instead of
     the label stand-in. Train (kmeans_assign) → bucket by cluster →
     probe the n nearest cells. Same routing/probe machinery as
     `ivf_topk`; at scale the assignment is computed once at write time
     and the corpus is bucketed on it, so queries never shuffle the
-    corpus."""
-    assign = kmeans_assign(emb, k=n_cells, id_col=id_col, emb_col=emb_col)
+    corpus. ``sample_n`` bounds quantizer training to a deterministic
+    sample (see kmeans_assign) — the 100 TB config."""
+    assign = kmeans_assign(emb, k=n_cells, id_col=id_col, emb_col=emb_col, sample_n=sample_n)
     cells = emb.join(assign.select(id_col, "cluster"), id_col)
     return ivf_topk(cells, query_pred, k=k, n_probe=n_probe, id_col=id_col, emb_col=emb_col, cell_col="cluster")

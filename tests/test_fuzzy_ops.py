@@ -375,3 +375,52 @@ def test_hamming_pairing_core_on_simhash64(spark, documents):
                 brute[k] = h
     assert got == brute
     assert any(r.simhash < 0 for r in rows), "corpus should exercise negative longs"
+
+
+def test_ivf_routing_survives_oversized_cells(spark):
+    """The int64 routing ceiling, now enforced via decimal accumulation:
+    large-magnitude components × a big cell's SUM centroid used to
+    overflow the int64 dot (ANSI ARITHMETIC_OVERFLOW). The decimal dot
+    must route correctly instead. Components of 1e3 quantize to 1e9, so
+    a 300-row cell's centroid sum hits ~3e11 per dim — q·s per element
+    ≈ 3e20, past int64's 9.2e18."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    # one oversized cell (label 0) + a small far-away cell (label 1)
+    for i in range(300):
+        v = (1000.0 + rng.rand(8)).tolist()
+        rows.append((i, 0, v))
+    for i in range(300, 310):
+        v = (-1000.0 - rng.rand(8)).tolist()
+        rows.append((i, 1, v))
+    emb = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    out = S.ivf_topk(emb, F.col("vec_id") < 3, k=5, n_probe=1).collect()
+    assert out, "routing must produce results, not ARITHMETIC_OVERFLOW"
+    # queries live in cell 0; probing 1 cell must route them home
+    assert all(r.nid < 300 for r in out)
+    assert all(r.cosine > 0.9 for r in out)
+
+
+def test_kmeans_sample_trained_matches_full_when_sample_covers(spark, embeddings):
+    """sample_n >= N is exactly train-on-all (same deterministic init,
+    same rounds, same centroids); a small sample still assigns EVERY
+    corpus row, deterministically across runs."""
+    n = embeddings.count()
+    full = {(r.vec_id, r.cluster, r.dist_sq) for r in S.kmeans_assign(embeddings, k=4, max_iter=5).collect()}
+    covering = {
+        (r.vec_id, r.cluster, r.dist_sq)
+        for r in S.kmeans_assign(embeddings, k=4, max_iter=5, sample_n=n + 10).collect()
+    }
+    assert covering == full
+    sampled1 = {
+        (r.vec_id, r.cluster, r.dist_sq)
+        for r in S.kmeans_assign(embeddings, k=4, max_iter=5, sample_n=max(8, n // 4)).collect()
+    }
+    sampled2 = {
+        (r.vec_id, r.cluster, r.dist_sq)
+        for r in S.kmeans_assign(embeddings, k=4, max_iter=5, sample_n=max(8, n // 4)).collect()
+    }
+    assert sampled1 == sampled2  # deterministic sample → reproducible
+    assert len({v for v, _c, _d in sampled1}) == n  # whole corpus assigned

@@ -158,3 +158,40 @@ def test_merge_upsert_latest_wins(spark):
     )
     got = {r.trip_id: (r.ver, r.fare) for r in merge_upsert(existing, updates, ["trip_id"], "ver").collect()}
     assert got == {"a": (2, 11.0), "b": (5, 21.0), "c": (1, 30.0)}
+
+
+def test_partition_filter_matches_hive_escaped_values(spark, tmp_path):
+    """String partition values containing '='/'/'/'%' are written by
+    Spark as %XX-escaped dir names; the partition_filter dir matching
+    must render values the same way or it silently skips (or worse,
+    mismatches) those partitions."""
+    import os
+
+    path = str(tmp_path / "esc_tbl")
+    weird, plain = "s=3/a%b", "plain"
+    df = spark.createDataFrame(
+        [(s, i, float(i)) for s in (weird, plain) for i in range(40)],
+        "src string, k int, v double",
+    )
+    df.filter(f"src = '{plain}'").write.partitionBy("src").parquet(path)
+    df.filter(f"src = '{weird}'").repartition(12).write.mode("append").partitionBy(
+        "src"
+    ).parquet(path)
+    esc_dir = "src=s%3D3%2Fa%25b"
+    assert os.path.isdir(os.path.join(path, esc_dir))  # escaping premise
+    n_frag = len(
+        [f for f in os.listdir(os.path.join(path, esc_dir)) if f.endswith(".parquet")]
+    )
+    assert n_frag >= 8
+
+    report = compact_parquet(
+        spark, path, target_mb=128, partition_filter=f"src = '{weird}'"
+    )
+    assert report["rewritten_partitions"] == [esc_dir]
+    after = [
+        f for f in os.listdir(os.path.join(path, esc_dir)) if f.endswith(".parquet")
+    ]
+    assert len(after) < n_frag
+    got = spark.read.parquet(path)
+    assert got.count() == 80
+    assert got.filter(F.col("src") == weird).count() == 40

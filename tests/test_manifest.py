@@ -77,8 +77,11 @@ def test_staged_but_uncommitted_data_is_invisible(spark, nation, tmp_path):
     before = t.read(spark).count()
     t._stage(nation)  # simulated crash: staged, never committed
     assert t.read(spark).count() == before
-    removed = t.vacuum()
-    assert removed, "vacuum should collect the orphaned staging files"
+    # default vacuum grace must NOT touch fresh files (they could be a
+    # live writer's in-flight stage)
+    assert t.vacuum() == []
+    removed = t.vacuum(older_than_s=0)
+    assert removed, "grace-0 vacuum should collect the orphaned staging files"
     assert t.read(spark).count() == before
 
 
@@ -103,7 +106,7 @@ def test_expire_and_vacuum_respect_retention(spark, nation, tmp_path):
     t.compact(spark)
     expired = t.expire(keep_last=1)
     assert expired == [1, 2]
-    removed = t.vacuum()
+    removed = t.vacuum(older_than_s=0)
     assert removed, "files referenced only by expired snapshots are orphans"
     # the retained snapshot is untouched
     assert t.read(spark).count() == 10
@@ -139,6 +142,62 @@ def test_manifest_listing_never_trusts_directory_state(spark, nation, tmp_path):
     before = t.read(spark).count()
     nation.limit(7).write.mode("overwrite").parquet(str(tmp_path / "t" / "junk"))
     assert t.read(spark).count() == before
+
+
+def test_vacuum_grace_protects_inflight_writer(spark, nation, tmp_path):
+    """The race ADVICE flagged: writer B stages files, cleaner runs
+    vacuum, writer B commits. With the retention grace the staged files
+    survive and B's snapshot is fully readable."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.write(nation)
+    staged = t._stage(nation.limit(5))  # writer B, commit still in flight
+    assert t.vacuum() == []  # cleaner with default grace: hands off
+    base = t.snapshot()
+    t._commit(base.version + 1, list(base.files) + staged, "writer-B")
+    assert t.read(spark).count() == nation.count() + 5
+
+
+def test_file_stats_prune_scan(spark, nation, tmp_path):
+    """File-level min/max data skipping: a point/range predicate must
+    read strictly fewer files than the snapshot holds, and the pruned
+    read returns exactly the predicate's rows."""
+    t = ManifestTable(str(tmp_path / "t"))
+    # one file per region → disjoint n_regionkey ranges per file
+    t.write(nation.repartitionByRange(5, "n_regionkey"), mode="overwrite")
+    all_files = t.files_for()
+    assert len(all_files) > 1
+    pred = [("n_regionkey", "==", 2)]
+    pruned = t.files_for(pred)
+    assert 0 < len(pruned) < len(all_files)
+    got = {r.n_nationkey for r in t.read(spark, predicate=pred).collect()}
+    want = {r.n_nationkey for r in nation.filter(F.col("n_regionkey") == 2).collect()}
+    assert got == want
+    # range predicate prunes too, and a provably-empty one reads 0 files
+    assert len(t.files_for([("n_regionkey", ">=", 4)])) < len(all_files)
+    assert t.files_for([("n_regionkey", ">", 99)]) == []
+    assert t.read(spark, predicate=[("n_regionkey", ">", 99)]).count() == 0
+    # string-column pruning works off the same footer bounds: the
+    # lexicographically smallest name can only live in files whose min
+    # IS that name, so every other file is provably empty for it
+    target = nation.agg(F.min("n_name")).first()[0]
+    named = t.files_for([("n_name", "==", target)])
+    assert len(named) < len(all_files)
+    assert (
+        t.read(spark, predicate=[("n_name", "==", target)]).count()
+        == nation.filter(F.col("n_name") == target).count()
+    )
+
+
+def test_stats_pruning_is_conservative_on_appends(spark, nation, tmp_path):
+    """Appended snapshots merge stats; files whose range admits the
+    value are all kept (pruning may never lose rows)."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.write(nation.filter(F.col("n_regionkey") < 2))
+    t.write(nation.filter(F.col("n_regionkey") >= 2), mode="append")
+    pred = [("n_regionkey", "==", 0)]
+    got = t.read(spark, predicate=pred).count()
+    assert got == nation.filter(F.col("n_regionkey") == 0).count()
+    assert len(t.files_for(pred)) < len(t.files_for())
 
 
 def test_streaming_sink_commits_exactly_once(spark, nation, tmp_path):
@@ -180,3 +239,79 @@ def test_streaming_sink_commits_exactly_once(spark, nation, tmp_path):
     )
     q2.awaitTermination(120)
     assert (t.snapshot().version, t.read(spark).count()) == before
+
+
+def test_exactly_once_survives_snapshot_expiry(spark, nation, tmp_path):
+    """The ADVICE hole: if expire() prunes the manifest carrying a
+    batch's stream-append tag, a replayed micro-batch must STILL be
+    skipped — the committed-batch marker is durable independently of
+    snapshot retention."""
+    from real_time_data_engineering_spark.operators.manifest import (
+        write_stream_to_manifest,
+    )
+
+    src = tmp_path / "stream_src"
+    nation.limit(10).coalesce(1).write.mode("overwrite").parquet(str(src / "f0"))
+    stream = (
+        spark.readStream.schema(nation.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    tpath = str(tmp_path / "t")
+    q = write_stream_to_manifest(stream, tpath, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    t = ManifestTable(tpath)
+    before = t.read(spark).count()
+    # a later batch arrives, then retention prunes ALL older manifests —
+    # including the one whose operation tag recorded batch 0
+    t.write(nation.limit(3), mode="append")
+    t.expire(keep_last=1)
+    assert all(
+        not t.snapshot(v).operation.startswith("stream-append:") for v in t.versions()
+    )
+    # replay from a FRESH checkpoint re-delivers batch 0; marker skips it
+    q2 = write_stream_to_manifest(
+        spark.readStream.schema(nation.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*")),
+        tpath,
+        str(tmp_path / "ck2"),
+    )
+    q2.awaitTermination(120)
+    assert t.read(spark).count() == before + 3
+
+
+def test_exactly_once_marker_crash_window_repair(spark, nation, tmp_path):
+    """Crash between manifest commit and marker append: the replayed
+    batch sees its tag on the LATEST snapshot, repairs the marker, and
+    does not duplicate."""
+    import os
+
+    from real_time_data_engineering_spark.operators.manifest import (
+        _BATCHES_MARKER,
+        _MANIFEST_DIR,
+        write_stream_to_manifest,
+    )
+
+    src = tmp_path / "stream_src"
+    nation.limit(10).coalesce(1).write.mode("overwrite").parquet(str(src / "f0"))
+    tpath = str(tmp_path / "t")
+    q = write_stream_to_manifest(
+        spark.readStream.schema(nation.schema).parquet(str(src / "f*")),
+        tpath,
+        str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+    t = ManifestTable(tpath)
+    before = t.read(spark).count()
+    # simulate the crash: wipe the marker (commit survived, record lost)
+    os.remove(os.path.join(tpath, _MANIFEST_DIR, _BATCHES_MARKER))
+    q2 = write_stream_to_manifest(
+        spark.readStream.schema(nation.schema).parquet(str(src / "f*")),
+        tpath,
+        str(tmp_path / "ck2"),  # fresh checkpoint → batch 0 replays
+    )
+    q2.awaitTermination(120)
+    assert t.read(spark).count() == before
+    with open(os.path.join(tpath, _MANIFEST_DIR, _BATCHES_MARKER)) as f:
+        assert "0" in f.read().split()

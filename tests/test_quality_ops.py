@@ -145,3 +145,39 @@ def test_dup_span_coverage_planted_semantics(spark):
     assert got[1][2] is True
     assert got[3] == (len(loner), 0, False)
     assert 0 < got[2][1] < got[2][0], "host doc is partially covered"
+
+
+def test_dup_span_coverage_short_docs_emit_no_grams(spark):
+    """Docs whose normalized text is shorter than the 8-char window can
+    contain no complete gram: Spark's sequence(1, 0) DESCENDS ([1, 0]),
+    so without the length guard two identical 3-char docs would collide
+    on phantom grams and report covered_chars > n_chars. Guarded code
+    must match the oracle: zero coverage, never flagged, coverage <= 1
+    for every doc."""
+    import unittest.mock as mock
+
+    import duckdb
+
+    import real_time_data_engineering_spark.registry.dedup_text as R
+    from real_time_data_engineering_spark.registry import get
+
+    dup = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, "abc"), (3, "a b"), (4, dup), (5, dup)],
+        "doc_id long, text string",
+    )
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = {
+        int(r[0]): (int(r[1]), int(r[2]), bool(r[4]))
+        for r in con.sql(R._D22_ORACLE).fetchall()
+    }
+    with mock.patch.object(R, "load_table", lambda *_a, **_k: docs):
+        got_df = get("d22_dup_span_coverage").spark(spark, "ignored")
+    got = {r.doc_id: (r.n_chars, r.covered_chars, r.is_flagged) for r in got_df.collect()}
+    assert got == want
+    for doc_id in (1, 2, 3):
+        n_chars, covered, flagged = got[doc_id]
+        assert covered == 0 and not flagged
+        assert covered <= n_chars
+    assert got[4][1] == got[4][0] and got[4][2]  # real dups still flag
