@@ -2,24 +2,30 @@
 
 Runs the headline query suite at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line. Protocol is a cut-down version of the reference's benchmark
-runner (10 runs / 2 warm-up discards / p50 per query,
-shared/benchmarks/queries/README.md:41-74): per query, 1 warm-up run is
-discarded and the p50 of 2 timed runs is reported, so numbers reflect
-steady-state plan execution rather than whichever query first pays
-session-wide one-time costs (codegen, Arrow Python-worker spin-up,
-parquet footer cache). Each run is forced end-to-end with a noop sink
-so the measured time is full plan execution, not driver-side
-collection. The taxi E2E stage runs cold twice (fresh warehouse each
-time, one-time costs included — it is the end-to-end analogue) and
-reports the median, since tempdir I/O + GC swing single runs 2×.
+JSON line. Protocol follows the reference's benchmark runner
+(shared/benchmarks/queries/README.md:41-74): per query, 10 iterations
+with the first 2 discarded as warm-up, reporting p50/p95/p99 over the
+8 kept samples — so one-time costs (codegen, Arrow worker spin-up,
+parquet footer cache) never masquerade as a regression, and tail
+latency is visible next to the median. Each run is forced end-to-end
+with a noop sink so the measured time is full plan execution, not
+driver-side collection. Resource accounting mirrors the reference's
+per-container sampler (shared/benchmarks/metrics.py:47-141): a
+background thread samples the whole process tree (python driver + the
+local[32] JVM) for RSS and CPU, reporting suite-wide peak/avg and a
+per-query peak-RSS map. The taxi E2E stage runs cold twice (fresh
+warehouse each time, one-time costs included — it is the end-to-end
+analogue) and reports the median, since tempdir I/O + GC swing single
+runs 2×.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
+import threading
 import time
 from pathlib import Path
 
@@ -56,6 +62,126 @@ HEADLINE = [
     "m1_media_features",
 ]
 
+# Capabilities added after round 1 — timed identically but reported
+# separately so headline_suite_sec stays comparable round-over-round.
+EXTRA = [
+    "d18_sequence_packing",
+    "d19_embedding_neardup_lsh",
+    "d20_gopher_quality",
+    "d21_simhash_neardup",
+    "s3_ivf_topk",
+    "s5_ivf_topk_kmeans",
+    "s6_pq_topk",
+    "d22_dup_span_coverage",
+    "m2_media_resize",
+    "m3_frame_sample",
+    "q28_trailing_window",
+]
+
+# Queries whose lineage persists an exploded working relation DISK_ONLY
+# — their on-disk cache footprint is the dominant disk cost at 100 TB,
+# so the bench records it (VERDICT r3 #7).
+SPILL_QUERIES = {"d2_ngram_jaccard_topk", "d5_minhash_lsh", "d19_embedding_neardup_lsh"}
+
+
+def _pct(sorted_vals: list[float], p: float) -> float:
+    """Nearest-rank percentile over an already-sorted sample."""
+    if not sorted_vals:
+        return 0.0
+    rank = max(1, math.ceil(p / 100.0 * len(sorted_vals)))
+    return sorted_vals[rank - 1]
+
+
+class TreeSampler(threading.Thread):
+    """Samples RSS + CPU of this process AND its descendants (the
+    pyspark JVM is a child) from /proc — the in-process analogue of the
+    reference's per-container docker-stats sampler
+    (shared/benchmarks/metrics.py:47-141). Keeps a suite-wide peak/avg
+    and a resettable per-query peak window."""
+
+    def __init__(self, interval: float = 0.2):
+        super().__init__(daemon=True)
+        self.interval = interval
+        self._stop = threading.Event()
+        self._lock = threading.Lock()
+        self.peak_mb = 0.0
+        self._sum_mb = 0.0
+        self._n = 0
+        self._window_peak_mb = 0.0
+        self.peak_cpu_pct = 0.0
+        self._last_cpu_s: float | None = None
+        self._last_t: float | None = None
+        self._page = os.sysconf("SC_PAGE_SIZE")
+        self._hz = os.sysconf("SC_CLK_TCK")
+        self._ncpu = os.cpu_count() or 1
+
+    def _tree_pids(self) -> set[int]:
+        ppid: dict[int, int] = {}
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    after = f.read().rsplit(")", 1)[1].split()
+                ppid[int(pid)] = int(after[1])
+            except (OSError, IndexError, ValueError):
+                continue
+        tree = {os.getpid()}
+        grew = True
+        while grew:
+            grew = False
+            for p, pp in ppid.items():
+                if pp in tree and p not in tree:
+                    tree.add(p)
+                    grew = True
+        return tree
+
+    def _sample(self) -> tuple[float, float]:
+        """(tree RSS in MB, cumulative tree CPU seconds)."""
+        rss_pages = 0
+        cpu_ticks = 0
+        for p in self._tree_pids():
+            try:
+                with open(f"/proc/{p}/statm") as f:
+                    rss_pages += int(f.read().split()[1])
+                with open(f"/proc/{p}/stat") as f:
+                    after = f.read().rsplit(")", 1)[1].split()
+                cpu_ticks += int(after[11]) + int(after[12])  # utime+stime
+            except (OSError, IndexError, ValueError):
+                continue
+        return rss_pages * self._page / 1e6, cpu_ticks / self._hz
+
+    def run(self) -> None:
+        while not self._stop.is_set():
+            rss_mb, cpu_s = self._sample()
+            now = time.time()
+            with self._lock:
+                self.peak_mb = max(self.peak_mb, rss_mb)
+                self._window_peak_mb = max(self._window_peak_mb, rss_mb)
+                self._sum_mb += rss_mb
+                self._n += 1
+                if self._last_cpu_s is not None and now > self._last_t:
+                    pct = (cpu_s - self._last_cpu_s) / (now - self._last_t) / self._ncpu * 100
+                    self.peak_cpu_pct = max(self.peak_cpu_pct, pct)
+                self._last_cpu_s, self._last_t = cpu_s, now
+            self._stop.wait(self.interval)
+
+    def avg_mb(self) -> float:
+        with self._lock:
+            return self._sum_mb / self._n if self._n else 0.0
+
+    def window_peak_mb(self) -> float:
+        """Peak RSS since the last reset — take one synchronous sample
+        first so sub-interval queries still get a reading."""
+        rss_mb, _ = self._sample()
+        with self._lock:
+            peak = max(self._window_peak_mb, rss_mb)
+            self._window_peak_mb = 0.0
+            return peak
+
+    def stop(self) -> None:
+        self._stop.set()
+
 
 def _sibling_jvms() -> list[str]:
     """Live JVM processes that would contend for the local[32] cores.
@@ -88,6 +214,8 @@ def _sibling_jvms() -> list[str]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     grace = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_SEC", "300"))
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "10"))
+    warmups = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "2"))
     deadline = time.time() + grace
     contention = _sibling_jvms()
     while contention and time.time() < deadline:
@@ -110,37 +238,90 @@ def main() -> None:
     specs = all_specs()
     startup = time.time() - t0
 
+    sampler = TreeSampler()
+    sampler.start()
+
     def run(name: str) -> float:
         t = time.time()
         specs[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.time() - t
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        run(name)  # warm-up discard (reference protocol, cut down)
-        timed = sorted(run(name) for _ in range(2))
-        times[name] = round((timed[0] + timed[1]) / 2, 3)  # p50 of 2
+    def _disk_cached_bytes() -> int:
+        """Bytes the block manager currently holds ON DISK for cached
+        RDDs (the DISK_ONLY persists of the dedup ladder)."""
+        try:
+            infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            return int(sum(i.diskSize() for i in infos))
+        except Exception:
+            return -1  # API unavailable: stamped as unknown, not zero
 
-    # Capabilities added after round 1 — timed the same way but reported
-    # separately so headline_suite_sec stays comparable round-over-round.
-    EXTRA = [
-        "d18_sequence_packing",
-        "d19_embedding_neardup_lsh",
-        "d20_gopher_quality",
-        "d21_simhash_neardup",
-        "s3_ivf_topk",
-        "s5_ivf_topk_kmeans",
-        "s6_pq_topk",
-        "d22_dup_span_coverage",
-        "m2_media_resize",
-        "m3_frame_sample",
-        "q28_trailing_window",
-    ]
+    times: dict[str, float] = {}
+    percentiles: dict[str, dict[str, float]] = {}
+    query_peak_mb: dict[str, float] = {}
+    spill_bytes: dict[str, int] = {}
+
+    def bench_query(name: str, into: dict[str, float]) -> None:
+        spill = name in SPILL_QUERIES
+        spill_before = _disk_cached_bytes() if spill else 0
+        spill_peak = spill_before
+        sampler.window_peak_mb()  # reset the per-query window
+        for _ in range(warmups):
+            run(name)
+        samples = []
+        for _ in range(iters - warmups):
+            samples.append(run(name))
+            if spill:
+                # sample right after the run, before the context cleaner
+                # can GC-unpersist the run's cached relations
+                spill_peak = max(spill_peak, _disk_cached_bytes())
+        samples.sort()
+        into[name] = round(_pct(samples, 50), 3)
+        percentiles[name] = {
+            "p50": round(_pct(samples, 50), 3),
+            "p95": round(_pct(samples, 95), 3),
+            "p99": round(_pct(samples, 99), 3),
+        }
+        query_peak_mb[name] = round(sampler.window_peak_mb(), 1)
+        if spill:
+            spill_bytes[name] = (
+                spill_peak - spill_before if spill_peak >= 0 and spill_before >= 0 else -1
+            )
+
+    for name in HEADLINE:
+        bench_query(name, times)
     extra_times: dict[str, float] = {}
     for name in EXTRA:
-        run(name)
-        timed = sorted(run(name) for _ in range(2))
-        extra_times[name] = round((timed[0] + timed[1]) / 2, 3)
+        bench_query(name, extra_times)
+
+    # Streaming sessionization twins (VERDICT r3 #4): the JVM-side
+    # session_window default plan vs the applyInPandasWithState
+    # arbitrary-state exemplar, same corpus, memory sink — recorded so
+    # the "native ≤ pandas-state" claim is measured, not asserted.
+    from real_time_data_engineering_spark.streaming import ingest as _si
+    from real_time_data_engineering_spark.streaming.stateful import (
+        sessionize_stream,
+        sessionize_stream_native,
+    )
+
+    def _run_session_twin(factory, tag: str) -> float:
+        t = time.time()
+        q = (
+            factory(_si.read_events_stream(spark, sf_dir), watermark="0 seconds")
+            .writeStream.format("memory")
+            .queryName(f"bench_sessions_{tag}")
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        spark.catalog.dropTempView(f"bench_sessions_{tag}")
+        return time.time() - t
+
+    streaming_sessionization: dict[str, float] = {}
+    for tag, factory in (("native", sessionize_stream_native), ("pandas_state", sessionize_stream)):
+        _run_session_twin(factory, f"{tag}_warm")  # warm-up discard
+        twin = sorted(_run_session_twin(factory, f"{tag}_{i}") for i in range(2))
+        streaming_sessionization[f"{tag}_sec"] = round((twin[0] + twin[1]) / 2, 3)
 
     # E2E medallion analogue of the reference's 10k-event benchmark
     # (BASELINE.md P02: 53 s processing + 18 s gold at the same event
@@ -177,14 +358,20 @@ def main() -> None:
 
     # two cold runs (fresh warehouse each), p50 — the E2E number swings
     # 2x run-to-run from tempdir I/O + GC; the median is the honest read
+    sampler.window_peak_mb()
     e2e = sorted([e2e_once(with_checks=True), e2e_once()])
     times["taxi_e2e_10k"] = round((e2e[0] + e2e[1]) / 2, 3)
+    query_peak_mb["taxi_e2e_10k"] = round(sampler.window_peak_mb(), 1)
 
+    sampler.stop()
     total = round(sum(times.values()), 3)
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    peak_mb = round(sampler.peak_mb, 1)
+    avg_mb = round(sampler.avg_mb(), 1)
+    peak_cpu = round(sampler.peak_cpu_pct, 1)
     # results.csv-compatible comparison row (reference
-    # shared/benchmarks/runner.py:405-457 header set; container/memory
-    # columns are N/A in-process)
+    # shared/benchmarks/runner.py:405-457 header set; single in-process
+    # "container", resource columns from the tree sampler)
     csv_header = (
         "pipeline_id,pipeline_name,startup_s,ingestion_s,processing_s,"
         "dbt_build_s,e2e_total_s,events,events_per_sec,peak_memory_mb,"
@@ -203,9 +390,9 @@ def main() -> None:
             round(startup + e2e_s + float(check_summary.get("checks_sec", 0.0)), 3),
             10_000,
             round(10_000 / e2e_s, 1) if e2e_s else "",
-            "",
-            "",
-            "",
+            peak_mb,
+            peak_cpu,
+            avg_mb,
             1,
             check_summary.get("checks", ""),
         )
@@ -222,11 +409,27 @@ def main() -> None:
                 "sf": sf,
                 "startup_sec": round(startup, 3),
                 "extra_queries": extra_times,
+                "percentiles": percentiles,
+                "query_peak_mb": query_peak_mb,
+                "peak_memory_mb": peak_mb,
+                "avg_memory_mb": avg_mb,
+                "peak_cpu_pct": peak_cpu,
+                "spill_bytes": spill_bytes,
+                "streaming_sessionization": streaming_sessionization,
                 "checks": check_summary.get("checks", ""),
                 "checks_detail": check_summary.get("checks_detail", ""),
                 "results_csv": csv_row,
                 "contention": contention,
-                "protocol": "per query: 1 warm-up discard, p50 of 2 timed runs; taxi_e2e_10k: p50 of 2 cold runs (fresh warehouse each; checks timed separately); refuses to start while sibling JVMs are alive (300s grace), stamps `contention` if any persist",
+                "protocol": (
+                    f"per query: {iters} iterations, first {warmups} discarded as warm-up, "
+                    "p50/p95/p99 over the kept samples (reference protocol, "
+                    "shared/benchmarks/queries/README.md:41-74); resource sampler: 0.2s "
+                    "process-tree RSS/CPU (suite peak/avg + per-query peak); spill_bytes: "
+                    "block-manager disk bytes added by each DISK_ONLY-persisting query; "
+                    "taxi_e2e_10k: p50 of 2 cold runs (fresh warehouse each; checks timed "
+                    "separately); refuses to start while sibling JVMs are alive (300s "
+                    "grace), stamps `contention` if any persist"
+                ),
             }
         )
     )

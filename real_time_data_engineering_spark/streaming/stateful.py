@@ -23,6 +23,44 @@ SESSION_SCHEMA = "user_id bigint, session_start timestamp, n_events bigint, dura
 _STATE_SCHEMA = "start_us long, last_us long, n long"
 
 
+def sessionize_stream_native(
+    events: DataFrame,
+    gap_sec: int = 1800,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Gap-sessionization via Spark's JVM-side ``F.session_window`` —
+    the DEFAULT plan for plain gap sessions.
+
+    Same contract as `sessionize_stream` (one row per CLOSED session,
+    append mode finalizes a session when the watermark passes its last
+    event + gap), but the whole operator stays inside the streaming
+    aggregation engine: no Python worker hop, no Arrow transfer, state
+    merge handled by the native session-window state store. Use the
+    `applyInPandasWithState` twin only when the per-session logic
+    outgrows an aggregation (custom emission, per-event models) — it is
+    kept as the arbitrary-state exemplar, equivalence-tested against
+    this plan and the q18 batch oracle.
+
+    ``session_start``/``duration_sec`` come from min/max event-time
+    aggregates, NOT the window bounds (the window end includes the gap),
+    so the output schema is value-identical to the pandas-state twin.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col, F.session_window(F.col(ts_col), f"{gap_sec} seconds"))
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                f"(unix_micros(max({ts_col})) - unix_micros(min({ts_col}))) div 1000000"
+            ).alias("duration_sec"),
+        )
+        .select(key_col, "session_start", "n_events", "duration_sec")
+    )
+
+
 def sessionize_stream(
     events: DataFrame,
     gap_sec: int = 1800,

@@ -306,6 +306,38 @@ def test_stateful_sessionization_matches_batch(spark):
     assert got <= all_sessions
 
 
+def test_native_session_window_matches_stateful_and_batch(spark):
+    """The JVM-side session_window plan (the default for plain gap
+    sessions) must emit exactly the closed sessions of both the
+    pandas-state twin and the q18 batch recompute: same finalize rule
+    (watermark past last event + gap), value-identical schema."""
+    from real_time_data_engineering_spark.streaming.stateful import (
+        sessionize_stream,
+        sessionize_stream_native,
+    )
+
+    gap_sec = 1800
+
+    def run_stream(factory, name):
+        sess = factory(
+            si.read_events_stream(spark, SF_DIR), gap_sec=gap_sec, watermark="0 seconds"
+        )
+        q = sess.writeStream.format("memory").queryName(name).outputMode("append").start()
+        q.processAllAvailable()
+        q.stop()
+        return {
+            (r.user_id, r.session_start, r.n_events, r.duration_sec)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+
+    native = run_stream(sessionize_stream_native, "native_sessions_out")
+    stateful = run_stream(sessionize_stream, "stateful_sessions_out")
+    assert native, "corpus should contain closed sessions"
+    # equal to the arbitrary-state twin → transitively equal to the
+    # batch oracle (test above pins stateful == batch closed sessions)
+    assert native == stateful
+
+
 def test_progress_listener_observability(spark):
     """ST9: the listener must record per-batch rows and durations for a
     streaming run, and the health record must reconcile with the sink."""
