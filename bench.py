@@ -80,8 +80,18 @@ EXTRA = [
 
 # Queries whose lineage persists an exploded working relation DISK_ONLY
 # — their on-disk cache footprint is the dominant disk cost at 100 TB,
-# so the bench records it (VERDICT r3 #7).
-SPILL_QUERIES = {"d2_ngram_jaccard_topk", "d5_minhash_lsh", "d19_embedding_neardup_lsh"}
+# so the bench records it (VERDICT r3 #7). Accounting is per-RDD-id and
+# FIRST-MATERIALIZER: Spark's CacheManager dedupes identical plans, so
+# when two queries share a persisted relation (d15's cluster feed IS
+# d19's LSH candidate path) the bytes land on whichever ran first and
+# the reuser reports 0 — a 0 here means "cache already resident", not
+# "no spill".
+SPILL_QUERIES = {
+    "d2_ngram_jaccard_topk",
+    "d5_minhash_lsh",
+    "d15_dup_clusters",
+    "d19_embedding_neardup_lsh",
+}
 
 
 def _pct(sorted_vals: list[float], p: float) -> float:
@@ -99,7 +109,7 @@ class TreeSampler(threading.Thread):
     (shared/benchmarks/metrics.py:47-141). Keeps a suite-wide peak/avg
     and a resettable per-query peak window."""
 
-    def __init__(self, interval: float = 0.2):
+    def __init__(self, interval: float = 0.2, disk_probe=None):
         super().__init__(daemon=True)
         self.interval = interval
         self._stop = threading.Event()
@@ -108,6 +118,11 @@ class TreeSampler(threading.Thread):
         self._sum_mb = 0.0
         self._n = 0
         self._window_peak_mb = 0.0
+        # optional block-manager disk probe ({rdd_id: disk_bytes}),
+        # sampled on the same cadence so short-lived DISK_ONLY caches
+        # are seen BEFORE the context cleaner GC-unpersists them
+        self._disk_probe = disk_probe
+        self._window_disk: dict[int, int] = {}
         self.peak_cpu_pct = 0.0
         self._last_cpu_s: float | None = None
         self._last_t: float | None = None
@@ -155,6 +170,14 @@ class TreeSampler(threading.Thread):
         while not self._stop.is_set():
             rss_mb, cpu_s = self._sample()
             now = time.time()
+            if self._disk_probe is not None:
+                try:
+                    disk = self._disk_probe()
+                except Exception:
+                    disk = {}
+                with self._lock:
+                    for rdd_id, size in disk.items():
+                        self._window_disk[rdd_id] = max(self._window_disk.get(rdd_id, 0), size)
             with self._lock:
                 self.peak_mb = max(self.peak_mb, rss_mb)
                 self._window_peak_mb = max(self._window_peak_mb, rss_mb)
@@ -178,6 +201,13 @@ class TreeSampler(threading.Thread):
             peak = max(self._window_peak_mb, rss_mb)
             self._window_peak_mb = 0.0
             return peak
+
+    def window_disk(self) -> dict[int, int]:
+        """Per-RDD max disk bytes observed since the last reset."""
+        with self._lock:
+            v = dict(self._window_disk)
+            self._window_disk = {}
+            return v
 
     def stop(self) -> None:
         self._stop.set()
@@ -238,22 +268,22 @@ def main() -> None:
     specs = all_specs()
     startup = time.time() - t0
 
-    sampler = TreeSampler()
-    sampler.start()
-
     def run(name: str) -> float:
         t = time.time()
         specs[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.time() - t
 
-    def _disk_cached_bytes() -> int:
-        """Bytes the block manager currently holds ON DISK for cached
-        RDDs (the DISK_ONLY persists of the dedup ladder)."""
+    def _disk_cached_by_id() -> dict[int, int]:
+        """{rdd_id: disk bytes} the block manager currently holds for
+        cached RDDs (the DISK_ONLY persists of the dedup ladder)."""
         try:
             infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-            return int(sum(i.diskSize() for i in infos))
+            return {int(i.id()): int(i.diskSize()) for i in infos}
         except Exception:
-            return -1  # API unavailable: stamped as unknown, not zero
+            return {}
+
+    sampler = TreeSampler(disk_probe=_disk_cached_by_id)
+    sampler.start()
 
     times: dict[str, float] = {}
     percentiles: dict[str, dict[str, float]] = {}
@@ -262,18 +292,28 @@ def main() -> None:
 
     def bench_query(name: str, into: dict[str, float]) -> None:
         spill = name in SPILL_QUERIES
-        spill_before = _disk_cached_bytes() if spill else 0
-        spill_peak = spill_before
+        spill_delta = 0
         sampler.window_peak_mb()  # reset the per-query window
+        # per-RDD-id accounting: only caches that appear AFTER this
+        # query starts count toward its footprint, so concurrent
+        # GC-unpersists of earlier queries' caches can neither mask nor
+        # inflate it. The baseline sits before the warm-ups because
+        # Spark's CacheManager dedupes identical plans — every run of
+        # the query shares ONE cached RDD, created on the first run.
+        before_ids = set(_disk_cached_by_id()) if spill else set()
+        if spill:
+            sampler.window_disk()
         for _ in range(warmups):
             run(name)
         samples = []
         for _ in range(iters - warmups):
             samples.append(run(name))
             if spill:
-                # sample right after the run, before the context cleaner
-                # can GC-unpersist the run's cached relations
-                spill_peak = max(spill_peak, _disk_cached_bytes())
+                seen = sampler.window_disk()
+                for rdd_id, size in _disk_cached_by_id().items():
+                    seen[rdd_id] = max(seen.get(rdd_id, 0), size)
+                new_bytes = sum(s for i, s in seen.items() if i not in before_ids)
+                spill_delta = max(spill_delta, new_bytes)
         samples.sort()
         into[name] = round(_pct(samples, 50), 3)
         percentiles[name] = {
@@ -283,9 +323,7 @@ def main() -> None:
         }
         query_peak_mb[name] = round(sampler.window_peak_mb(), 1)
         if spill:
-            spill_bytes[name] = (
-                spill_peak - spill_before if spill_peak >= 0 and spill_before >= 0 else -1
-            )
+            spill_bytes[name] = spill_delta
 
     for name in HEADLINE:
         bench_query(name, times)
@@ -425,7 +463,8 @@ def main() -> None:
                     "p50/p95/p99 over the kept samples (reference protocol, "
                     "shared/benchmarks/queries/README.md:41-74); resource sampler: 0.2s "
                     "process-tree RSS/CPU (suite peak/avg + per-query peak); spill_bytes: "
-                    "block-manager disk bytes added by each DISK_ONLY-persisting query; "
+                    "block-manager disk bytes of caches FIRST materialized by each "
+                    "DISK_ONLY-persisting query (plan-cache reuse reports 0 on the reuser); "
                     "taxi_e2e_10k: p50 of 2 cold runs (fresh warehouse each; checks timed "
                     "separately); refuses to start while sibling JVMs are alive (300s "
                     "grace), stamps `contention` if any persist"

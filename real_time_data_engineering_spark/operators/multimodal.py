@@ -78,33 +78,33 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     unless the wheel is shipped with --py-files.
     """
 
-    def fake_vec(payload: bytes, d: int) -> list[float]:
-        # exact-int accumulation + ONE float64 division per component:
-        # the same cross-engine-reproducible shape as the similarity
-        # kernels, so the fake is oracle-checkable byte-for-byte
-        if not payload:
-            return [0.0] * d
-        acc = [0] * d
-        for i, b in enumerate(payload):
-            acc[i % d] += b
-        n = len(payload)
-        return [a / n for a in acc]
-
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # byte work runs in numpy (np.frombuffer view, int64 reductions)
+        # — the shape the REAL codec kernel keeps: per payload, sums are
+        # exact-int accumulation with ONE float64 division at the end,
+        # so the fake stays oracle-checkable byte-for-byte while the
+        # hot loop never iterates Python ints.
+        import numpy as np
+
+        def stats(p):
+            if not p:
+                return 0, 0, 0.0, [0.0] * dim
+            arr = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
+            n = len(arr)
+            total = int(arr.sum())
+            vec = [int(arr[j::dim].sum()) / n for j in range(dim)]
+            return n, total % 2**31, total / n, vec
+
         for pdf in it:
-            payloads = pdf["payload"]
+            cols = [stats(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": payloads.map(lambda p: len(p) if p is not None else 0).astype("int64"),
-                    "checksum": payloads.map(
-                        lambda p: sum(p) % 2**31 if p is not None else 0
-                    ).astype("int64"),
-                    "mean_byte": payloads.map(
-                        lambda p: (sum(p) / len(p)) if p else 0.0
-                    ).astype("float64"),
-                    "feature_vec": payloads.map(lambda p: fake_vec(p or b"", dim)),
+                    "n_bytes": pd.Series([c[0] for c in cols], dtype="int64"),
+                    "checksum": pd.Series([c[1] for c in cols], dtype="int64"),
+                    "mean_byte": pd.Series([c[2] for c in cols], dtype="float64"),
+                    "feature_vec": [c[3] for c in cols],
                 }
             )
 
@@ -199,13 +199,17 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFr
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         target = width * height
+        sel = np.arange(target, dtype=np.int64)
 
         def fake_resize(p):
             if not p:
                 return b""
-            n = len(p)
-            return bytes(p[(i * n) // target] for i in range(target))
+            # index-scaled selection, vectorized: (i·n)//target per
+            # output byte — identical bytes to the scalar formulation
+            return np.frombuffer(p, dtype=np.uint8)[(sel * len(p)) // target].tobytes()
 
         for pdf in it:
             yield pd.DataFrame(
