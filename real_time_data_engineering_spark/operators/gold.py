@@ -168,7 +168,9 @@ def mart_daily_revenue(daily: DataFrame, dates: DataFrame) -> DataFrame:
     # expected): input is the ALREADY-AGGREGATED daily frame — one row
     # per calendar day, bounded at thousands of rows regardless of fact
     # volume, same single-stream running total as the reference SQL.
-    # At a 100×-longer calendar, partition by year and stitch.
+    # At a 100×-longer calendar, partition by year and stitch
+    # (implemented: operators/windows.stitched_running_sum/_lag,
+    # equivalence-tested against this exact formulation).
     w = Window.orderBy("date_key")
     joined = daily.join(F.broadcast(dates), daily.pickup_date == dates.date_key, "inner")
     return joined.select(

@@ -167,7 +167,8 @@ def q5_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Global window over the per-DAY aggregate (bounded: one row per
     # calendar day at any fact scale) — the expected WindowExec
-    # "No Partition Defined"; partition by year + stitch at 100×.
+    # "No Partition Defined"; partition by year + stitch at 100×
+    # (implemented + equivalence-tested: operators/windows.py).
     w = Window.orderBy("order_date")
     return d.select(
         "order_date",
@@ -743,7 +744,8 @@ def q28_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_date(F.to_date("o_orderdate")).alias("day_idx"),
     ).agg(F.sum(money("o_totalprice")).alias("rev"))
     # global RANGE window over the per-day aggregate (bounded rows; see
-    # q5's note — partition by year + stitch at 100×)
+    # q5's note — partition by year + stitch at 100×,
+    # operators/windows.py)
     w = Window.orderBy("day_idx").rangeBetween(-6, 0)
     return d.select(
         "order_date",
