@@ -246,6 +246,14 @@ def main() -> None:
     grace = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_SEC", "300"))
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "10"))
     warmups = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "2"))
+    # soft wall-clock budget for the per-query phases: the full 10-run
+    # protocol over 35 queries at sf0.1 costs ~9 min, and the harness
+    # invoking this CLI may enforce a timeout — once the budget is
+    # spent, REMAINING queries fall back to 1 warm-up + 2 timed runs
+    # (the r3 protocol) and are stamped in `degraded`, so a partial
+    # record with full-protocol headline numbers always beats a killed
+    # run with no record at all. Raise the env to disable.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
     deadline = time.time() + grace
     contention = _sibling_jvms()
     while contention and time.time() < deadline:
@@ -289,8 +297,15 @@ def main() -> None:
     percentiles: dict[str, dict[str, float]] = {}
     query_peak_mb: dict[str, float] = {}
     spill_bytes: dict[str, int] = {}
+    degraded: list[str] = []
+    phase_start = time.time()
 
     def bench_query(name: str, into: dict[str, float]) -> None:
+        if time.time() - phase_start > budget:
+            q_iters, q_warmups = 3, 1
+            degraded.append(name)
+        else:
+            q_iters, q_warmups = iters, warmups
         spill = name in SPILL_QUERIES
         spill_delta = 0
         sampler.window_peak_mb()  # reset the per-query window
@@ -303,10 +318,10 @@ def main() -> None:
         before_ids = set(_disk_cached_by_id()) if spill else set()
         if spill:
             sampler.window_disk()
-        for _ in range(warmups):
+        for _ in range(q_warmups):
             run(name)
         samples = []
-        for _ in range(iters - warmups):
+        for _ in range(q_iters - q_warmups):
             samples.append(run(name))
             if spill:
                 seen = sampler.window_disk()
@@ -320,6 +335,7 @@ def main() -> None:
             "p50": round(_pct(samples, 50), 3),
             "p95": round(_pct(samples, 95), 3),
             "p99": round(_pct(samples, 99), 3),
+            "n": len(samples),
         }
         query_peak_mb[name] = round(sampler.window_peak_mb(), 1)
         if spill:
@@ -453,13 +469,17 @@ def main() -> None:
                 "avg_memory_mb": avg_mb,
                 "peak_cpu_pct": peak_cpu,
                 "spill_bytes": spill_bytes,
+                "degraded": degraded,
                 "streaming_sessionization": streaming_sessionization,
                 "checks": check_summary.get("checks", ""),
                 "checks_detail": check_summary.get("checks_detail", ""),
                 "results_csv": csv_row,
                 "contention": contention,
                 "protocol": (
-                    f"per query: {iters} iterations, first {warmups} discarded as warm-up, "
+                    f"per query: {iters} iterations, first {warmups} discarded as warm-up "
+                    f"(after {budget:.0f}s of query phases, remaining queries degrade to "
+                    "1 warm-up + 2 runs and are listed in `degraded`; per-query kept-sample "
+                    "count is percentiles[q].n), "
                     "p50/p95/p99 over the kept samples (reference protocol, "
                     "shared/benchmarks/queries/README.md:41-74); resource sampler: 0.2s "
                     "process-tree RSS/CPU (suite peak/avg + per-query peak); spill_bytes: "

@@ -1,0 +1,66 @@
+"""Persistent IVF index: write-time bucketing must answer queries
+exactly like the in-memory train→assign→probe composition, and the
+probe must prune unprobed buckets at the PARTITION level."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_data_engineering_spark.operators import similarity as S
+from real_time_data_engineering_spark.operators.ann_index import (
+    ivf_index_topk,
+    write_ivf_index,
+)
+from real_time_data_engineering_spark.sources.readers import load_table
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, tmp_path_factory):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path_factory.mktemp("ivf") / "index")
+    write_ivf_index(emb, path, n_cells=10)
+    return path
+
+
+def test_index_equals_in_memory_composition(spark, index_path):
+    """Same params → bit-identical top-k: the stored int64-sum centroids
+    route exactly like the freshly-trained ones, and the quantized
+    scoring is unchanged."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    pred = F.col("vec_id") < 20
+    want = {
+        (r.qid, r.nid, r.cosine, r.rank)
+        for r in S.ivf_topk_kmeans(emb, pred, k=5, n_probe=2, n_cells=10).collect()
+    }
+    got = {
+        (r.qid, r.nid, r.cosine, r.rank)
+        for r in ivf_index_topk(spark, index_path, pred, k=5, n_probe=2).collect()
+    }
+    assert got == want and got
+
+
+def test_probe_scan_is_partition_pruned(spark, index_path):
+    """The probed-cells filter must reach the bucketed scan as a
+    PartitionFilter — unprobed cluster= directories stay unread."""
+    out = ivf_index_topk(spark, index_path, F.col("vec_id") < 3, k=5, n_probe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # at least one scan carries a non-empty cluster partition filter
+    assert any(
+        "PartitionFilters: [" in line and "cluster" in line and "[]" not in line
+        for line in plan.splitlines()
+    ), plan
+
+
+def test_index_layout_is_hive_bucketed(spark, index_path):
+    import os
+
+    clusters = [d for d in os.listdir(index_path) if d.startswith("cluster=")]
+    assert len(clusters) > 1
+    assert os.path.isdir(os.path.join(index_path, "_centroids"))
+    # _-prefixed dirs are invisible to the corpus reader (no schema clash)
+    corpus = spark.read.parquet(index_path)
+    assert "cluster" in corpus.columns and "embedding" in corpus.columns
