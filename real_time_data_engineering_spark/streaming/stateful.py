@@ -135,7 +135,7 @@ def sessionize_stream(
 
 
 NEARDUP_SCHEMA = "doc_id bigint, band int, dup_of bigint, est_jaccard double"
-_ND_STATE_SCHEMA = "ids array<bigint>, sigs array<string>"
+_ND_STATE_SCHEMA = "ids array<bigint>, sigs array<string>, tss array<bigint>"
 
 
 def neardup_filter_stream(
@@ -146,6 +146,9 @@ def neardup_filter_stream(
     bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    retention_sec: int | None = None,
+    ts_col: str = "ts",
+    watermark: str = "0 seconds",
 ) -> DataFrame:
     """Streaming near-duplicate filter: the d5 MinHash-LSH dedup ladder
     as a CONTINUOUS operator — each arriving document is flagged when
@@ -174,9 +177,14 @@ def neardup_filter_stream(
     Arrow-batched state group), so a bootstrap batch replaying a whole
     corpus pays a one-off group-overhead spike; steady-state ingest
     touches only the new docs' buckets. Production
-    deployments bound it by retention (drop state for buckets idle
-    past the dedup horizon via a timeout) — kept unbounded here
-    because the batch-equivalence contract is over the full history.
+    deployments bound it by retention: with ``retention_sec`` set, each
+    stored signature carries its event time (``ts_col``) and is EVICTED
+    on the data path once the bucket sees an event more than the
+    horizon past it — pure event-time logic, deterministic under
+    replay — while an event-time state timeout (watermark past the
+    bucket's last activity + horizon) removes wholly idle buckets from
+    the store. The default stays unbounded because the
+    batch-equivalence contract is over the full history.
     Docs emit once per flagging band; consumers aggregate
     ``max(est_jaccard)`` per doc (the equivalence test does exactly
     that). Emission order inside a micro-batch is doc_id-sorted, so a
@@ -196,10 +204,19 @@ def neardup_filter_stream(
             F.transform(F.col("_sh"), lambda s: F.md5(F.concat_ws("|", F.lit(str(i)), s)))
         )
 
+    retention_ms = None if retention_sec is None else int(retention_sec) * 1000
+    if retention_ms is not None:
+        # the WATERMARKED column itself must survive projection into the
+        # stateful operator (event-time timeout resolves it by its
+        # watermark metadata, which unix_millis() would strip)
+        docs = docs.withWatermark(ts_col, watermark)
+        ts_keep = F.col(ts_col).alias("_ts")
+    else:
+        ts_keep = F.lit("1970-01-01 00:00:00").cast("timestamp").alias("_ts")
     wide = (
-        docs.select(F.col(id_col).alias("doc_id"), arr.alias("_sh"))
+        docs.select(F.col(id_col).alias("doc_id"), arr.alias("_sh"), ts_keep)
         .filter(F.size("_sh") > 0)  # <n-token docs have no signature (batch parity)
-        .select("doc_id", *[sig(i).alias(f"sig_{i}") for i in range(k)])
+        .select("doc_id", "_ts", *[sig(i).alias(f"sig_{i}") for i in range(k)])
     )
     sigcat = F.concat_ws("|", *[F.col(f"sig_{i}") for i in range(k)])
     band_structs = F.array(
@@ -213,26 +230,46 @@ def neardup_filter_stream(
             for b in range(bands)
         ]
     )
-    exploded = wide.select("doc_id", sigcat.alias("sigcat"), F.explode(band_structs).alias("bb")).select(
-        "doc_id", "sigcat", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
+    exploded = wide.select(
+        "doc_id", "_ts", sigcat.alias("sigcat"), F.explode(band_structs).alias("bb")
+    ).select(
+        "doc_id", "_ts", "sigcat", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
     )
     thr = float(threshold)
     kk = int(k)
 
+    ret_ms = retention_ms
+
     def fn(key, pdfs, state):
         import pandas as pd
 
+        if state.hasTimedOut:
+            # bucket idle past the horizon: every entry is expired
+            state.remove()
+            return
+
         incoming = []
         for pdf in pdfs:
-            incoming.extend(zip(pdf["doc_id"].tolist(), pdf["sigcat"].tolist()))
+            ms = pdf["_ts"].values.astype("datetime64[ms]").astype("int64")  # unit-safe
+            incoming.extend(zip(pdf["doc_id"].tolist(), pdf["sigcat"].tolist(), ms.tolist()))
         incoming.sort()  # doc_id order: deterministic within a micro-batch
         if state.exists:
-            ids, sigs = state.get
-            ids, sigs = list(ids), list(sigs)
+            ids, sigs, tss = state.get
+            ids, sigs, tss = list(ids), list(sigs), list(tss)
         else:
-            ids, sigs = [], []
+            ids, sigs, tss = [], [], []
+        if ret_ms is not None and incoming:
+            # event-time eviction on the data path: entries more than
+            # the horizon older than this batch's newest event are out
+            # of the dedup window regardless of whether a timeout batch
+            # ran — deterministic under replay, no wall clock anywhere
+            horizon = max(t for _, _, t in incoming) - ret_ms
+            kept = [j for j, t in enumerate(tss) if t >= horizon]
+            ids = [ids[j] for j in kept]
+            sigs = [sigs[j] for j in kept]
+            tss = [tss[j] for j in kept]
         out_id, out_dup, out_est = [], [], []
-        for did, sc in incoming:
+        for did, sc, t in incoming:
             parts = sc.split("|")
             best = None
             for eid, esc in zip(ids, sigs):
@@ -248,7 +285,11 @@ def neardup_filter_stream(
                 out_est.append(best[1])
             ids.append(did)
             sigs.append(sc)
-        state.update((ids, sigs))
+            tss.append(t)
+        state.update((ids, sigs, tss))
+        if ret_ms is not None and tss:
+            # wholesale cleanup for buckets that never see data again
+            state.setTimeoutTimestamp(max(tss) + ret_ms)
         if out_id:
             yield pd.DataFrame(
                 {
@@ -259,6 +300,11 @@ def neardup_filter_stream(
                 }
             )
 
+    timeout_mode = (
+        GroupStateTimeout.NoTimeout
+        if retention_ms is None
+        else GroupStateTimeout.EventTimeTimeout
+    )
     return exploded.groupBy("band", "band_hash").applyInPandasWithState(
-        fn, NEARDUP_SCHEMA, _ND_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+        fn, NEARDUP_SCHEMA, _ND_STATE_SCHEMA, "append", timeout_mode
     )

@@ -633,3 +633,46 @@ def test_streaming_neardup_state_survives_restart(spark, tmp_path):
     got = {r.doc_id: r.est_jaccard for r in spark.read.parquet(out).collect()}
     for r in base.collect():
         assert got.get(r.doc_id + 100000) == 1.0, f"copy of {r.doc_id} not flagged after restart"
+
+
+def test_streaming_neardup_retention_evicts_expired_entries(spark, tmp_path):
+    """Event-time retention: with retention_sec set, a stored signature
+    older than the horizon (relative to the bucket's newest event) is
+    evicted on the data path, so a late copy dedups only against the
+    retained window. Within-horizon behavior is unchanged. Fully
+    deterministic — event time drives everything, no wall clock."""
+    from real_time_data_engineering_spark.streaming.stateful import neardup_filter_stream
+
+    schema = "doc_id long, ts string, text string"
+    doc_x = "the quick brown fox jumps over the lazy dog again and again tonight"
+    rows_by_batch = [
+        [(1, "2024-01-01 10:00:00", doc_x)],  # original
+        [(2, "2024-01-01 10:30:00", doc_x)],  # copy INSIDE the 1h horizon
+        [(3, "2024-01-01 12:01:00", doc_x)],  # copy past the horizon of 1 and 2
+    ]
+    src = tmp_path / "docs_ret"
+    for i, rows in enumerate(rows_by_batch):
+        df = spark.createDataFrame(rows, schema).select(
+            "doc_id", F.to_timestamp("ts").alias("ts"), "text"
+        )
+        df.coalesce(1).write.parquet(str(src / f"b{i}"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    flagged = neardup_filter_stream(stream, threshold=0.5, retention_sec=3600)
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName("neardup_ret")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ret"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r.doc_id: r.dup_of for r in spark.sql("SELECT * FROM neardup_ret").collect()}
+    assert got.get(2) == 1, "copy within the horizon must flag against the original"
+    assert 3 not in got, "copy past the horizon must NOT flag (both entries evicted)"
+    spark.catalog.dropTempView("neardup_ret")
