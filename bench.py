@@ -76,6 +76,7 @@ EXTRA = [
     "m2_media_resize",
     "m3_frame_sample",
     "q28_trailing_window",
+    "q29_running_revenue_stitched",
 ]
 
 # Queries whose lineage persists an exploded working relation DISK_ONLY

@@ -178,6 +178,35 @@ def q5_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q29_running_revenue_stitched",
+    _Q5_ORACLE,
+    doc="q5's running total + lag delta computed by the SCALE plan — "
+    "partition-by-year windows + broadcast stitch (operators/windows.py) "
+    "instead of one global WindowExec — against the SAME oracle, so the "
+    "100x mitigation is value-checked, not just unit-tested.",
+)
+def q29_running_revenue_stitched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partition-and-stitch form of q5: identical values, but the
+    corpus-scaled window pass is partitioned by year; the only global
+    window runs over one row per year."""
+    from ..operators.windows import stitched_lag, stitched_running_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        F.sum(money("o_totalprice")).alias("rev")
+    )
+    part = F.year("order_date")
+    out = stitched_running_sum(d, "order_date", "rev", part, out_col="running_raw")
+    out = stitched_lag(out, "order_date", "rev", part, out_col="prev_rev")
+    return out.select(
+        "order_date",
+        F.col("rev").cast("double").alias("daily_revenue"),
+        F.col("running_raw").cast("double").alias("running_revenue"),
+        (F.col("rev") - F.col("prev_rev")).cast("double").alias("revenue_delta"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # q6 — mode() per group with explicit tie-break (reference A4
 # mart_location_performance.sql:10-36; SURVEY flags tie nondeterminism, so
