@@ -297,6 +297,86 @@ def minhash_candidate_pairs(
     )
 
 
+def minhash_incremental_pairs(
+    df: DataFrame,
+    new_col: str = "is_new",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedupe an incoming shard against the existing corpus (d24).
+
+    The production "index once, probe per shard" flow a training-data
+    pipeline runs on every ingest: rows where ``new_col`` is true are
+    the incoming shard, the rest are the already-ingested corpus. Only
+    NEW x OLD band-bucket collisions become candidates — new x new and
+    old x old pairs are filtered AT the join, so candidate volume
+    scales with shard_size x bands, never corpus². At 100 TB the old
+    side's banded signatures are computed once and persisted (the same
+    write-time-index pattern as ann_index.write_ivf_index) and each
+    shard joins against that index; here both sides derive from one
+    relation because the driver corpus is a single table.
+
+    The flag rides the signature groupBy key (functionally dependent on
+    the id, so the extra key is free) — no corpus-sized rejoin to
+    recover it. Output: (new_id, old_id, est_jaccard).
+    """
+    rows = k // bands
+    toked = ensure_min_partitions(df).select(
+        F.col(id_col), F.col(new_col), tokens(text_col).alias("_toks")
+    )
+    sh = toked.select(
+        F.col(id_col),
+        F.col(new_col),
+        F.explode(word_ngrams_tokens(F.col("_toks"), n)).alias("shingle"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(k)
+    ]
+    # corpus-scaled, read by the band join + both signature joins →
+    # DISK_ONLY per the repo cache policy
+    wide = sh.groupBy(id_col, new_col).agg(*aggs).persist(StorageLevel.DISK_ONLY)
+    stack_args = ", ".join(
+        "{b}, md5(concat_ws('|', {cols}))".format(
+            b=b, cols=", ".join(f"sig_{i}" for i in range(b * rows, (b + 1) * rows))
+        )
+        for b in range(bands)
+    )
+    banded = wide.select(
+        F.col(id_col), F.col(new_col), F.expr(f"stack({bands}, {stack_args}) AS (band, band_hash)")
+    )
+    new_side = banded.filter(F.col(new_col)).alias("a")
+    old_side = banded.filter(~F.col(new_col)).alias("b")
+    cand = (
+        new_side.join(
+            old_side,
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(F.col(f"a.{id_col}").alias("new_id"), F.col(f"b.{id_col}").alias("old_id"))
+        .distinct()
+    )
+    s1 = wide.filter(F.col(new_col)).select(
+        F.col(id_col).alias("new_id"), *[F.col(f"sig_{i}").alias(f"a{i}") for i in range(k)]
+    )
+    s2 = wide.filter(~F.col(new_col)).select(
+        F.col(id_col).alias("old_id"), *[F.col(f"sig_{i}").alias(f"b{i}") for i in range(k)]
+    )
+    matches = None
+    for i in range(k):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    return (
+        cand.join(s1, "new_id")
+        .join(s2, "old_id")
+        .select(
+            "new_id", "old_id", (matches.cast("double") / F.lit(float(k))).alias("est_jaccard")
+        )
+    )
+
+
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash via xxhash64 bit votes (fast production path).
 

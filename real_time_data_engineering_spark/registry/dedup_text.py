@@ -292,6 +292,81 @@ def d5_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# d24 — incremental near-dup: the newest 20% of the corpus (by doc_id)
+# is "the incoming shard", the rest "the already-ingested corpus"; only
+# NEW x OLD MinHash band collisions are candidates. The production
+# per-ingest dedup probe (index once, probe per shard).
+# ---------------------------------------------------------------------------
+_D24_ORACLE = r"""
+WITH cutline AS (
+  SELECT CAST(ceil((MAX(doc_id) + 1) * 0.8) AS BIGINT) AS cutoff FROM documents
+), toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), tok AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks
+), tri AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+  FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+), seeds AS (
+  SELECT unnest(generate_series(0, 15)) AS seed
+), sigs AS (
+  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS sig
+  FROM tri CROSS JOIN seeds
+  GROUP BY 1, 2
+), banded AS (
+  SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
+         md5(string_agg(sig, '|' ORDER BY seed)) AS band_hash
+  FROM sigs GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+  CROSS JOIN cutline cl
+  WHERE a.doc_id >= cl.cutoff AND b.doc_id < cl.cutoff
+)
+SELECT c.new_id, c.old_id,
+       CAST(SUM(CASE WHEN s1.sig = s2.sig THEN 1 ELSE 0 END) AS DOUBLE) / 16.0 AS est_jaccard,
+       (CAST(SUM(CASE WHEN s1.sig = s2.sig THEN 1 ELSE 0 END) AS DOUBLE) / 16.0) >= 0.5 AS is_dup
+FROM cand c
+JOIN sigs s1 ON s1.doc_id = c.new_id
+JOIN sigs s2 ON s2.doc_id = c.old_id AND s2.seed = s1.seed
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "d24_incremental_neardup",
+    _D24_ORACLE,
+    doc="Incremental shard-vs-corpus near-dup: MinHash band join generates "
+    "only NEW x OLD candidates, so cost scales with the shard, not the "
+    "corpus. The batch twin of the streaming near-dup filter "
+    "(streaming/stateful.py).",
+)
+def d24_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedupe the newest 20% of documents against the first 80%."""
+    docs = load_table(spark, sf_dir, "documents")
+    # the cutoff is a SCALAR (one value for the whole corpus): fetching
+    # it driver-side is one O(single-column) agg job — the same bounded
+    # scalar-collect class as connected_components' convergence checks,
+    # NOT a corpus collect. (A constant-key broadcast join alternative
+    # constant-folds into the nested-loop shape the 100 TB plan gate
+    # rightly bans.)
+    cutoff = int(
+        docs.agg(F.ceil((F.max("doc_id") + F.lit(1)) * F.lit(0.8)).cast("long")).first()[0]
+    )
+    flagged = docs.withColumn("is_new", F.col("doc_id") >= F.lit(cutoff))
+    pairs = D.minhash_incremental_pairs(flagged, new_col="is_new", n=3, k=16, bands=4)
+    return pairs.select(
+        "new_id",
+        "old_id",
+        "est_jaccard",
+        (F.col("est_jaccard") >= F.lit(0.5)).alias("is_dup"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # d6 — engine-agnostic 16-bit SimHash signatures (md5 nibble votes); the
 # 64-bit xxhash64 variant is the production path (property-tested).
 # ---------------------------------------------------------------------------

@@ -384,3 +384,52 @@ def s6_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     20-query top-5 by asymmetric distance over codes only."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.pq_adc_topk(emb, F.col("vec_id") < _N_QUERIES, m=8, k=16, max_iter=5, topk=5)
+
+
+# ---------------------------------------------------------------------------
+# s7 — ANN quality evaluation: recall@5 of the IVF index against the
+# exact brute-force answer, per query. The metric every production ANN
+# deployment tracks before trading exactness for speed; at 100 TB it is
+# computed on a sampled query set exactly like this 20-query block.
+# Oracle = the s1 and s3 oracles composed (both already hash-verified
+# on their own rows), so the recall numbers are exact by construction.
+# ---------------------------------------------------------------------------
+_S7_ORACLE = (
+    "WITH exact AS MATERIALIZED (\n  SELECT qid, nid FROM (\n"
+    + _S1_ORACLE
+    + "\n) ex\n), approx AS MATERIALIZED (\n  SELECT qid, nid FROM (\n"
+    + _S3_ORACLE
+    + "\n) ap\n)\n"
+    + """
+SELECT ap.qid,
+       CAST(COUNT(e.nid) AS BIGINT) AS n_hits,
+       CAST(COUNT(e.nid) AS DOUBLE) / 5.0 AS recall_at_5
+FROM approx ap
+LEFT JOIN exact e ON e.qid = ap.qid AND e.nid = ap.nid
+GROUP BY 1
+"""
+)
+
+
+@register(
+    "s7_ann_recall",
+    _S7_ORACLE,
+    doc="Recall@5 of the IVF route-and-probe path vs exact brute force, "
+    "per query — the accuracy/speed dial every ANN index is tuned by. "
+    "Both sides reuse already-oracle-verified building blocks (s1, s3).",
+)
+def s7_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of IVF(n_probe=2) against exact top-5."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = S.cosine_topk(emb, F.col("vec_id") < _N_QUERIES, k=5).select("qid", "nid")
+    approx = S.ivf_topk(emb, F.col("vec_id") < _N_QUERIES, k=5, n_probe=2).select("qid", "nid")
+    hits = approx.join(exact.withColumn("_hit", F.lit(1)), ["qid", "nid"], "left")
+    return (
+        hits.groupBy("qid")
+        .agg(F.count("_hit").alias("n_hits"))
+        .select(
+            "qid",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.lit(5.0)).alias("recall_at_5"),
+        )
+    )

@@ -424,3 +424,67 @@ def test_kmeans_sample_trained_matches_full_when_sample_covers(spark, embeddings
     }
     assert sampled1 == sampled2  # deterministic sample → reproducible
     assert len({v for v, _c, _d in sampled1}) == n  # whole corpus assigned
+
+
+def test_incremental_minhash_only_new_vs_old_pairs(spark):
+    """d24's kernel: an incoming shard containing a replica of an
+    existing doc pairs new->old; duplicate pairs WITHIN the shard or
+    WITHIN the corpus must not appear."""
+    rows = [
+        # existing corpus: 0/1 are exact duplicates of each other
+        (0, "alpha beta gamma delta epsilon zeta eta theta", False),
+        (1, "alpha beta gamma delta epsilon zeta eta theta", False),
+        (2, "one two three four five six seven eight", False),
+        # incoming shard: 10 replicates doc 0/1; 11/12 replicate each
+        # other but nothing old; 13 is novel
+        (10, "alpha beta gamma delta epsilon zeta eta theta", True),
+        (11, "red orange yellow green blue indigo violet ultraviolet", True),
+        (12, "red orange yellow green blue indigo violet ultraviolet", True),
+        (13, "lorem ipsum dolor sit amet consectetur adipiscing elit", True),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_new boolean")
+    got = {
+        (r.new_id, r.old_id, r.est_jaccard)
+        for r in D.minhash_incremental_pairs(df, new_col="is_new").collect()
+    }
+    # the replica is found against BOTH old copies, at full similarity
+    assert (10, 0, 1.0) in got and (10, 1, 1.0) in got
+    # no new x new (11,12) and no old x old (0,1) pairs leak through
+    ids = {(a, b) for a, b, _ in got}
+    assert (11, 12) not in ids and (12, 11) not in ids
+    assert (0, 1) not in ids and (1, 0) not in ids
+    # the novel doc pairs with nothing
+    assert not any(a == 13 for a, _ in ids)
+
+
+def test_incremental_minhash_agrees_with_symmetric_kernel(spark, documents):
+    """On the driver corpus, d24's new x old pairs must be exactly the
+    subset of d5's all-pairs output that crosses the cutoff line."""
+    cutoff = documents.agg(F.ceil((F.max("doc_id") + F.lit(1)) * F.lit(0.8))).collect()[0][0]
+    flagged = documents.withColumn("is_new", F.col("doc_id") >= F.lit(int(cutoff)))
+    inc = {
+        (r.new_id, r.old_id, r.est_jaccard)
+        for r in D.minhash_incremental_pairs(flagged, new_col="is_new").collect()
+    }
+    full = D.minhash_candidate_pairs(documents, n=3, k=16, bands=4).collect()
+    expect = {
+        (max(r.d1, r.d2), min(r.d1, r.d2), r.est_jaccard)
+        for r in full
+        if (r.d1 >= cutoff) != (r.d2 >= cutoff)
+    }
+    assert inc == expect
+
+
+def test_ann_recall_query_bounds_and_exact_self_consistency(spark, embeddings):
+    """s7: recall@5 is in [0,1] for every query, and evaluating the
+    EXACT path against itself yields recall 1.0 everywhere."""
+    exact = S.cosine_topk(embeddings, F.col("vec_id") < 20, k=5).select("qid", "nid")
+    hits = exact.join(exact.withColumn("_h", F.lit(1)), ["qid", "nid"], "left")
+    self_recall = hits.groupBy("qid").agg((F.count("_h") / F.lit(5.0)).alias("r")).collect()
+    assert len(self_recall) == 20 and all(abs(r.r - 1.0) < 1e-12 for r in self_recall)
+    from real_time_data_engineering_spark.registry.similarity import s7_ann_recall
+
+    out = s7_ann_recall(spark, SF_DIR).collect()
+    assert len(out) == 20
+    assert all(0.0 <= r.recall_at_5 <= 1.0 for r in out)
+    assert all(r.n_hits == int(r.recall_at_5 * 5) for r in out)
