@@ -212,3 +212,79 @@ def d18_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((F.col("cum") - 1) / F.lit(cap)).cast("long").alias("end_seq"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d25 — temperature sampling (alpha = 0.5): per-source acceptance rate
+# sqrt(T_min / T_s), the multilingual/low-resource upweighting scheme
+# (rates proportional to T_s^alpha; anchoring at the smallest source
+# keeps every quantity a ratio of two exact BIGINTs under one
+# correctly-rounded sqrt — bit-identical across engines, no
+# order-sensitive double summation). The accept coin is the first 16
+# bits of md5(doc_id) as a [0,1) uniform.
+# ---------------------------------------------------------------------------
+_D25_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(ceil(CAST(length(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS BIGINT) / 4.0)
+              AS BIGINT) AS est_tokens,
+         (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS u16
+  FROM documents
+), tot AS (
+  SELECT source, CAST(SUM(est_tokens) AS BIGINT) AS src_tokens FROM t GROUP BY 1
+), mn AS (
+  SELECT MIN(src_tokens) AS t_min FROM tot
+), rates AS (
+  SELECT source, src_tokens,
+         least(1.0, sqrt(CAST((SELECT t_min FROM mn) AS DOUBLE) / CAST(src_tokens AS DOUBLE))) AS accept_rate
+  FROM tot
+)
+SELECT d.doc_id, d.source, d.est_tokens, r.src_tokens AS source_tokens, r.accept_rate
+FROM t d JOIN rates r USING (source)
+WHERE CAST(d.u16 AS DOUBLE) / 65536.0 < r.accept_rate
+"""
+
+
+@register(
+    "d25_temperature_sampling",
+    _D25_ORACLE,
+    doc="alpha=0.5 temperature sampling across sources: acceptance rate "
+    "sqrt(T_min/T_s) per source, md5-coin Bernoulli per document — the "
+    "standard low-resource upweighting mix (vs d10's hard token budget). "
+    "Per-source totals broadcast; the corpus pass is a narrow filter.",
+)
+def d25_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled training subset with per-source accept rates.
+
+    Scale shape: the per-source totals relation is |sources| rows (a
+    broadcast), the T_min anchor is one scalar fetch (same bounded
+    class as d24's cutoff), and the selection itself is a narrow
+    projection+filter over the corpus — one small shuffle for the
+    totals, zero for the decision pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        est_bpe_tokens("text").alias("est_tokens"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        .alias("_u16"),
+    )
+    tot = t.groupBy("source").agg(F.sum("est_tokens").alias("source_tokens"))
+    t_min = int(tot.agg(F.min("source_tokens")).first()[0])
+    rates = tot.withColumn(
+        "accept_rate",
+        F.least(
+            F.lit(1.0),
+            F.sqrt(F.lit(float(t_min)) / F.col("source_tokens").cast("double")),
+        ),
+    )
+    return (
+        t.join(F.broadcast(rates), "source")
+        .filter(F.col("_u16").cast("double") / F.lit(65536.0) < F.col("accept_rate"))
+        .select("doc_id", "source", "est_tokens", "source_tokens", "accept_rate")
+    )

