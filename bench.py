@@ -77,6 +77,9 @@ EXTRA = [
     "m3_frame_sample",
     "q28_trailing_window",
     "q29_running_revenue_stitched",
+    "d24_incremental_neardup",
+    "d25_temperature_sampling",
+    "s7_ann_recall",
 ]
 
 # Queries whose lineage persists an exploded working relation DISK_ONLY
@@ -92,6 +95,7 @@ SPILL_QUERIES = {
     "d5_minhash_lsh",
     "d15_dup_clusters",
     "d19_embedding_neardup_lsh",
+    "d24_incremental_neardup",
 }
 
 

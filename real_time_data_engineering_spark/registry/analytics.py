@@ -785,3 +785,156 @@ def q28_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trailing_7d_avg"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q30 — cohort retention matrix over events: cohort = user's first-seen
+# day, activity counted by day offset 0..7. The canonical product-
+# analytics rollup (generalizes reference A5's per-entity features to a
+# cohort x time grid). Two user-keyed shuffles (first-seen + activity),
+# both partial-aggregated map-side; the cohort-size join is a
+# broadcast (one row per calendar day).
+# ---------------------------------------------------------------------------
+_Q30_ORACLE = """
+WITH fs AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date FROM events GROUP BY 1
+), size_ AS (
+  SELECT cohort_date, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM fs GROUP BY 1
+), act AS (
+  SELECT f.cohort_date,
+         CAST(date_diff('day', f.cohort_date, CAST(e.ts AS DATE)) AS BIGINT) AS day_offset,
+         CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+  FROM events e JOIN fs f USING (user_id)
+  WHERE date_diff('day', f.cohort_date, CAST(e.ts AS DATE)) BETWEEN 0 AND 7
+  GROUP BY 1, 2
+)
+SELECT a.cohort_date, a.day_offset, a.n_active, s.cohort_size,
+       CAST(a.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention_rate
+FROM act a JOIN size_ s USING (cohort_date)
+"""
+
+
+@register(
+    "q30_cohort_retention",
+    _Q30_ORACLE,
+    doc="Cohort retention matrix: users grouped by first-seen day, "
+    "distinct-active counts at day offsets 0..7, rate vs cohort size.",
+)
+def q30_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-day retention matrix keyed by first-seen cohort date."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("d"))
+    fs = ev.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    size = fs.groupBy("cohort_date").agg(F.count("*").alias("cohort_size"))
+    act = (
+        ev.join(fs, "user_id")
+        .withColumn("day_offset", F.datediff("d", "cohort_date").cast("long"))
+        .filter(F.col("day_offset").between(0, 7))
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return act.join(F.broadcast(size), "cohort_date").select(
+        "cohort_date",
+        "day_offset",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active").cast("double") / F.col("cohort_size").cast("double")).alias(
+            "retention_rate"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q31 — ordered funnel (view -> click -> purchase): the sequence-match
+# analytic (MATCH_RECOGNIZE / ClickHouse windowFunnel class). Stage
+# timestamps resolve as nested conditional mins — first view, first
+# click AFTER that view, first purchase AFTER that click — so each
+# stage is one user-keyed conditional aggregation, three total, no
+# self-join explosion. Epoch-micros comparisons; no timestamp output.
+# ---------------------------------------------------------------------------
+_CONVERT_WINDOW_US = 86_400_000_000  # each hop must convert within 24h
+
+_Q31_ORACLE = f"""
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click'
+    AND epoch_us(CAST(e.ts AS TIMESTAMP)) > v.t_view
+    AND epoch_us(CAST(e.ts AS TIMESTAMP)) <= v.t_view + {_CONVERT_WINDOW_US}
+  GROUP BY 1
+), p AS (
+  SELECT e.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND epoch_us(CAST(e.ts AS TIMESTAMP)) > c.t_click
+    AND epoch_us(CAST(e.ts AS TIMESTAMP)) <= c.t_click + {_CONVERT_WINDOW_US}
+  GROUP BY 1
+), staged AS (
+  SELECT u.user_id,
+         CASE WHEN p.user_id IS NOT NULL THEN 3
+              WHEN c.user_id IS NOT NULL THEN 2
+              WHEN v.user_id IS NOT NULL THEN 1
+              ELSE 0 END AS stage
+  FROM (SELECT DISTINCT user_id FROM events) u
+  LEFT JOIN v ON v.user_id = u.user_id
+  LEFT JOIN c ON c.user_id = u.user_id
+  LEFT JOIN p ON p.user_id = u.user_id
+)
+SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM staged GROUP BY 1
+"""
+
+
+@register(
+    "q31_funnel_stages",
+    _Q31_ORACLE,
+    doc="Ordered conversion funnel view->click->purchase as nested "
+    "conditional mins — three user-keyed aggregations, no self-join "
+    "explosion; the MATCH_RECOGNIZE/windowFunnel analytic.",
+)
+def q31_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Furthest-funnel-stage user counts (0=none .. 3=purchased)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("t").alias("t_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("t") > F.col("t_view"))
+            & (F.col("t") <= F.col("t_view") + F.lit(_CONVERT_WINDOW_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("t") > F.col("t_click"))
+            & (F.col("t") <= F.col("t_click") + F.lit(_CONVERT_WINDOW_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_purchase"))
+    )
+    users = ev.select("user_id").distinct()
+    staged = (
+        users.join(v.select("user_id", F.lit(1).alias("_v")), "user_id", "left")
+        .join(c.select("user_id", F.lit(1).alias("_c")), "user_id", "left")
+        .join(p.select("user_id", F.lit(1).alias("_p")), "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("_p").isNotNull(), 3)
+            .when(F.col("_c").isNotNull(), 2)
+            .when(F.col("_v").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("stage"),
+        )
+    )
+    return staged.groupBy("stage").agg(F.count("*").alias("n_users"))

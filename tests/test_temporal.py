@@ -131,3 +131,62 @@ def test_asof_plan_single_keyed_exchange(spark):
     plan = all_specs()["q22_asof_order"].spark(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
     assert plan.count("Window") >= 1
+
+
+def test_cohort_retention_semantics(spark):
+    """q30: offset-0 retention is exactly 1.0 for every cohort, rates
+    never exceed 1, and cohort sizes sum to the distinct-user count."""
+    from conftest import SF_DIR
+    from real_time_data_engineering_spark.registry.analytics import q30_cohort_retention
+    from real_time_data_engineering_spark.sources.readers import load_table
+
+    out = q30_cohort_retention(spark, SF_DIR).toPandas()
+    day0 = out[out.day_offset == 0]
+    assert (day0.n_active == day0.cohort_size).all()
+    assert (out.retention_rate <= 1.0 + 1e-12).all()
+    n_users = load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    assert int(day0.cohort_size.sum()) == n_users
+
+
+def test_funnel_stage_ordering_and_conservation(spark):
+    """q31: stages partition the user base (counts sum to distinct
+    users), and a hand-built micro-case resolves every stage boundary —
+    out-of-order and out-of-window events must not convert."""
+    import datetime as dt
+
+    from conftest import SF_DIR
+    from real_time_data_engineering_spark.registry.analytics import q31_funnel_stages
+    from real_time_data_engineering_spark.sources.readers import load_table
+
+    out = {r.stage: r.n_users for r in q31_funnel_stages(spark, SF_DIR).collect()}
+    n_users = load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    assert sum(out.values()) == n_users
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def ts(h):
+        return T0 + dt.timedelta(hours=h)
+
+    rows = [
+        # u1: full in-order funnel within windows -> stage 3
+        (1, ts(0), "view"), (1, ts(1), "click"), (1, ts(2), "purchase"),
+        # u2: click BEFORE first view (order violation) -> stage 1
+        (2, ts(1), "view"), (2, ts(0), "click"),
+        # u3: click 25h after view (window violation) -> stage 1
+        (3, ts(0), "view"), (3, ts(25), "click"),
+        # u4: purchase 25h after click -> stage 2
+        (4, ts(0), "view"), (4, ts(1), "click"), (4, ts(26), "purchase"),
+        # u5: never viewed -> stage 0
+        (5, ts(0), "error"),
+    ]
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        got = {r.stage: r.n_users for r in q31_funnel_stages(spark, d).collect()}
+    assert got == {3: 1, 1: 2, 2: 1, 0: 1}
