@@ -318,13 +318,37 @@ class ManifestTable:
             f.write(payload)
         return self.snapshot(version)
 
-    def write(self, df: DataFrame, mode: str = "overwrite") -> Snapshot:
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "overwrite",
+        cluster_by: list[str] | None = None,
+        n_files: int | None = None,
+    ) -> Snapshot:
         """Commit a new snapshot: `overwrite` replaces the visible file
         set, `append` extends it. Data is staged before the metadata
         commit, so a crash mid-write leaves the table at its previous
-        snapshot (plus orphan files for `vacuum`)."""
+        snapshot (plus orphan files for `vacuum`).
+
+        ``cluster_by`` range-partitions and sorts the data on the given
+        columns before writing (Delta OPTIMIZE ZORDER / Iceberg
+        sort-order analogue for the linear case): each file then covers
+        a narrow, mostly disjoint value range, which is what makes the
+        footer min/max stats in `files_for` actually prune — stats on
+        randomly-laid-out files overlap everywhere and skip nothing.
+        At 100 TB, clustering the write is the difference between the
+        manifest's data skipping touching 1% of files and 100%.
+        ``n_files`` pins the range-partition count (size files toward
+        the 128 MB target); left None, AQE sizes them — which on small
+        relations coalesces to one file and leaves nothing to skip."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode}")
+        if cluster_by:
+            cols = [F.col(c) for c in cluster_by]
+            if n_files:
+                df = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
+            else:
+                df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
         new_files = self._stage(df)
         new_stats = self._stats_for(new_files)
         base = self.snapshot()
@@ -351,6 +375,52 @@ class ManifestTable:
         existing = self.read(spark)
         merged = merge_upsert(existing, updates, key_cols, precombine_col)
         return self.write(merged, mode="overwrite")
+
+    # -- incremental consumption -------------------------------------------
+
+    def diff_files(self, since: int, until: int | None = None) -> tuple[list[str], list[str]]:
+        """(added, removed) data files between two snapshots — the
+        file-level change set every incremental consumer starts from.
+        Both endpoints must still be retained (expire() can prune)."""
+        old = set(self.snapshot(since).files)
+        new = set(self.snapshot(until).files)
+        return sorted(new - old), sorted(old - new)
+
+    def read_appended(
+        self, spark: SparkSession, since: int, until: int | None = None
+    ) -> DataFrame:
+        """Rows in data files ADDED after snapshot ``since`` — the
+        Iceberg incremental-append scan / Delta CDF (append-only)
+        analogue: a backfill or downstream-refresh job reads exactly
+        the new rows instead of re-scanning the table.
+
+        Only sound when every commit in the range is an append: an
+        overwrite/compact rewrites surviving rows into new files, which
+        an added-files read would double-count. Enforced, not assumed —
+        a non-append commit in the range raises ValueError (same
+        contract as Iceberg's incremental scan failing over
+        replace/overwrite snapshots; run it per append-window instead)."""
+        vs = self.versions()
+        until_v = until if until is not None else (vs[-1] if vs else 0)
+        for v in vs:
+            if since < v <= until_v:
+                op = self.snapshot(v).operation
+                if op != "append" and not op.startswith("stream-append"):
+                    raise ValueError(
+                        f"snapshot v{v} is '{op}', not an append — incremental "
+                        "read across rewrites would double-count; read the "
+                        "append windows on either side separately"
+                    )
+        added, _removed = self.diff_files(since, until_v)
+        if not added:
+            ref = self.snapshot(until_v)
+            if not ref.files:
+                raise ValueError(f"{self.path} has no files to derive a schema from")
+            return (
+                spark.read.parquet(os.path.join(self.path, ref.files[0]))
+                .filter(F.lit(False))
+            )
+        return spark.read.parquet(*[os.path.join(self.path, f) for f in added])
 
     # -- maintenance --------------------------------------------------------
 

@@ -315,3 +315,70 @@ def test_exactly_once_marker_crash_window_repair(spark, nation, tmp_path):
     assert t.read(spark).count() == before
     with open(os.path.join(tpath, _MANIFEST_DIR, _BATCHES_MARKER)) as f:
         assert "0" in f.read().split()
+
+
+def test_cluster_by_write_makes_stats_prune(spark, tmp_path):
+    """cluster_by: on a randomly-laid-out write, min/max ranges overlap
+    everywhere and a point predicate prunes nothing; the clustered
+    write of the SAME data prunes most files. This is the write-side
+    half of data skipping (OPTIMIZE ZORDER's linear case)."""
+    df = (
+        spark.range(0, 10_000)
+        .select(
+            # shuffle key order so unclustered files span the full range
+            F.xxhash64("id").alias("salt"),
+            (F.col("id") % 100).alias("k"),
+            F.col("id").alias("v"),
+        )
+        .repartition(8, "salt")
+        .drop("salt")
+    )
+    pred = [("k", "==", 17)]
+
+    un = ManifestTable(str(tmp_path / "unclustered"))
+    un.write(df)
+    assert len(un.files_for(pred)) == len(un.files_for())  # no skip possible
+
+    cl = ManifestTable(str(tmp_path / "clustered"))
+    cl.write(df, cluster_by=["k"], n_files=8)
+    n_all, n_hit = len(cl.files_for()), len(cl.files_for(pred))
+    assert n_all > 1 and n_hit < n_all
+    # correctness unchanged by the layout
+    assert cl.read(spark, predicate=pred).count() == 100
+    assert un.read(spark, predicate=pred).count() == 100
+
+
+def test_incremental_read_returns_exactly_appended_rows(spark, nation, tmp_path):
+    """read_appended(since=v) over append-only commits returns exactly
+    the rows committed after v, and diff_files reports the change set."""
+    t = ManifestTable(str(tmp_path / "t"))
+    s1 = t.write(nation.filter(F.col("n_regionkey") < 2))
+    s2 = t.write(nation.filter(F.col("n_regionkey") == 2), mode="append")
+    s3 = t.write(nation.filter(F.col("n_regionkey") > 2), mode="append")
+    added, removed = t.diff_files(s1.version, s3.version)
+    assert removed == [] and set(added) == set(s3.files) - set(s1.files)
+    got = {r.n_nationkey for r in t.read_appended(spark, since=s1.version).collect()}
+    want = {r.n_nationkey for r in nation.filter(F.col("n_regionkey") >= 2).collect()}
+    assert got == want
+    # bounded range: only the middle append
+    mid = {r.n_nationkey for r in t.read_appended(spark, s1.version, s2.version).collect()}
+    assert mid == {r.n_nationkey for r in nation.filter(F.col("n_regionkey") == 2).collect()}
+    # empty range yields an empty, schema-stable frame
+    assert t.read_appended(spark, s3.version).count() == 0
+
+
+def test_incremental_read_refuses_rewrites(spark, nation, tmp_path):
+    """A compact/overwrite inside the range must raise — added-files
+    reads across rewrites double-count surviving rows."""
+    t = ManifestTable(str(tmp_path / "t"))
+    s1 = t.write(nation.filter(F.col("n_regionkey") < 2))
+    t.write(nation.filter(F.col("n_regionkey") == 2), mode="append")
+    t.compact(spark)
+    t.write(nation.filter(F.col("n_regionkey") > 2), mode="append")
+    with pytest.raises(ValueError, match="not an append"):
+        t.read_appended(spark, since=s1.version)
+    # but the post-rewrite append window reads fine
+    vs = t.versions()
+    assert t.read_appended(spark, since=vs[-2]).count() == nation.filter(
+        F.col("n_regionkey") > 2
+    ).count()
