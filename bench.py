@@ -80,6 +80,9 @@ EXTRA = [
     "d24_incremental_neardup",
     "d25_temperature_sampling",
     "s7_ann_recall",
+    "q30_cohort_retention",
+    "q31_funnel_stages",
+    "d26_corpus_bigrams",
 ]
 
 # Queries whose lineage persists an exploded working relation DISK_ONLY

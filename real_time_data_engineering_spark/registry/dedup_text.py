@@ -989,3 +989,74 @@ def d23_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c").cast("double") / F.col("n_docs").cast("double")).alias("top_lang_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d26 — corpus bigram table: adjacent-pair frequencies (occurrences +
+# document frequency), top 50 by count. The count step of a BPE /
+# WordPiece merge round at word grain, and the vocabulary-governance
+# stat (which collocations dominate a dump). One shuffle keyed by
+# bigram with map-side partial aggregation; top-k is
+# TakeOrderedAndProject (no global sort), rank assigned on the 50
+# survivors only.
+# ---------------------------------------------------------------------------
+_D26_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), tok AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks
+), bi AS (
+  SELECT a.doc_id, a.w || ' ' || b.w AS bigram
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+), agg AS (
+  SELECT bigram,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM bi GROUP BY 1
+)
+SELECT bigram, n_occurrences, n_docs,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, bigram ASC) AS BIGINT) AS rank
+FROM agg
+ORDER BY rank LIMIT 50
+"""
+
+
+@register(
+    "d26_corpus_bigrams",
+    _D26_ORACLE,
+    doc="Corpus-level adjacent-pair frequency table (top 50 by "
+    "occurrences, deterministic tie-break): the count step of a "
+    "BPE/WordPiece merge round at word grain. One bigram-keyed shuffle "
+    "with partial aggregation; rank only over the k survivors.",
+)
+def d26_corpus_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus bigram frequencies with document counts."""
+    from ..functions.text import tokens
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    # raw occurrence grams — NOT shingle_exploded, whose array_distinct
+    # per-doc dedup is right for Jaccard/MinHash but would undercount
+    # merge-frequency statistics
+    toked = docs.select(F.col("doc_id"), tokens("text").alias("_toks"))
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("_toks")) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("_toks"), i + 1), F.element_at(F.col("_toks"), i + 2)
+        ),
+    )
+    bi = toked.filter(F.size(F.col("_toks")) >= 2).select(
+        "doc_id", F.explode(gram).alias("bigram")
+    )
+    agg = bi.groupBy("bigram").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    top = agg.orderBy(F.col("n_occurrences").desc(), F.col("bigram").asc()).limit(50)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("bigram").asc())
+    # rank window runs over the 50 surviving rows only — bounded
+    return top.select(
+        "bigram",
+        "n_occurrences",
+        "n_docs",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
