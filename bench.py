@@ -83,6 +83,7 @@ EXTRA = [
     "q30_cohort_retention",
     "q31_funnel_stages",
     "d26_corpus_bigrams",
+    "q32_gap_fill_interpolation",
 ]
 
 # Queries whose lineage persists an exploded working relation DISK_ONLY

@@ -938,3 +938,83 @@ def q31_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return staged.groupBy("stage").agg(F.count("*").alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# q32 — calendar gap fill + linear interpolation over the daily revenue
+# series: spine left-join, forward fill (last non-null), and linear
+# interpolation between the neighboring observed days. The time-series
+# repair primitive (pandas `interpolate(method='time')` class) done as
+# two IGNORE NULLS window passes — no self-join, no UDF. The window
+# orders the PER-DAY aggregate (one row per calendar day — bounded; at
+# 100x calendar length partition by year + stitch, operators/windows.py).
+# ---------------------------------------------------------------------------
+_Q32_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS date_key,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1
+), bounds AS (
+  SELECT MIN(CAST(o_orderdate AS DATE)) AS d0, MAX(CAST(o_orderdate AS DATE)) AS d1 FROM orders
+), spine AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS date_key FROM bounds
+), j AS (
+  SELECT s.date_key, date_diff('day', DATE '1970-01-01', s.date_key) AS di, d.rev
+  FROM spine s LEFT JOIN daily d USING (date_key)
+), w AS (
+  SELECT date_key, di, rev,
+    LAST_VALUE(rev IGNORE NULLS) OVER (ORDER BY di ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+    FIRST_VALUE(rev IGNORE NULLS) OVER (ORDER BY di ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+    LAST_VALUE(CASE WHEN rev IS NOT NULL THEN di END IGNORE NULLS) OVER (ORDER BY di ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+    FIRST_VALUE(CASE WHEN rev IS NOT NULL THEN di END IGNORE NULLS) OVER (ORDER BY di ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+  FROM j
+)
+SELECT date_key, (rev IS NOT NULL) AS observed,
+  COALESCE(rev, prev_v) AS rev_ffill,
+  CASE WHEN rev IS NOT NULL THEN rev
+       WHEN prev_v IS NULL OR next_v IS NULL THEN COALESCE(prev_v, next_v)
+       ELSE prev_v + (next_v - prev_v) * (CAST(di - prev_d AS DOUBLE) / CAST(next_d - prev_d AS DOUBLE)) END AS rev_interp
+FROM w
+"""
+
+
+@register(
+    "q32_gap_fill_interpolation",
+    _Q32_ORACLE,
+    doc="Calendar gap fill over the daily revenue series: forward fill "
+    "+ linear interpolation via two IGNORE NULLS window passes — no "
+    "self-join, no UDF; identical double expression order on both "
+    "engines.",
+)
+def q32_gap_fill_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue with calendar gaps forward-filled and interpolated."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("date_key")).agg(
+        sum_money("o_totalprice").cast("double").alias("rev")
+    )
+    bounds = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    spine = bounds.select(F.explode(F.sequence("d0", "d1")).alias("date_key"))
+    j = spine.join(daily, "date_key", "left").select(
+        "date_key", F.unix_date("date_key").alias("di"), "rev"
+    )
+    # one row per calendar day — bounded global window (see header note)
+    w_prev = Window.orderBy("di").rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.orderBy("di").rowsBetween(0, Window.unboundedFollowing)
+    obs_di = F.when(F.col("rev").isNotNull(), F.col("di"))
+    prev_v = F.last("rev", ignorenulls=True).over(w_prev)
+    next_v = F.first("rev", ignorenulls=True).over(w_next)
+    prev_d = F.last(obs_di, ignorenulls=True).over(w_prev)
+    next_d = F.first(obs_di, ignorenulls=True).over(w_next)
+    frac = (F.col("di") - prev_d).cast("double") / (next_d - prev_d).cast("double")
+    return j.select(
+        "date_key",
+        F.col("rev").isNotNull().alias("observed"),
+        F.coalesce("rev", prev_v).alias("rev_ffill"),
+        F.when(F.col("rev").isNotNull(), F.col("rev"))
+        .when(prev_v.isNull() | next_v.isNull(), F.coalesce(prev_v, next_v))
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+        .alias("rev_interp"),
+    )

@@ -382,3 +382,25 @@ def test_incremental_read_refuses_rewrites(spark, nation, tmp_path):
     assert t.read_appended(spark, since=vs[-2]).count() == nation.filter(
         F.col("n_regionkey") > 2
     ).count()
+
+
+def test_incremental_refresh_from_appends_equals_recompute(spark, nation, tmp_path):
+    """Maintaining a downstream additive aggregate from read_appended
+    increments must equal the full recompute — the lakehouse MV
+    maintenance loop (process only new files per refresh)."""
+    t = ManifestTable(str(tmp_path / "t"))
+    versions = [t.write(nation.filter(F.col("n_regionkey") == 0)).version]
+    for rk in (1, 2, 3, 4):
+        versions.append(
+            t.write(nation.filter(F.col("n_regionkey") == rk), mode="append").version
+        )
+    # incremental: fold per-append partial counts (additive agg composes)
+    acc: dict[int, int] = {}
+    prev = 0
+    for v in versions:
+        inc = t.read_appended(spark, since=prev, until=v) if prev else t.read(spark, version=v)
+        for r in inc.groupBy("n_regionkey").count().collect():
+            acc[r.n_regionkey] = acc.get(r.n_regionkey, 0) + r["count"]
+        prev = v
+    full = {r.n_regionkey: r["count"] for r in t.read(spark).groupBy("n_regionkey").count().collect()}
+    assert acc == full
