@@ -84,6 +84,7 @@ EXTRA = [
     "q31_funnel_stages",
     "d26_corpus_bigrams",
     "q32_gap_fill_interpolation",
+    "d27_rag_chunking",
 ]
 
 # Queries whose lineage persists an exploded working relation DISK_ONLY

@@ -1060,3 +1060,78 @@ def d26_corpus_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.row_number().over(w).cast("long").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d27 — RAG chunking: overlapping token windows (64 tokens, stride 48 →
+# 16-token overlap) with per-chunk offsets and content fingerprints —
+# the retrieval-corpus prep step between curation and embedding. Pure
+# narrow explode per document: zero shuffle, and chunk_idx derives
+# arithmetically from the stride ((start-1)/48), so no per-doc window
+# pass either.
+# ---------------------------------------------------------------------------
+_D27_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), meta AS (
+  SELECT doc_id, t, len(t) AS n FROM toks
+), chunks AS (
+  SELECT doc_id, t, n,
+         CAST(u.s AS BIGINT) AS start_tok,
+         CAST(least(u.s + 63, n) AS BIGINT) AS end_tok
+  FROM meta, unnest(generate_series(1, greatest(n, 1), 48)) AS u(s)
+)
+SELECT doc_id,
+       CAST((start_tok - 1) // 48 AS BIGINT) AS chunk_idx,
+       start_tok, end_tok,
+       end_tok - start_tok + 1 AS n_tokens,
+       md5(array_to_string(list_slice(t, start_tok, end_tok), ' ')) AS chunk_fp
+FROM chunks
+"""
+
+
+@register(
+    "d27_rag_chunking",
+    _D27_ORACLE,
+    doc="Overlapping token-window chunking (64-token chunks, stride 48) "
+    "with offsets + md5 content fingerprints — retrieval-corpus prep. "
+    "Narrow per-doc explode, zero shuffle, arithmetic chunk ids.",
+)
+def d27_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk every document into 64-token windows with 16-token overlap."""
+    from ..functions.text import tokens
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    m = docs.select("doc_id", tokens("text").alias("t")).select(
+        "doc_id", "t", F.size("t").alias("n")
+    )
+    ch = m.select(
+        "doc_id",
+        "t",
+        "n",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.col("n"), F.lit(1)), F.lit(48))
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        "t",
+        F.col("s").cast("long").alias("start_tok"),
+        F.least(F.col("s") + F.lit(63), F.col("n")).cast("long").alias("end_tok"),
+    )
+    return ch.select(
+        "doc_id",
+        ((F.col("start_tok") - 1) / F.lit(48)).cast("long").alias("chunk_idx"),
+        "start_tok",
+        "end_tok",
+        (F.col("end_tok") - F.col("start_tok") + 1).alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("t"),
+                    F.col("start_tok").cast("int"),
+                    (F.col("end_tok") - F.col("start_tok") + 1).cast("int"),
+                ),
+            )
+        ).alias("chunk_fp"),
+    )

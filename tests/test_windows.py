@@ -94,3 +94,41 @@ def test_stitched_lag_preserves_null_values(spark):
         ("2024-01-01", None),
         ("2024-01-02", 3.0),
     }
+
+
+def test_gap_fill_interpolation_micro(spark, tmp_path):
+    """q32 on a hand-built series: gaps of width 1 and 2 interpolate to
+    the exact linear values; observed days pass through untouched."""
+    import datetime as dt
+
+    import pandas as pd
+
+    rows = [
+        ("1995-01-01", 100.0),
+        # 1995-01-02 missing  -> lerp(100, 400) = 250
+        ("1995-01-03", 400.0),
+        # 01-04, 01-05 missing -> lerp to 700: 500, 600
+        ("1995-01-06", 700.0),
+    ]
+    pdf = pd.DataFrame(
+        [(dt.date.fromisoformat(d), v) for d, v in rows],
+        columns=["o_orderdate", "o_totalprice"],
+    )
+    df = spark.createDataFrame(pdf)
+    path = str(tmp_path / "orders.parquet")
+    df.write.parquet(path)
+    from real_time_data_engineering_spark.registry.analytics import (
+        q32_gap_fill_interpolation,
+    )
+
+    out = {
+        str(r.date_key): (r.observed, r.rev_ffill, r.rev_interp)
+        for r in q32_gap_fill_interpolation(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 6
+    assert out["1995-01-01"] == (True, 100.0, 100.0)
+    assert out["1995-01-02"] == (False, 100.0, 250.0)
+    assert out["1995-01-03"] == (True, 400.0, 400.0)
+    assert out["1995-01-04"] == (False, 400.0, 500.0)
+    assert out["1995-01-05"] == (False, 400.0, 600.0)
+    assert out["1995-01-06"] == (True, 700.0, 700.0)
