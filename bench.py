@@ -85,6 +85,7 @@ EXTRA = [
     "d26_corpus_bigrams",
     "q32_gap_fill_interpolation",
     "d27_rag_chunking",
+    "q33_event_pivot",
 ]
 
 # Queries whose lineage persists an exploded working relation DISK_ONLY

