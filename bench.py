@@ -86,6 +86,7 @@ EXTRA = [
     "q32_gap_fill_interpolation",
     "d27_rag_chunking",
     "q33_event_pivot",
+    "q34_behavior_set_ops",
 ]
 
 # Queries whose lineage persists an exploded working relation DISK_ONLY

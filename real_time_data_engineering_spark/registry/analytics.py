@@ -1062,3 +1062,42 @@ def q33_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_hour", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
     )
+
+
+# ---------------------------------------------------------------------------
+# q34 — set operators (T3 completes UNION; this adds INTERSECT/EXCEPT):
+# behavioral cohorts at (user, day) grain. Both compile to aggregate-
+# or-join plans on the pair key — one shuffle each, AQE-sized.
+# ---------------------------------------------------------------------------
+_Q34_ORACLE = """
+WITH pd AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events WHERE event_type = 'purchase'),
+     cd AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events WHERE event_type = 'click'),
+     ed AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events WHERE event_type = 'error')
+SELECT 'purchase_and_click_day' AS cohort, user_id, d AS day
+FROM (SELECT * FROM pd INTERSECT SELECT * FROM cd)
+UNION ALL
+SELECT 'purchase_no_error_day' AS cohort, user_id, d AS day
+FROM (SELECT * FROM pd EXCEPT SELECT * FROM ed)
+"""
+
+
+@register(
+    "q34_behavior_set_ops",
+    _Q34_ORACLE,
+    doc="INTERSECT / EXCEPT cohorts at (user, day) grain — completes "
+    "the §2.6 set-operator family beyond T3's UNION ALL.",
+)
+def q34_behavior_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase∩click and purchase∖error (user, day) cohorts."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    )
+
+    def days(t: str) -> DataFrame:
+        return e.filter(F.col("event_type") == t).select("user_id", "day").distinct()
+
+    both = days("purchase").intersect(days("click"))
+    clean = days("purchase").exceptAll(days("error"))
+    return both.select(F.lit("purchase_and_click_day").alias("cohort"), "user_id", "day").unionByName(
+        clean.select(F.lit("purchase_no_error_day").alias("cohort"), "user_id", "day")
+    )

@@ -339,6 +339,15 @@ def attribution_join_stream(
     Input contract: each side carries (``key_col``, ``ts_col``) plus
     its own id/payload columns; rename collisions BEFORE calling (the
     join keeps every non-conflicting column from both sides).
+
+    Outer-variant caveat (verified empirically on Spark 4.1.2): with
+    ``how='left_outer'`` the null-padded rows for unmatched views are
+    only emitted by a LATER trigger after the watermark passes their
+    eligibility — an ``availableNow`` run over a static file set
+    terminates before that trigger fires, so bounded backfills either
+    run the inner join (complete by construction) or append a
+    watermark-advancing heartbeat and re-trigger. Continuous
+    deployments are unaffected (the next micro-batch flushes).
     """
     v = views.withWatermark(ts_col, view_watermark).alias("v")
     c = clicks.withWatermark(ts_col, click_watermark).alias("c")
