@@ -87,6 +87,7 @@ EXTRA = [
     "d27_rag_chunking",
     "q33_event_pivot",
     "q34_behavior_set_ops",
+    "q35_skew_salted_brand_revenue",
 ]
 
 # Queries whose lineage persists an exploded working relation DISK_ONLY

@@ -1101,3 +1101,41 @@ def q34_behavior_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.select(F.lit("purchase_and_click_day").alias("cohort"), "user_id", "day").unionByName(
         clean.select(F.lit("purchase_no_error_day").alias("cohort"), "user_id", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q35 — skew-safe salted join under the value gate: brand revenue
+# through operators/skew.salted_join (big fact salted, dim replicated
+# x8). The salt is internal routing only, so the result is IDENTICAL
+# to the plain join — this row makes the driver's hash compare prove
+# it, beyond the unit equality test in tests/test_plans.py.
+# ---------------------------------------------------------------------------
+_Q35_ORACLE = """
+SELECT p.p_brand,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1
+"""
+
+
+@register(
+    "q35_skew_salted_brand_revenue",
+    _Q35_ORACLE,
+    doc="Brand revenue through the explicit salted join (skew defense "
+    "layer 2, for keys AQE can't split) — value-identical to the plain "
+    "join by construction, proven by the oracle hash.",
+)
+def q35_skew_salted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-side salted brand revenue rollup (salts=8)."""
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = salted_join(li, p, "l_partkey", salts=8)
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n_items"),
+        sum_money("l_extendedprice").alias("revenue"),
+    )
