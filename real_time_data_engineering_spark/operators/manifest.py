@@ -376,6 +376,31 @@ class ManifestTable:
         merged = merge_upsert(existing, updates, key_cols, precombine_col)
         return self.write(merged, mode="overwrite")
 
+    def delete_where(self, spark: SparkSession, predicate: list[tuple]) -> Snapshot:
+        """DELETE WHERE as copy-on-write of ONLY the files whose stats
+        admit a match (Delta/Iceberg CoW delete): files the manifest
+        stats PROVE unaffected carry into the new snapshot by reference
+        — a metadata no-op — and only the admitting files are rewritten
+        without the matching rows. At 100 TB a selective delete then
+        rewrites a handful of files, not the table; the same footer
+        stats that drive read-side skipping drive the write-side blast
+        radius. Older snapshots still see the deleted rows (time
+        travel) until expire/vacuum."""
+        snap = self.snapshot()
+        touched = set(self.files_for(predicate))
+        keep = [f for f in snap.files if f not in touched]
+        if not touched:
+            return snap  # stats prove nothing matches: true no-op
+        survivors = spark.read.parquet(
+            *[os.path.join(self.path, f) for f in sorted(touched)]
+        ).filter(~_predicate_column(predicate))
+        new_files = self._stage(survivors)
+        stats = {
+            **{f: snap.stats[f] for f in keep if f in snap.stats},
+            **self._stats_for(new_files),
+        }
+        return self._commit(snap.version + 1, keep + new_files, "delete", stats)
+
     # -- incremental consumption -------------------------------------------
 
     def diff_files(self, since: int, until: int | None = None) -> tuple[list[str], list[str]]:

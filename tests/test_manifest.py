@@ -404,3 +404,34 @@ def test_incremental_refresh_from_appends_equals_recompute(spark, nation, tmp_pa
         prev = v
     full = {r.n_regionkey: r["count"] for r in t.read(spark).groupBy("n_regionkey").count().collect()}
     assert acc == full
+
+
+def test_delete_where_rewrites_only_admitting_files(spark, nation, tmp_path):
+    """Copy-on-write DELETE: files whose stats prove no match carry
+    into the new snapshot BY REFERENCE (same relative paths); only
+    admitting files are rewritten; old snapshots keep the rows."""
+    t = ManifestTable(str(tmp_path / "t"))
+    s1 = t.write(nation.repartitionByRange(5, "n_regionkey"))
+    pred = [("n_regionkey", "==", 2)]
+    admitting = set(t.files_for(pred))
+    untouched_before = set(s1.files) - admitting
+    assert admitting and untouched_before
+    # stats-proven-empty predicate is a true no-op (same snapshot back)
+    assert t.delete_where(spark, [("n_regionkey", ">", 99)]).version == s1.version
+
+    s2 = t.delete_where(spark, pred)
+    # untouched files referenced verbatim — the metadata-only half
+    assert untouched_before <= set(s2.files)
+    assert not (admitting & set(s2.files))
+    # rows: exactly the predicate's rows gone
+    got = {r.n_nationkey for r in t.read(spark).collect()}
+    want = {r.n_nationkey for r in nation.filter(F.col("n_regionkey") != 2).collect()}
+    assert got == want
+    # time travel unaffected
+    assert t.read(spark, version=s1.version).count() == nation.count()
+    # post-delete, a no-stats survivor file keeps the prune conservative:
+    # the same predicate now RE-RUNS (correctly — never lose rows) but
+    # the data is unchanged
+    s3 = t.delete_where(spark, [("n_regionkey", ">", 99)])
+    assert {r.n_nationkey for r in t.read(spark).collect()} == want
+    assert s3.version >= s2.version
