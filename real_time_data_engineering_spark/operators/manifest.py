@@ -64,6 +64,12 @@ class Snapshot:
     # per-file column stats: {rel_path: {col: {"min", "max", "null_count",
     # "num_rows"}}}; {} for pre-stats manifests (no pruning, still correct)
     stats: dict = field(default_factory=dict)
+    # table schema as Spark JSON — schema evolution is a METADATA event
+    # (Delta's metadata action): readers apply this union schema, so a
+    # file written before a column existed reads as NULLs instead of the
+    # column silently vanishing when that file gets schema-sampled.
+    # None for pre-schema manifests (reader falls back to mergeSchema).
+    schema_json: str | None = None
 
 
 def _stat_encode(v):
@@ -215,6 +221,7 @@ class ManifestTable:
             operation=m["operation"],
             committed_at=m["committed_at"],
             stats=m.get("stats", {}),
+            schema_json=m.get("schema"),
         )
 
     # -- read ---------------------------------------------------------------
@@ -263,12 +270,26 @@ class ManifestTable:
         files = self.files_for(predicate, version)
         if not files:
             # every file pruned: empty frame with the table's schema
-            df = spark.read.parquet(os.path.join(self.path, snap.files[0]))
+            df = self._read_files(spark, [snap.files[0]], snap)
             return df.filter(F.lit(False))
-        df = spark.read.parquet(*[os.path.join(self.path, f) for f in files])
+        df = self._read_files(spark, files, snap)
         if predicate:
             df = df.filter(_predicate_column(predicate))
         return df
+
+    def _read_files(self, spark: SparkSession, files: list[str], snap: Snapshot) -> DataFrame:
+        """Scan table-relative files under the snapshot's schema
+        contract: the manifest-tracked union schema when present (files
+        written before a column existed read that column as NULL),
+        else parquet mergeSchema (pre-schema manifests) — never a
+        single-file schema sample, which silently drops late columns."""
+        paths = [os.path.join(self.path, f) for f in files]
+        if snap.schema_json:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(snap.schema_json))
+            return spark.read.schema(schema).parquet(*paths)
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
 
     # -- write / commit -----------------------------------------------------
 
@@ -286,6 +307,31 @@ class ManifestTable:
                     rels.append(os.path.relpath(os.path.join(root, n), self.path))
         return sorted(rels)
 
+    def _merged_schema_json(self, base_json: str | None, df: DataFrame) -> str:
+        """Union the committed table schema with an incoming frame's:
+        existing columns must keep their type (no silent widening —
+        evolve explicitly via overwrite), new columns append. The
+        result is the metadata-tracked schema every reader applies."""
+        from pyspark.sql.types import StructType
+
+        if not base_json:
+            return df.schema.json()
+        base = StructType.fromJson(json.loads(base_json))
+        by_name = {f.name: f for f in base.fields}
+        out = list(base.fields)
+        for f in df.schema.fields:
+            have = by_name.get(f.name)
+            if have is None:
+                out.append(f)
+            elif have.dataType != f.dataType:
+                raise ValueError(
+                    f"schema evolution conflict on column {f.name!r}: committed "
+                    f"{have.dataType.simpleString()} vs incoming "
+                    f"{f.dataType.simpleString()} — type changes require an "
+                    "explicit overwrite"
+                )
+        return StructType(out).json()
+
     def _stats_for(self, files: list[str]) -> dict:
         """Footer min/max stats per staged file — O(files) metadata reads,
         no data pages (the cost Iceberg pays at commit for its
@@ -293,7 +339,12 @@ class ManifestTable:
         return {f: _footer_stats(os.path.join(self.path, f)) for f in files}
 
     def _commit(
-        self, version: int, files: list[str], operation: str, stats: dict | None = None
+        self,
+        version: int,
+        files: list[str],
+        operation: str,
+        stats: dict | None = None,
+        schema_json: str | None = None,
     ) -> Snapshot:
         """Publish `files` as snapshot `version` — atomically, via
         O_CREAT|O_EXCL on the version file: exactly one racing writer
@@ -304,6 +355,7 @@ class ManifestTable:
                 "operation": operation,
                 "committed_at": time.time(),
                 "stats": stats or {},
+                "schema": schema_json,
             }
         )
         try:
@@ -354,10 +406,12 @@ class ManifestTable:
         base = self.snapshot()
         if mode == "overwrite":
             files, stats = new_files, new_stats
+            schema = df.schema.json()  # overwrite (re)sets the table schema
         else:
             files = list(base.files) + new_files
             stats = {**base.stats, **new_stats}
-        return self._commit(base.version + 1, files, mode, stats)
+            schema = self._merged_schema_json(base.schema_json, df)
+        return self._commit(base.version + 1, files, mode, stats, schema)
 
     def merge_upsert(
         self,
@@ -391,15 +445,17 @@ class ManifestTable:
         keep = [f for f in snap.files if f not in touched]
         if not touched:
             return snap  # stats prove nothing matches: true no-op
-        survivors = spark.read.parquet(
-            *[os.path.join(self.path, f) for f in sorted(touched)]
-        ).filter(~_predicate_column(predicate))
+        survivors = self._read_files(spark, sorted(touched), snap).filter(
+            ~_predicate_column(predicate)
+        )
         new_files = self._stage(survivors)
         stats = {
             **{f: snap.stats[f] for f in keep if f in snap.stats},
             **self._stats_for(new_files),
         }
-        return self._commit(snap.version + 1, keep + new_files, "delete", stats)
+        return self._commit(
+            snap.version + 1, keep + new_files, "delete", stats, snap.schema_json
+        )
 
     # -- incremental consumption -------------------------------------------
 
@@ -437,15 +493,12 @@ class ManifestTable:
                         "append windows on either side separately"
                     )
         added, _removed = self.diff_files(since, until_v)
+        ref = self.snapshot(until_v)
         if not added:
-            ref = self.snapshot(until_v)
             if not ref.files:
                 raise ValueError(f"{self.path} has no files to derive a schema from")
-            return (
-                spark.read.parquet(os.path.join(self.path, ref.files[0]))
-                .filter(F.lit(False))
-            )
-        return spark.read.parquet(*[os.path.join(self.path, f) for f in added])
+            return self._read_files(spark, [ref.files[0]], ref).filter(F.lit(False))
+        return self._read_files(spark, added, ref)
 
     # -- maintenance --------------------------------------------------------
 
@@ -459,7 +512,13 @@ class ManifestTable:
         total = sum(os.path.getsize(os.path.join(self.path, f)) for f in snap.files)
         n_out = max(1, round(total / (target_mb * 1024 * 1024)))
         files = self._stage(df.repartition(n_out))
-        return self._commit(snap.version + 1, files, "compact", self._stats_for(files))
+        return self._commit(
+            snap.version + 1,
+            files,
+            "compact",
+            self._stats_for(files),
+            snap.schema_json or df.schema.json(),
+        )
 
     def expire(self, keep_last: int = 1) -> list[int]:
         """expire_snapshots analogue: drop all but the newest
@@ -559,7 +618,11 @@ def write_stream_to_manifest(
         files = table._stage(batch_df)
         stats = table._stats_for(files)
         table._commit(
-            base.version + 1, list(base.files) + files, tag, {**base.stats, **stats}
+            base.version + 1,
+            list(base.files) + files,
+            tag,
+            {**base.stats, **stats},
+            table._merged_schema_json(base.schema_json, batch_df),
         )
         _record(batch_id)
 

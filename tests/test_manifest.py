@@ -435,3 +435,34 @@ def test_delete_where_rewrites_only_admitting_files(spark, nation, tmp_path):
     s3 = t.delete_where(spark, [("n_regionkey", ">", 99)])
     assert {r.n_nationkey for r in t.read(spark).collect()} == want
     assert s3.version >= s2.version
+
+
+def test_schema_evolution_is_a_metadata_event(spark, tmp_path):
+    """Appending a frame with a NEW column evolves the manifest schema:
+    readers see the union in either write order, pre-column files read
+    NULLs, time travel shows each version's own schema, and a same-name
+    type conflict is rejected loudly."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.write(spark.range(5).select(F.col("id"), F.lit("a").alias("x")))
+    s2 = t.write(
+        spark.range(5, 8).select(F.col("id"), F.lit("b").alias("x"), F.lit(1.5).alias("y")),
+        mode="append",
+    )
+    df = t.read(spark)
+    assert df.columns == ["id", "x", "y"] and df.count() == 8
+    assert df.filter(F.col("y").isNull()).count() == 5  # pre-column files
+    # the hazard order: WIDE first, narrow appended — y must survive
+    u = ManifestTable(str(tmp_path / "u"))
+    u.write(spark.range(5).select(F.col("id"), F.lit(1.5).alias("y")))
+    u.write(spark.range(5, 8).select(F.col("id")), mode="append")
+    assert u.read(spark).columns == ["id", "y"]
+    assert u.read(spark).filter(F.col("y").isNotNull()).count() == 5
+    # time travel reads version 1 under version 1's schema
+    assert t.read(spark, version=1).columns == ["id", "x"]
+    # type conflict: loud, not silent
+    with pytest.raises(ValueError, match="schema evolution conflict"):
+        t.write(spark.range(2).select(F.col("id"), F.lit(7).alias("y")), mode="append")
+    # overwrite resets the schema explicitly
+    t.write(spark.range(3).select(F.col("id").alias("only")))
+    assert t.read(spark).columns == ["only"]
+    assert s2.version < t.snapshot().version
