@@ -51,6 +51,29 @@ class CommitConflict(Exception):
     """Another writer published this version first — reload and retry."""
 
 
+def zorder_key(c1, c2, bits: int = 21) -> Column:
+    """Morton (Z-order) interleave of two non-negative integer columns
+    — the multi-column clustering key. `write(cluster_by=["_z"])` over
+    this key gives every file a bounded range in BOTH dimensions, so
+    min/max skipping prunes on either predicate column; linear
+    clustering on one column prunes only that column. ``bits`` bounds
+    each input (values >= 2^bits interleave but lose locality in the
+    high bits). Pure JVM bit arithmetic — whole-stage-codegen-able,
+    no UDF."""
+    x = F.col(c1) if isinstance(c1, str) else c1
+    y = F.col(c2) if isinstance(c2, str) else c2
+    x, y = x.cast("long"), y.cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        # disjoint bit positions → addition IS the bitwise OR here
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
 _MANIFEST_DIR = "_manifests"
 _BATCHES_MARKER = "_batches"  # durable committed-batch-id log (streaming sink)
 

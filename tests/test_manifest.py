@@ -466,3 +466,37 @@ def test_schema_evolution_is_a_metadata_event(spark, tmp_path):
     t.write(spark.range(3).select(F.col("id").alias("only")))
     assert t.read(spark).columns == ["only"]
     assert s2.version < t.snapshot().version
+
+
+def test_zorder_clustering_prunes_both_dimensions(spark, tmp_path):
+    """Z-order vs linear clustering: linearly clustering on k1 leaves a
+    k2 point predicate unprunable; the Morton key bounds every file in
+    BOTH dimensions, so the same predicate skips most files — and a
+    2-d box predicate skips even more."""
+    from real_time_data_engineering_spark.operators.manifest import (
+        ManifestTable,
+        zorder_key,
+    )
+
+    df = spark.range(0, 16_384).select(
+        (F.col("id") % 128).alias("k1"),
+        (F.floor(F.col("id") / 128)).alias("k2"),
+        F.col("id").alias("v"),
+    )
+    lin = ManifestTable(str(tmp_path / "linear"))
+    lin.write(df, cluster_by=["k1"], n_files=16)
+    zt = ManifestTable(str(tmp_path / "zorder"))
+    zt.write(df.withColumn("_z", zorder_key("k1", "k2")), cluster_by=["_z"], n_files=16)
+
+    pred_k2 = [("k2", "==", 3)]
+    assert len(lin.files_for(pred_k2)) == len(lin.files_for())  # no skip
+    n_all = len(zt.files_for())
+    assert n_all > 1
+    assert len(zt.files_for(pred_k2)) < n_all
+    # 2-d box: prunes to a small corner
+    box = [("k1", "<", 32), ("k2", "<", 32)]
+    assert len(zt.files_for(box)) < n_all / 2
+    # correctness identical under any layout
+    want = df.filter((F.col("k1") < 32) & (F.col("k2") < 32)).count()
+    assert zt.read(spark, predicate=box).drop("_z").count() == want
+    assert lin.read(spark, predicate=box).count() == want
