@@ -500,3 +500,57 @@ def test_zorder_clustering_prunes_both_dimensions(spark, tmp_path):
     want = df.filter((F.col("k1") < 32) & (F.col("k2") < 32)).count()
     assert zt.read(spark, predicate=box).drop("_z").count() == want
     assert lin.read(spark, predicate=box).count() == want
+
+
+def test_manifest_random_walk_matches_model(spark, tmp_path):
+    """Seeded 24-op random walk over write/append/delete/compact/
+    expire/vacuum: after every op the table equals a plain in-memory
+    model. Catches protocol interactions no single-op test sees
+    (delete after compact after expire, stats carried across rewrites,
+    vacuum not breaking the retained snapshot...)."""
+    import random
+
+    rng = random.Random(20260814)
+    t = ManifestTable(str(tmp_path / "walk"))
+    model: dict[int, int] = {}
+    next_id = 0
+
+    def fresh_rows(n):
+        nonlocal next_id
+        rows = [(next_id + i, rng.randrange(100)) for i in range(n)]
+        next_id += n
+        return rows
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "id long, val long")
+
+    t.write(df_of(fresh_rows(20)))
+    model = {}
+    # replay: the first write's rows ARE the model
+    model = {r.id: r.val for r in t.read(spark).collect()}
+
+    for step in range(24):
+        op = rng.choice(["append", "delete", "compact", "expire", "vacuum", "overwrite"])
+        if op == "append":
+            rows = fresh_rows(rng.randrange(1, 12))
+            t.write(df_of(rows), mode="append")
+            model.update(dict(rows))
+        elif op == "overwrite":
+            rows = fresh_rows(rng.randrange(1, 12))
+            t.write(df_of(rows))
+            model = dict(rows)
+        elif op == "delete":
+            cut = rng.randrange(100)
+            t.delete_where(spark, [("val", "<", cut)])
+            model = {k: v for k, v in model.items() if not (v < cut)}
+        elif op == "compact":
+            t.compact(spark)
+        elif op == "expire":
+            t.expire(keep_last=2)
+        elif op == "vacuum":
+            t.vacuum(older_than_s=0)
+        got = {r.id: r.val for r in t.read(spark).collect()} if model else {}
+        if model:
+            assert got == model, f"divergence after step {step} ({op})"
+        else:
+            assert t.read(spark).count() == 0, f"expected empty after step {step} ({op})"
