@@ -88,6 +88,7 @@ EXTRA = [
     "q33_event_pivot",
     "q34_behavior_set_ops",
     "q35_skew_salted_brand_revenue",
+    "q36_variant_extract",
 ]
 
 # Queries whose lineage persists an exploded working relation DISK_ONLY

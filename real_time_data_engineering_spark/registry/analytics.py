@@ -1139,3 +1139,39 @@ def q35_skew_salted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("*").alias("n_items"),
         sum_money("l_extendedprice").alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q36 — VARIANT semi-structured path (Spark 4's parse_json/variant_get
+# — the binary-encoded JSON type that replaces per-row string
+# re-parsing; q11 keeps the classic get_json_object string path).
+# At scale the variant parse happens once per row at ingest and every
+# downstream extraction is a typed binary field read.
+# ---------------------------------------------------------------------------
+_Q36_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY 1
+"""
+
+
+@register(
+    "q36_variant_extract",
+    _Q36_ORACLE,
+    doc="Typed extraction through Spark 4's VARIANT type "
+    "(parse_json once, variant_get as a typed binary field read) — "
+    "the modern semi-structured path next to q11's string path.",
+)
+def q36_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type stats of props.k via parse_json/variant_get."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    return e.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
