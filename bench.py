@@ -501,7 +501,10 @@ def main() -> None:
                     "DISK_ONLY-persisting query (plan-cache reuse reports 0 on the reuser); "
                     "taxi_e2e_10k: p50 of 2 cold runs (fresh warehouse each; checks timed "
                     "separately); refuses to start while sibling JVMs are alive (300s "
-                    "grace), stamps `contention` if any persist"
+                    "grace), stamps `contention` if any persist; the 26-check suite "
+                    "includes ONE deliberate warn-severity exemplar (passenger_count "
+                    "soft bound, checks/taxi_suite.py), so 25/26 PASS + WARN=1 is the "
+                    "healthy steady state"
                 ),
             }
         )
