@@ -89,6 +89,7 @@ EXTRA = [
     "q34_behavior_set_ops",
     "q35_skew_salted_brand_revenue",
     "q36_variant_extract",
+    "q37_table_profile",
 ]
 
 # Queries whose lineage persists an exploded working relation DISK_ONLY

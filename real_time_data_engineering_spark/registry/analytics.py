@@ -1175,3 +1175,66 @@ def q36_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("min_k"),
         F.max("k").alias("max_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q37 — table profiling (the deequ/dbt-profiler class): one stats row
+# per column — null count, exact distinct count, min/max normalized to
+# DOUBLE (dates as epoch days; categorical columns report NULL bounds
+# — cross-engine string rendering of numerics is not stable, numeric
+# normalization is). Each column is an independent aggregate; Spark
+# runs them as parallel jobs over one cached scan shape, and at 100 TB
+# the exact distincts are the knob to swap for approx_count_distinct.
+# ---------------------------------------------------------------------------
+_Q37_ORACLE = """
+SELECT 'o_orderkey' AS column_name,
+       CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_orderkey) AS DOUBLE) AS min_val,
+       CAST(MAX(o_orderkey) AS DOUBLE) AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+       CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+       CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE) FROM orders
+UNION ALL
+SELECT 'o_orderdate', CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+       CAST(date_diff('day', DATE '1970-01-01', MIN(CAST(o_orderdate AS DATE))) AS DOUBLE),
+       CAST(date_diff('day', DATE '1970-01-01', MAX(CAST(o_orderdate AS DATE))) AS DOUBLE) FROM orders
+UNION ALL
+SELECT 'o_orderpriority', CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT), NULL, NULL FROM orders
+"""
+
+
+@register(
+    "q37_table_profile",
+    _Q37_ORACLE,
+    doc="Column profiling (deequ class): nulls, exact distincts, "
+    "numeric-normalized min/max per column — the pre-ingest audit "
+    "every pipeline runs; swap exact distincts for HLL at 100 TB.",
+)
+def q37_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null/distinct/min/max profile of the orders table's key columns."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def prof(col: str, minmax: F.Column | None) -> DataFrame:
+        return o.agg(
+            F.lit(col).alias("column_name"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
+            F.countDistinct(col).alias("n_distinct"),
+            (F.min(minmax) if minmax is not None else F.lit(None)).cast("double").alias("min_val"),
+            (F.max(minmax) if minmax is not None else F.lit(None)).cast("double").alias("max_val"),
+        )
+
+    parts = [
+        prof("o_orderkey", F.col("o_orderkey")),
+        prof("o_totalprice", F.col("o_totalprice")),
+        prof("o_orderdate", F.unix_date(F.to_date("o_orderdate"))),
+        prof("o_orderpriority", None),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
