@@ -90,6 +90,11 @@ EXTRA = [
     "q35_skew_salted_brand_revenue",
     "q36_variant_extract",
     "q37_table_profile",
+    "q38_metric_unpivot",
+    "q39_snapshot_diff",
+    "q40_time_weighted_avg",
+    "q43_spend_deciles",
+    "q44_event_transitions",
 ]
 
 # Queries whose lineage persists an exploded working relation DISK_ONLY

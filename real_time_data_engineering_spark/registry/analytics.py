@@ -1238,3 +1238,307 @@ def q37_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q38 — UNPIVOT/melt: the inverse of q33's PIVOT. A wide per-month
+# metric table (orders count / revenue / max price) melts into long
+# (month, metric, value) form — the shape every metric store and
+# plotting layer wants. Spark's DataFrame.unpivot is pure projection
+# (narrow, zero shuffle beyond the feeding aggregate); the oracle is
+# the classic 3-way UNION ALL a pre-UNPIVOT engine would write.
+# All three metrics are exact (count / decimal-sum / decimal-max) cast
+# to DOUBLE only at the melt, so the long `value` column hashes stably.
+# ---------------------------------------------------------------------------
+_Q38_ORACLE = """
+WITH wide AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+         COUNT(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS revenue,
+         MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS max_price
+  FROM orders GROUP BY 1
+)
+SELECT month, 'n_orders' AS metric, CAST(n_orders AS DOUBLE) AS value FROM wide
+UNION ALL
+SELECT month, 'revenue', CAST(revenue AS DOUBLE) FROM wide
+UNION ALL
+SELECT month, 'max_price', CAST(max_price AS DOUBLE) FROM wide
+"""
+
+
+@register(
+    "q38_metric_unpivot",
+    _Q38_ORACLE,
+    doc="UNPIVOT/melt (inverse of q33's PIVOT): wide per-month metrics "
+    "to long (month, metric, value) form. Narrow projection over the "
+    "feeding aggregate — one shuffle total, no row explosion cost "
+    "beyond metrics x months.",
+)
+def q38_metric_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt a wide monthly metric table into long metric/value rows."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy(
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(
+        F.count("*").cast("double").alias("n_orders"),
+        F.sum(money("o_totalprice")).cast("double").alias("revenue"),
+        F.max(money("o_totalprice")).cast("double").alias("max_price"),
+    )
+    return wide.unpivot(
+        ids=["month"],
+        values=["n_orders", "revenue", "max_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q39 — snapshot diff / audit compare (the datacompy / Delta CHANGE
+# audit class): two table versions, FULL OUTER JOIN on the key, rows
+# classified added / removed / changed / unchanged. The two "versions"
+# derive deterministically from orders itself (old drops orderkey%97==0
+# and perturbs the price of orderkey%13==0 by +7.77; new drops
+# orderkey%89==0) so the oracle can rebuild both sides bit-for-bit.
+# One key-partitioned shuffle joins the versions; at 100 TB both sides
+# bucket on the key and the join is shuffle-free.
+# ---------------------------------------------------------------------------
+_Q39_ORACLE = """
+WITH old AS (
+  SELECT o_orderkey,
+         CAST(o_totalprice AS DECIMAL(12,2))
+           + CASE WHEN o_orderkey % 13 = 0 THEN CAST(7.77 AS DECIMAL(12,2))
+                  ELSE CAST(0 AS DECIMAL(12,2)) END AS price,
+         o_orderpriority AS priority
+  FROM orders WHERE o_orderkey % 97 <> 0
+), new AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+         o_orderpriority AS priority
+  FROM orders WHERE o_orderkey % 89 <> 0
+)
+SELECT CASE WHEN o.price IS NULL THEN 'added'
+            WHEN n.price IS NULL THEN 'removed'
+            WHEN o.price <> n.price OR o.priority <> n.priority THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       COUNT(*) AS n_rows
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+GROUP BY 1
+"""
+
+
+@register(
+    "q39_snapshot_diff",
+    _Q39_ORACLE,
+    doc="Snapshot diff (datacompy class): FULL OUTER JOIN two table "
+    "versions on the key, classify added/removed/changed/unchanged. "
+    "One key shuffle; bucket both versions on the key at 100 TB and "
+    "the join co-locates.",
+)
+def q39_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit-compare two derived snapshots of orders by primary key."""
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        (
+            money("o_totalprice")
+            + F.when(F.col("o_orderkey") % 13 == 0, F.lit("7.77").cast("decimal(12,2)"))
+            .otherwise(F.lit("0").cast("decimal(12,2)"))
+        ).alias("price"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    new = o.filter(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        money("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    j = old.alias("o").join(new.alias("n"), "o_orderkey", "full_outer")
+    status = (
+        F.when(F.col("o.price").isNull(), "added")
+        .when(F.col("n.price").isNull(), "removed")
+        .when(
+            (F.col("o.price") != F.col("n.price"))
+            | (F.col("o.priority") != F.col("n.priority")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return j.groupBy(status.alias("status")).agg(F.count("*").alias("n_rows"))
+
+
+# ---------------------------------------------------------------------------
+# q40 — time-weighted average (the timescaledb `time_weight` class):
+# events arrive at irregular instants, so a plain AVG over-weights
+# bursts. Each observation holds until the next one (LOCF weighting);
+# TWA = sum(value * dt) / sum(dt) with dt = SECONDS to the next event
+# of the same type. Second-grain dt is deliberate parity hygiene, not
+# a shortcut: with µs weights the exact decimal numerator tops 2^53
+# and the decimal→double cast itself rounds differently across engines
+# (Spark's BigDecimal rounds once, DuckDB scales int128 then divides —
+# double rounding). At second grain the numerator stays exactly
+# double-representable at any plausible scale (span_s × avg_cents ≈
+# 4e10 per type, scale-invariant), so the one final double division is
+# bit-identical. Ordering still breaks ties at full µs precision.
+# The lead() window partitions by event_type (5 groups here); at
+# 100 TB partition by (type, day) and stitch the day boundaries — the
+# q29 pattern.
+# ---------------------------------------------------------------------------
+_Q40_ORACLE = """
+WITH seq AS (
+  SELECT event_type, event_id, CAST(value AS DECIMAL(12,2)) AS v,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS s,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+), led AS (
+  SELECT event_type, v, s,
+         lead(s) OVER (PARTITION BY event_type ORDER BY us, event_id) AS next_s
+  FROM seq
+)
+SELECT event_type,
+       COUNT(*) AS n_intervals,
+       SUM(next_s - s) AS total_dt_s,
+       CAST(SUM(v * (next_s - s)) AS DOUBLE)
+         / CAST(SUM(next_s - s) AS DOUBLE) AS time_weighted_avg
+FROM led
+WHERE next_s IS NOT NULL AND next_s > s
+GROUP BY 1
+"""
+
+
+@register(
+    "q40_time_weighted_avg",
+    _Q40_ORACLE,
+    doc="Time-weighted average per event_type (timescaledb time_weight "
+    "class): LOCF interval weighting over irregular timestamps, exact "
+    "decimal weighted sums at second grain (keeps the numerator inside "
+    "double's 2^53 exact range — see the parity note above the oracle), "
+    "one final double division. lead() window keyed on type; stitch by "
+    "(type, day) at 100 TB (q29 pattern).",
+)
+def q40_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF time-weighted mean of value per event_type (second grain)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    seq = ev.select(
+        "event_type",
+        "event_id",
+        F.col("value").cast("decimal(12,2)").alias("v"),
+        F.unix_micros("ts").alias("us"),
+        F.expr("unix_micros(ts) div 1000000").alias("s"),
+    ).withColumn("next_s", F.lead("s").over(w))
+    return (
+        seq.filter(F.col("next_s") > F.col("s"))
+        .withColumn("dt", F.col("next_s") - F.col("s"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum("dt").alias("total_dt_s"),
+            ratio(F.sum(F.col("v") * F.col("dt")), F.sum("dt")).alias("time_weighted_avg"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q43 — distribution bucketing via NTILE: customers ranked into spend
+# deciles (the "top 10% of customers drive X% of revenue" query).
+# ntile(10) over a fully deterministic order (spend DESC, custkey ASC —
+# exact decimal spend, unique tie-break) assigns ceil/floor bucket
+# sizes identically on both engines. The global window is over one row
+# per CUSTOMER (already aggregated), and at 100 TB the decile cut
+# points come from approx quantiles (q21's sketch) instead of a global
+# sort — documented trade, exact form kept as the oracle-checked path.
+# ---------------------------------------------------------------------------
+_Q43_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT o_custkey, spend,
+         ntile(10) OVER (ORDER BY spend DESC, o_custkey ASC) AS decile
+  FROM spend
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       COUNT(*) AS n_customers,
+       CAST(MIN(spend) AS DOUBLE) AS min_spend,
+       CAST(MAX(spend) AS DOUBLE) AS max_spend,
+       CAST(SUM(spend) AS DOUBLE) AS total_spend
+FROM ranked GROUP BY 1
+"""
+
+
+@register(
+    "q43_spend_deciles",
+    _Q43_ORACLE,
+    doc="NTILE distribution bucketing: customer spend deciles with "
+    "per-decile bounds and totals. Deterministic global order (spend "
+    "DESC, custkey ASC); swap the global sort for sketch quantile cut "
+    "points at 100 TB.",
+)
+def q43_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile table over per-customer total spend."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(F.sum(money("o_totalprice")).alias("spend"))
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey").asc())
+    ranked = spend.withColumn("decile", F.ntile(10).over(w))
+    return ranked.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count("*").alias("n_customers"),
+        F.min("spend").cast("double").alias("min_spend"),
+        F.max("spend").cast("double").alias("max_spend"),
+        F.sum("spend").cast("double").alias("total_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q44 — clickstream transition matrix (first-order Markov): per user,
+# events ordered by (ts, event_id); count each (event_type -> next)
+# adjacent pair, then P(to | from) as the within-from share. One
+# user-keyed window pass (narrow after the shuffle on user_id), one
+# 25-row aggregate; the share uses the empty-frame window-sum pattern
+# (q4) with one double division.
+# ---------------------------------------------------------------------------
+_Q44_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+           AS to_type
+  FROM events
+), pairs AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions
+  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE) AS p_transition
+FROM pairs
+"""
+
+
+@register(
+    "q44_event_transitions",
+    _Q44_ORACLE,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: adjacent-pair counts + conditional transition "
+    "probabilities. One user-keyed window shuffle, bounded 25-row "
+    "output aggregate.",
+)
+def q44_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P(next event type | current) from per-user ordered sequences."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("event_type").alias("from_type"),
+    ).withColumn("to_type", F.lead("from_type").over(w))
+    pairs = (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    share_w = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        ratio(F.col("n_transitions"), F.sum("n_transitions").over(share_w)).alias("p_transition"),
+    )
