@@ -95,6 +95,10 @@ EXTRA = [
     "q40_time_weighted_avg",
     "q43_spend_deciles",
     "q44_event_transitions",
+    "d28_tfidf_topk",
+    "d29_editdist_verify",
+    "d30_char_entropy",
+    "d31_zipf_fit",
 ]
 
 # Queries whose lineage persists an exploded working relation DISK_ONLY

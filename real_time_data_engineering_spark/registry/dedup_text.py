@@ -1135,3 +1135,386 @@ def d27_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d28 — TF-IDF top terms per document: the classic keyword-extraction /
+# relevance-weighting operator (Salton & Buckley; every search stack).
+# tf·idf ranking needs no per-row division: within one document the
+# length is constant, so ranking by cnt · idf is identical to ranking
+# by (cnt/len) · idf — the division happens once, on the reported
+# score only. idf = ln(N/df) is the one cross-engine transcendental:
+# both engines evaluate ln on the SAME exact double (N/df — IEEE
+# division of two small ints), and the result is quantized to
+# DECIMAL(18,6) immediately, so a last-ulp libm difference only
+# matters if ln lands within an ulp of a 6th-decimal midpoint (~1e-10
+# per distinct df — checked across the sf sweep). All downstream
+# arithmetic (cnt · idf_q) is exact decimal.
+# Scale: one token-keyed shuffle for df (bounded by |vocab|), idf
+# broadcast back (vocab is MBs even at 100 TB), per-doc top-3 via a
+# doc-partitioned window on the (doc, term) aggregate.
+# ---------------------------------------------------------------------------
+_D28_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), tok AS (
+  SELECT doc_id, len(t) AS doc_len, unnest(t) AS term FROM toks
+), tf AS (
+  SELECT doc_id, doc_len, term, COUNT(*) AS n_occurrences
+  FROM tok GROUP BY 1, 2, 3
+), idf AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df,
+         CAST(round(ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                       / CAST(COUNT(DISTINCT doc_id) AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS idf_q
+  FROM tf GROUP BY 1
+), scored AS (
+  SELECT f.doc_id, f.term, f.n_occurrences, i.df, f.doc_len,
+         CAST(f.n_occurrences AS DECIMAL(18,0)) * i.idf_q AS w,
+         ROW_NUMBER() OVER (
+           PARTITION BY f.doc_id
+           ORDER BY CAST(f.n_occurrences AS DECIMAL(18,0)) * i.idf_q DESC,
+                    f.term ASC) AS term_rank
+  FROM tf f JOIN idf i USING (term)
+)
+SELECT doc_id, CAST(term_rank AS BIGINT) AS term_rank, term,
+       n_occurrences, df,
+       CAST(w AS DOUBLE) / CAST(doc_len AS DOUBLE) AS tfidf
+FROM scored WHERE term_rank <= 3
+"""
+
+
+@register(
+    "d28_tfidf_topk",
+    _D28_ORACLE,
+    doc="TF-IDF top-3 terms per document (keyword extraction): "
+    "token-keyed df aggregate, broadcast idf join-back, per-doc ranked "
+    "window. cnt·idf decimal ranking avoids per-row division; ln is "
+    "quantized to DECIMAL(18,6) at the source.",
+)
+def d28_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document with occurrence and df counts."""
+    from ..functions.text import tokens
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    # N is a SCALAR — driver-side fetch per the d24 precedent (a
+    # constant-key broadcast join would constant-fold into the banned
+    # nested-loop shape).
+    n_docs = docs.count()
+    tok = docs.select(
+        "doc_id",
+        F.size(tokens("text")).alias("doc_len"),
+        F.explode(tokens("text")).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "doc_len", "term").agg(F.count("*").alias("n_occurrences"))
+    idf = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.round(
+            F.log(F.lit(float(n_docs)) / F.countDistinct("doc_id").cast("double")), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("idf_q"),
+    )
+    w_expr = F.col("n_occurrences").cast("decimal(18,0)") * F.col("idf_q")
+    rank_w = Window.partitionBy("doc_id").orderBy(w_expr.desc(), F.col("term").asc())
+    # vocab is bounded (MBs at 100 TB) → broadcast the idf join-back so
+    # the skewed common-term keys never shuffle the tf relation
+    scored = tf.join(F.broadcast(idf), "term").withColumn(
+        "term_rank", F.row_number().over(rank_w).cast("long")
+    )
+    return scored.filter(F.col("term_rank") <= 3).select(
+        "doc_id",
+        "term_rank",
+        "term",
+        "n_occurrences",
+        "df",
+        ratio(w_expr, F.col("doc_len")).alias("tfidf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d29 — edit-distance verification of LSH candidates: the string-
+# distance rung of the dedup ladder. MinHash banding proposes pairs
+# (d5's exact machinery), then Levenshtein on the 256-char prefix of
+# the normal form confirms or rejects them — the cheap-filter →
+# exact-verify shape every fuzzy-matching stack uses (record linkage,
+# near-dup QA). The prefix cap is the scale bound: O(pairs · 256 ·
+# threshold) worst case instead of O(pairs · |doc|²); Spark's banded
+# levenshtein(l, r, threshold) short-circuits rows that blow the
+# budget. Distances are integers — no float parity surface at all
+# except the final one-division similarity.
+# ---------------------------------------------------------------------------
+_D29_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), tok AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks
+), tri AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+  FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+), seeds AS (
+  SELECT unnest(generate_series(0, 15)) AS seed
+), sigs AS (
+  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS sig
+  FROM tri CROSS JOIN seeds
+  GROUP BY 1, 2
+), banded AS (
+  SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
+         md5(string_agg(sig, '|' ORDER BY seed)) AS band_hash
+  FROM sigs GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), pref AS (
+  SELECT doc_id,
+         substr(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), 1, 256) AS p
+  FROM documents
+), verified AS (
+  SELECT c.d1, c.d2,
+         length(p1.p) AS len1, length(p2.p) AS len2,
+         levenshtein(p1.p, p2.p) AS edit_distance
+  FROM cand c
+  JOIN pref p1 ON p1.doc_id = c.d1
+  JOIN pref p2 ON p2.doc_id = c.d2
+)
+SELECT d1, d2, CAST(len1 AS BIGINT) AS len1, CAST(len2 AS BIGINT) AS len2,
+       CAST(edit_distance AS BIGINT) AS edit_distance,
+       1.0 - CAST(edit_distance AS DOUBLE) / CAST(greatest(len1, len2) AS DOUBLE)
+         AS prefix_similarity
+FROM verified
+WHERE edit_distance <= 64
+"""
+
+
+@register(
+    "d29_editdist_verify",
+    _D29_ORACLE,
+    doc="Levenshtein verification of MinHash-LSH candidate pairs on the "
+    "256-char normal-form prefix: cheap-filter -> exact-verify, the "
+    "record-linkage shape. Banded levenshtein(threshold=64) bounds "
+    "per-pair cost; integer distances, one final double division.",
+)
+def d29_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confirm LSH candidate pairs by prefix edit distance (≤ 64)."""
+    from ..functions.text import normalize_text
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    cand = D.minhash_candidate_pairs(docs, n=3, k=16, bands=4).select("d1", "d2")
+    pref = docs.select(
+        "doc_id", F.substring(normalize_text("text"), 1, 256).alias("p")
+    )
+    p1 = pref.select(F.col("doc_id").alias("d1"), F.col("p").alias("p1"))
+    p2 = pref.select(F.col("doc_id").alias("d2"), F.col("p").alias("p2"))
+    v = (
+        cand.join(p1, "d1")
+        .join(p2, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.length("p1").cast("long").alias("len1"),
+            F.length("p2").cast("long").alias("len2"),
+            # banded form: rows beyond the threshold return -1 and are
+            # dropped below — O(256·64) per pair, not O(256²)
+            F.levenshtein("p1", "p2", 64).cast("long").alias("edit_distance"),
+        )
+    )
+    return v.filter((F.col("edit_distance") >= 0) & (F.col("edit_distance") <= 64)).select(
+        "d1",
+        "d2",
+        "len1",
+        "len2",
+        "edit_distance",
+        (
+            F.lit(1.0)
+            - F.col("edit_distance").cast("double")
+            / F.greatest("len1", "len2").cast("double")
+        ).alias("prefix_similarity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d30 — character-entropy quality signal: Shannon entropy of the
+# per-document character distribution, the gibberish/low-diversity
+# filter (C4/Gopher-adjacent; boilerplate and key-mash text sits far
+# below natural language's ~4.1 bits/char). Algebra is arranged for
+# exact cross-engine hashing: H = log2(n) - (Σ c·log2(c))/n over
+# per-char counts c, with every log2 evaluated on a SMALL INTEGER and
+# quantized to DECIMAL(18,9) at the source — the weighted sum is then
+# exact decimal (≲ n·log2(n), double-exact), leaving one division and
+# one subtraction of deterministic doubles. Char extraction is the
+# d22 substr-explode (narrow, O(chars) rows into one (doc,char)
+# shuffle — the same cost class as any tokenize).
+# ---------------------------------------------------------------------------
+_D30_ORACLE = r"""
+WITH norm AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+  FROM documents
+), chars AS (
+  SELECT doc_id, length(norm) AS n, substr(norm, CAST(i AS INT), 1) AS ch
+  FROM norm, unnest(generate_series(1, length(norm))) AS u(i)
+), counts AS (
+  SELECT doc_id, n, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2, 3
+), agg AS (
+  SELECT doc_id, n,
+         COUNT(*) AS n_unique_chars,
+         SUM(CAST(c AS DECIMAL(18,0))
+             * CAST(round(log2(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9))) AS s
+  FROM counts GROUP BY 1, 2
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars, n_unique_chars,
+       CAST(CAST(round(log2(CAST(n AS DOUBLE)), 9) AS DECIMAL(18,9)) AS DOUBLE)
+         - CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS entropy_bits,
+       (CAST(CAST(round(log2(CAST(n AS DOUBLE)), 9) AS DECIMAL(18,9)) AS DOUBLE)
+         - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) < 2.5 AS low_diversity
+FROM agg WHERE n > 0
+"""
+
+
+@register(
+    "d30_char_entropy",
+    _D30_ORACLE,
+    doc="Shannon character entropy per document (gibberish filter): "
+    "log2 only ever on small integers, quantized DECIMAL(18,9) at the "
+    "source, exact decimal weighted sum, one division + one subtraction "
+    "of deterministic doubles.",
+)
+def d30_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution entropy + low-diversity flag per doc."""
+    from ..functions.text import normalize_text
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    norm = docs.select("doc_id", normalize_text("text").alias("norm")).select(
+        "doc_id", "norm", F.length("norm").alias("n")
+    )
+    chars = norm.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n")),
+                lambda i: F.substring(F.col("norm"), i, F.lit(1)),
+            )
+        ).alias("ch"),
+    )
+    log2q = lambda c: F.round(F.log2(c.cast("double")), 9).cast("decimal(18,9)")  # noqa: E731
+    counts = chars.groupBy("doc_id", "n", "ch").agg(F.count("*").alias("c"))
+    agg = counts.groupBy("doc_id", "n").agg(
+        F.count("*").alias("n_unique_chars"),
+        F.sum(F.col("c").cast("decimal(18,0)") * log2q(F.col("c"))).alias("s"),
+    )
+    entropy = log2q(F.col("n")).cast("double") - F.col("s").cast("double") / F.col("n").cast(
+        "double"
+    )
+    return agg.filter(F.col("n") > 0).select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_chars"),
+        "n_unique_chars",
+        entropy.alias("entropy_bits"),
+        (entropy < 2.5).alias("low_diversity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d31 — Zipf's-law fit over the corpus token-frequency curve: OLS of
+# log10(freq) on log10(rank) for the top-100 tokens — the regression-
+# aggregate operator class (regr_slope/regr_intercept), realized with
+# exact fixed-point accumulation because the native regr_* functions
+# accumulate in order-dependent doubles. Every log10 is evaluated on a
+# SMALL INTEGER (rank ≤ 100, count), quantized to DECIMAL(9,4) at the
+# source; all cross-products are exact decimals with explicitly pinned
+# precisions (scale-8 products of scale-4 operands — no engine-side
+# precision overflow), so the closed-form slope's numerator and
+# denominator hash identically and the final doubles come from IEEE
+# ops on identical operands. A healthy natural-language corpus fits
+# slope ≈ -1 (Zipf); a synthetic or template-heavy corpus doesn't —
+# this is the corpus-level audit next to d26's merge-count table.
+# Scale: token count is one shuffle (d26's), the regression runs on
+# 100 rows.
+# ---------------------------------------------------------------------------
+_D31_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), tok AS (
+  SELECT unnest(t) AS term FROM toks
+), freq AS (
+  SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1
+), ranked AS (
+  SELECT term, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS rank
+  FROM freq
+), pts AS (
+  SELECT CAST(round(log10(CAST(rank AS DOUBLE)), 4) AS DECIMAL(9,4)) AS x,
+         CAST(round(log10(CAST(cnt AS DOUBLE)), 4) AS DECIMAL(9,4)) AS y
+  FROM ranked WHERE rank <= 100
+), sums AS (
+  SELECT CAST(COUNT(*) AS DECIMAL(5,0)) AS n,
+         CAST(SUM(x) AS DECIMAL(12,4)) AS sx,
+         CAST(SUM(y) AS DECIMAL(12,4)) AS sy,
+         CAST(SUM(x * y) AS DECIMAL(29,8)) AS sxy,
+         CAST(SUM(x * x) AS DECIMAL(29,8)) AS sxx,
+         CAST(SUM(y * y) AS DECIMAL(29,8)) AS syy
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+       CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+         - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+           * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS intercept,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+         AS pearson_r
+FROM sums
+"""
+
+
+@register(
+    "d31_zipf_fit",
+    _D31_ORACLE,
+    doc="OLS fit of Zipf's law (log-freq on log-rank, top-100 tokens): "
+    "the regression-aggregate class with exact fixed-point sums — "
+    "log10 on small ints quantized DECIMAL(9,4), pinned-precision "
+    "cross products, closed-form slope/intercept/r from identical "
+    "doubles on both engines.",
+)
+def d31_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf fit: slope/intercept/r over the top-100 frequency curve."""
+    from ..functions.text import tokens
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    freq = (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    rank_w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    # rank window runs over the |vocab| aggregate (bounded); pts is 100 rows
+    log10q = lambda c: F.round(F.log10(c.cast("double")), 4).cast("decimal(9,4)")  # noqa: E731
+    pts = (
+        freq.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= 100)
+        .select(log10q(F.col("rank")).alias("x"), log10q(F.col("cnt")).alias("y"))
+    )
+    sums = pts.agg(
+        F.count("*").cast("decimal(5,0)").alias("n"),
+        F.sum("x").cast("decimal(12,4)").alias("sx"),
+        F.sum("y").cast("decimal(12,4)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(29,8)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(29,8)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(29,8)").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / den_x
+    n_d = F.col("n").cast("double")
+    return sums.select(
+        F.col("n").cast("long").alias("n_terms"),
+        slope.alias("slope"),
+        (F.col("sy").cast("double") / n_d - slope * (F.col("sx").cast("double") / n_d)).alias(
+            "intercept"
+        ),
+        (num / F.sqrt(den_x * den_y)).alias("pearson_r"),
+    )
