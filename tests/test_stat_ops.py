@@ -1,0 +1,136 @@
+"""Semantic invariants for the statistical/audit operator batch
+(q38-q44 relational, d28-d31 text): properties that must hold by
+construction, independent of the oracle hash check — probability rows
+summing to one, decile partitions covering every customer, entropy
+respecting its information-theoretic bound, regression signs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from real_time_data_engineering_spark.registry import get
+from real_time_data_engineering_spark.sources.readers import load_table
+
+from conftest import SF_DIR
+
+
+def _run(spark, name):
+    return get(name).spark(spark, SF_DIR)
+
+
+def test_unpivot_is_three_rows_per_month(spark):
+    rows = _run(spark, "q38_metric_unpivot").collect()
+    months = {r.month for r in rows}
+    assert len(rows) == 3 * len(months)
+    per_month = {}
+    for r in rows:
+        per_month.setdefault(r.month, set()).add(r.metric)
+    assert all(v == {"n_orders", "revenue", "max_price"} for v in per_month.values())
+
+
+def test_snapshot_diff_statuses_partition_the_key_space(spark):
+    o = load_table(spark, SF_DIR, "orders")
+    got = {r.status: r.n_rows for r in _run(spark, "q39_snapshot_diff").collect()}
+    k = F.col("o_orderkey")
+    in_old, in_new = (k % 97 != 0), (k % 89 != 0)
+    expect = {
+        "added": o.filter(~in_old & in_new).count(),
+        "removed": o.filter(in_old & ~in_new).count(),
+        "changed": o.filter(in_old & in_new & (k % 13 == 0)).count(),
+        "unchanged": o.filter(in_old & in_new & (k % 13 != 0)).count(),
+    }
+    assert got == {s: n for s, n in expect.items() if n > 0}
+
+
+def test_time_weighted_avg_within_value_bounds(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    bounds = {
+        r.event_type: (r.lo, r.hi)
+        for r in ev.groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for r in _run(spark, "q40_time_weighted_avg").collect():
+        lo, hi = bounds[r.event_type]
+        assert lo <= r.time_weighted_avg <= hi
+        assert r.n_intervals > 0 and r.total_dt_s > 0
+
+
+def test_spend_deciles_partition_all_customers(spark):
+    rows = _run(spark, "q43_spend_deciles").collect()
+    n_cust = (
+        load_table(spark, SF_DIR, "orders").select("o_custkey").distinct().count()
+    )
+    assert sorted(r.decile for r in rows) == list(range(1, 11))
+    assert sum(r.n_customers for r in rows) == n_cust
+    # ntile balance: bucket sizes differ by at most one
+    sizes = [r.n_customers for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    # deciles are ordered by spend: decile 1 holds the top spenders
+    by_decile = {r.decile: r for r in rows}
+    for d in range(1, 10):
+        assert by_decile[d].min_spend >= by_decile[d + 1].max_spend
+
+
+def test_transition_probabilities_sum_to_one(spark):
+    rows = _run(spark, "q44_event_transitions").collect()
+    by_from = {}
+    for r in rows:
+        by_from[r.from_type] = by_from.get(r.from_type, 0.0) + r.p_transition
+    assert all(abs(total - 1.0) < 1e-9 for total in by_from.values())
+    ev = load_table(spark, SF_DIR, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n_transitions for r in rows) == n_events - n_users
+
+
+def test_tfidf_ranks_descend_within_doc(spark):
+    rows = _run(spark, "d28_tfidf_topk").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_rows in by_doc.values():
+        doc_rows.sort(key=lambda r: r.term_rank)
+        assert [r.term_rank for r in doc_rows] == list(range(1, len(doc_rows) + 1))
+        assert len(doc_rows) <= 3
+        for a, b in zip(doc_rows, doc_rows[1:]):
+            assert a.tfidf >= b.tfidf - 1e-12
+
+
+def test_editdist_pairs_are_lsh_candidates_with_bounded_distance(spark):
+    v = _run(spark, "d29_editdist_verify")
+    rows = v.collect()
+    assert all(0 <= r.edit_distance <= 64 for r in rows)
+    assert all(0.0 <= r.prefix_similarity <= 1.0 for r in rows)
+    cand = set(
+        (r.d1, r.d2)
+        for r in _run(spark, "d5_minhash_lsh").select("d1", "d2").collect()
+    )
+    assert all((r.d1, r.d2) in cand for r in rows)
+
+
+def test_entropy_bounded_by_alphabet_size(spark):
+    for r in _run(spark, "d30_char_entropy").collect():
+        # H <= log2(distinct chars), with quantization slack
+        assert -1e-6 <= r.entropy_bits <= math.log2(r.n_unique_chars) + 1e-6
+        assert r.low_diversity == (r.entropy_bits < 2.5)
+
+
+def test_zipf_slope_negative_and_r_strongly_negative(spark):
+    row = _run(spark, "d31_zipf_fit").collect()[0]
+    docs = load_table(spark, SF_DIR, "documents")
+    vocab = (
+        docs.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t"))
+        .distinct()
+        .count()
+    )
+    assert row.n_terms == min(100, vocab)
+    assert row.slope < 0  # frequency falls with rank, by construction
+    # y = log(freq) is non-increasing in rank while x = log(rank) strictly
+    # increases, so r is negative whenever any two counts differ; the
+    # synthetic corpus is far flatter than natural text, so only the sign
+    # (not Zipf's |r| ~ 1) is structural.
+    assert -1.0 <= row.pearson_r < 0.0
