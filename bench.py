@@ -99,6 +99,9 @@ EXTRA = [
     "d29_editdist_verify",
     "d30_char_entropy",
     "d31_zipf_fit",
+    "q41_rolling_active_users",
+    "q42_purchaser_semi_join",
+    "d32_pagerank",
 ]
 
 # Queries whose lineage persists an exploded working relation DISK_ONLY

@@ -1542,3 +1542,118 @@ def q44_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_transitions",
         ratio(F.col("n_transitions"), F.sum("n_transitions").over(share_w)).alias("p_transition"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q41 — trailing distinct count (the COUNT(DISTINCT) OVER window class,
+# which Spark's WindowExec does not support): 7-day trailing distinct
+# active users per day. Instead of a window at all, each (day, user)
+# observation is EXPLODED to the up-to-7 target days it stays visible
+# for, then a plain countDistinct aggregate per target day — the
+# contribution-explode formulation. That trades a bounded 7× row fan-
+# out (window size, a constant) for a fully partial-aggregable shuffle
+# keyed on day: no global window, no per-day set materialization, and
+# it scales exactly like any groupBy at 100 TB. Target days are
+# restricted to days that actually occur (a gap day has no "as of"
+# row on either engine).
+# ---------------------------------------------------------------------------
+_Q41_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id FROM events
+), days AS (
+  SELECT DISTINCT day FROM du
+), contrib AS (
+  SELECT CAST(u.d AS DATE) AS target_day, du.user_id
+  FROM du, unnest(generate_series(du.day, du.day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS u(d)
+), trail AS (
+  SELECT c.target_day AS day, COUNT(DISTINCT c.user_id) AS n_active_7d
+  FROM contrib c JOIN days d ON d.day = c.target_day
+  GROUP BY 1
+), daily AS (
+  SELECT day, COUNT(DISTINCT user_id) AS n_active_1d FROM du GROUP BY 1
+)
+SELECT t.day, d.n_active_1d, t.n_active_7d
+FROM trail t JOIN daily d ON d.day = t.day
+"""
+
+
+@register(
+    "q41_rolling_active_users",
+    _Q41_ORACLE,
+    doc="Trailing 7-day distinct active users per day — the "
+    "COUNT(DISTINCT) OVER window class via contribution explode: "
+    "bounded 7x fan-out into a plain partial-aggregable countDistinct "
+    "keyed on day. No global window, no per-day set state.",
+)
+def q41_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct users via the contribution-explode plan."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = du.select("day").distinct()
+    contrib = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("target_day"),
+        "user_id",
+    )
+    trailing = (
+        contrib.join(days.withColumnRenamed("day", "target_day"), "target_day")
+        .groupBy(F.col("target_day").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n_active_7d"))
+    )
+    daily = du.groupBy("day").agg(F.countDistinct("user_id").alias("n_active_1d"))
+    return trailing.join(daily, "day").select("day", "n_active_1d", "n_active_7d")
+
+
+# ---------------------------------------------------------------------------
+# q42 — LEFT SEMI join: the EXISTS-subquery physical shape (J-family
+# completion next to q14's anti-join). "Customers who made at least
+# one purchase-typed event" — the semi join carries NO right-side
+# columns and stops probing a key after the first match, so the
+# build side is deduplicated purchase user ids (far smaller than the
+# event stream). At 100 TB the distinct purchase-user relation is
+# small enough to broadcast; the aggregate below it is the standard
+# revenue rollup, so the whole plan is scan → broadcast-semi → agg.
+# ---------------------------------------------------------------------------
+_Q42_ORACLE = """
+SELECT c.c_custkey, n.n_name,
+       COUNT(o.o_orderkey) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE EXISTS (
+  SELECT 1 FROM events e
+  WHERE e.user_id = c.c_custkey AND e.event_type = 'purchase'
+)
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "q42_purchaser_semi_join",
+    _Q42_ORACLE,
+    doc="LEFT SEMI join (EXISTS shape): order revenue for customers "
+    "with at least one purchase event. Build side = distinct purchase "
+    "user ids (broadcastable at any scale); no right-side columns "
+    "survive, completing the join family next to q14's anti-join.",
+)
+def q42_purchaser_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue rollup restricted to purchase-active customers (semi join)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    purchasers = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("c_custkey")
+    )
+    active = c.join(F.broadcast(purchasers), "c_custkey", "left_semi")
+    return (
+        active.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(o, F.col("c_custkey") == o["o_custkey"])
+        .groupBy("c_custkey", "n_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(money("o_totalprice")).cast("double").alias("revenue"),
+        )
+    )

@@ -1518,3 +1518,137 @@ def d31_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (num / F.sqrt(den_x * den_y)).alias("pearson_r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d32 — PageRank over the near-dup candidate graph: the iterative
+# graph-propagation operator class beyond d15's connected components —
+# centrality inside duplicate clusters ("which copy is the hub the
+# others orbit"), and the template for any fixed-iteration message-
+# passing op. Exact cross-engine by construction: rank mass is an
+# INTEGER fixed-point value (10^9 total), every step is integer
+# truncating division (`div` / `//`), so five unrolled iterations hash
+# bit-for-bit — the s4 unrolled-Lloyd oracle pattern applied to graph
+# propagation. Dangling/isolated nodes keep the teleport base (mass
+# leak documented — standard simplified PageRank).
+# Scale: each iteration is one edges⋈rank join + one dst-keyed
+# aggregate — the same shuffle pair GraphX/Pregel runs; degree and
+# edges come from the already-bucketed MinHash band join.
+# ---------------------------------------------------------------------------
+_D32_EDGE_CTES = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+), tok AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks
+), tri AS (
+  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+  FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+), seeds AS (
+  SELECT unnest(generate_series(0, 15)) AS seed
+), sigs AS (
+  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS sig
+  FROM tri CROSS JOIN seeds
+  GROUP BY 1, 2
+), banded AS (
+  SELECT doc_id, CAST(floor(seed / 4) AS INT) AS band,
+         md5(string_agg(sig, '|' ORDER BY seed)) AS band_hash
+  FROM sigs GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT d1 AS src, d2 AS dst FROM cand
+  UNION ALL
+  SELECT d2 AS src, d1 AS dst FROM cand
+), deg AS (
+  SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1
+), nodes AS (
+  SELECT doc_id FROM documents
+), nn AS (
+  SELECT COUNT(*) AS n FROM documents
+), it0 AS (
+  SELECT doc_id, 1000000000 // (SELECT n FROM nn) AS pr FROM nodes
+)"""
+
+_D32_ITER = """, it{next} AS (
+  SELECT nd.doc_id,
+         CAST(15000000000 // (100 * (SELECT n FROM nn))
+              + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS pr
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst, SUM(p.pr // d.deg) AS s
+    FROM edges e
+    JOIN deg d ON d.src = e.src
+    JOIN it{cur} p ON p.doc_id = e.src
+    GROUP BY 1
+  ) c ON c.dst = nd.doc_id
+)"""
+
+_D32_ORACLE = (
+    _D32_EDGE_CTES
+    + "".join(_D32_ITER.format(cur=i, next=i + 1) for i in range(5))
+    + """
+SELECT f.doc_id,
+       CAST(COALESCE(d.deg, 0) AS BIGINT) AS degree,
+       f.pr AS pr_fp,
+       CAST(f.pr AS DOUBLE) / 1000000000.0 AS pagerank
+FROM it5 f LEFT JOIN deg d ON d.src = f.doc_id
+"""
+)
+
+
+@register(
+    "d32_pagerank",
+    _D32_ORACLE,
+    doc="PageRank (5 unrolled iterations, damping 0.85) over the "
+    "MinHash-LSH near-dup graph in exact integer fixed-point (10^9 "
+    "mass, truncating division) — the iterative graph-propagation "
+    "class with a bit-for-bit SQL oracle, s4's unrolled-Lloyd pattern "
+    "on graphs.",
+)
+def d32_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over near-dup candidate edges."""
+    docs = load_table(spark, sf_dir, "documents")
+    nodes = docs.select("doc_id")
+    pairs = D.minhash_candidate_pairs(docs, n=3, k=16, bands=4).select("d1", "d2")
+    # the unrolled plan references edges/deg in every iteration —
+    # checkpoint once so the MinHash band join isn't replicated 11x in
+    # the physical plan (the d15/connected_components policy)
+    edges = (
+        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+        .unionAll(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # N is a scalar — driver-side fetch (d24 precedent)
+    n_docs = nodes.count()
+    scale = 1_000_000_000
+    base = (15 * scale) // (100 * n_docs)
+    pr = nodes.select("doc_id", F.lit(scale // n_docs).cast("long").alias("pr"))
+    for _ in range(5):
+        contrib = (
+            edges.join(deg, "src")
+            .join(pr.withColumnRenamed("doc_id", "src"), "src")
+            .select("dst", F.expr("pr div deg").alias("c"))
+        )
+        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        pr = (
+            nodes.join(inflow.withColumnRenamed("dst", "doc_id"), "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    F.lit(base)
+                    + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")
+                ).cast("long").alias("pr"),
+            )
+            # truncate the iterative lineage each round (d15 policy)
+            .localCheckpoint(eager=True)
+        )
+    return pr.join(deg.withColumnRenamed("src", "doc_id"), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("deg", F.lit(0)).cast("long").alias("degree"),
+        F.col("pr").alias("pr_fp"),
+        (F.col("pr").cast("double") / F.lit(1_000_000_000.0)).alias("pagerank"),
+    )

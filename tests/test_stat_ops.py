@@ -134,3 +134,36 @@ def test_zipf_slope_negative_and_r_strongly_negative(spark):
     # synthetic corpus is far flatter than natural text, so only the sign
     # (not Zipf's |r| ~ 1) is structural.
     assert -1.0 <= row.pearson_r < 0.0
+
+
+def test_rolling_active_users_dominates_daily(spark):
+    rows = _run(spark, "q41_rolling_active_users").collect()
+    assert rows
+    for r in rows:
+        assert r.n_active_7d >= r.n_active_1d > 0
+    ev = load_table(spark, SF_DIR, "events")
+    assert len(rows) == ev.select(F.to_date("ts")).distinct().count()
+
+
+def test_semi_join_plans_left_semi_and_keeps_no_event_columns(spark):
+    df = _run(spark, "q42_purchaser_semi_join")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert set(df.columns) == {"c_custkey", "n_name", "n_orders", "revenue"}
+
+
+def test_pagerank_mass_and_floors(spark):
+    rows = _run(spark, "d32_pagerank").collect()
+    n = len(rows)
+    scale = 1_000_000_000
+    base = (15 * scale) // (100 * n)
+    # truncating division only ever loses mass: total <= initial mass
+    assert sum(r.pr_fp for r in rows) <= scale
+    # isolated nodes receive exactly the teleport base
+    for r in rows:
+        if r.degree == 0:
+            assert r.pr_fp == base
+        else:
+            assert r.pr_fp >= base
+    # connected nodes exist in the corpus (the dup graph is non-empty)
+    assert any(r.degree > 0 for r in rows)
