@@ -102,6 +102,9 @@ EXTRA = [
     "q41_rolling_active_users",
     "q42_purchaser_semi_join",
     "d32_pagerank",
+    "q45_price_histogram",
+    "q46_ks_drift",
+    "d33_weighted_reservoir",
 ]
 
 # Queries whose lineage persists an exploded working relation DISK_ONLY

@@ -1657,3 +1657,157 @@ def q42_purchaser_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(money("o_totalprice")).cast("double").alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q45 — equi-width histogram (the width_bucket / profiling class, the
+# fixed-grid complement of q43's equi-depth deciles): order prices
+# into 20 equal bins between the observed min/max. All bucketing is
+# INTEGER arithmetic on cents — bin = ((v-min)*20) div (max-min),
+# clamped to 19 — so bin ids and bin bounds hash exactly; the only
+# doubles are the final /100.0 renders of exact cent values. The
+# min/max pair is a SCALAR driver-side fetch (d24 precedent — a
+# constant-key join would constant-fold into the banned nested-loop
+# shape); the histogram itself is one partial-aggregable groupBy.
+# ---------------------------------------------------------------------------
+_Q45_ORACLE = """
+WITH bounds AS (
+  SELECT MIN(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS min_c,
+         MAX(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS max_c
+  FROM orders
+), binned AS (
+  SELECT least(((CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                 - b.min_c) * 20) // (b.max_c - b.min_c), 19) AS bin,
+         b.min_c, b.max_c
+  FROM orders, bounds b
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       COUNT(*) AS n_orders,
+       CAST(min_c + (bin * (max_c - min_c)) // 20 AS DOUBLE) / 100.0 AS bin_lo,
+       CAST(min_c + ((bin + 1) * (max_c - min_c)) // 20 AS DOUBLE) / 100.0 AS bin_hi
+FROM binned
+GROUP BY bin, min_c, max_c
+"""
+
+
+@register(
+    "q45_price_histogram",
+    _Q45_ORACLE,
+    doc="Equi-width 20-bin price histogram (width_bucket class): "
+    "integer cent arithmetic end to end, scalar min/max driver fetch, "
+    "one partial-aggregable groupBy — the fixed-grid complement of "
+    "q43's equi-depth deciles.",
+)
+def q45_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin equi-width histogram of order prices."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = (money("o_totalprice") * 100).cast("long")
+    row = o.agg(F.min(cents).alias("lo"), F.max(cents).alias("hi")).first()
+    min_c, max_c = int(row.lo), int(row.hi)
+    span = max_c - min_c
+    binned = o.select(
+        F.least(
+            F.expr(f"((CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) - {min_c}) * 20) div {span}"),
+            F.lit(19).cast("long"),
+        ).alias("bin")
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n_orders"),
+        (F.lit(min_c) + F.expr(f"(bin * {span}) div 20")).cast("double").alias("_lo_c"),
+        (F.lit(min_c) + F.expr(f"((bin + 1) * {span}) div 20")).cast("double").alias("_hi_c"),
+    ).select(
+        "bin",
+        "n_orders",
+        (F.col("_lo_c") / F.lit(100.0)).alias("bin_lo"),
+        (F.col("_hi_c") / F.lit(100.0)).alias("bin_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q46 — two-sample Kolmogorov–Smirnov drift test (the deequ/evidently
+# distribution-drift class): D = max |F_a(x) - F_b(x)| between the
+# value distributions of purchase vs view events. Entirely exact
+# integer arithmetic: per-cent-value counts, windowed cumulative
+# counts, and the cross-multiplied numerator |cum_a·n_b - cum_b·n_a|
+# (the common-denominator form — no per-row division ever happens);
+# the reported D and its 5% critical value are single IEEE ops on
+# exact operands. The CDF window is ordered over DISTINCT CENT VALUES
+# — bounded by the value domain (<=|price grid|), not the row count,
+# so the "global" window is a fixed-size relation at any corpus scale.
+# ---------------------------------------------------------------------------
+_Q46_ORACLE = """
+WITH s AS (
+  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+  FROM events WHERE event_type IN ('purchase', 'view')
+), byval AS (
+  SELECT v, SUM(is_a) AS a_at, SUM(1 - is_a) AS b_at FROM s GROUP BY 1
+), cum AS (
+  SELECT v,
+         SUM(a_at) OVER (ORDER BY v) AS cum_a,
+         SUM(b_at) OVER (ORDER BY v) AS cum_b,
+         SUM(a_at) OVER () AS n_a,
+         SUM(b_at) OVER () AS n_b
+  FROM byval
+)
+SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+       CAST(MAX(n_b) AS BIGINT) AS n_b,
+       CAST(MAX(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num,
+       CAST(MAX(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
+         / CAST(MAX(n_a) * MAX(n_b) AS DOUBLE) AS ks_d,
+       1.36 * sqrt(CAST(MAX(n_a) + MAX(n_b) AS DOUBLE)
+                   / CAST(MAX(n_a) * MAX(n_b) AS DOUBLE)) AS ks_crit,
+       CAST(MAX(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
+         / CAST(MAX(n_a) * MAX(n_b) AS DOUBLE)
+         > 1.36 * sqrt(CAST(MAX(n_a) + MAX(n_b) AS DOUBLE)
+                       / CAST(MAX(n_a) * MAX(n_b) AS DOUBLE)) AS drift
+FROM cum
+"""
+
+
+@register(
+    "q46_ks_drift",
+    _Q46_ORACLE,
+    doc="Two-sample Kolmogorov-Smirnov drift test between purchase and "
+    "view value distributions: exact integer CDFs in common-"
+    "denominator form (no per-row division), CDF window bounded by the "
+    "cent-value domain, 5% critical value + drift verdict.",
+)
+def q46_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS statistic + drift verdict between two event-type distributions."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin("purchase", "view")).select(
+        (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_a"),
+    )
+    byval = s.groupBy("v").agg(
+        F.sum("is_a").alias("a_at"), F.sum(1 - F.col("is_a")).alias("b_at")
+    )
+    w_cdf = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = byval.select(
+        F.sum("a_at").over(w_cdf).alias("cum_a"),
+        F.sum("b_at").over(w_cdf).alias("cum_b"),
+        F.sum("a_at").over(w_all).alias("n_a"),
+        F.sum("b_at").over(w_all).alias("n_b"),
+    )
+    agg = cum.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max(F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))).alias(
+            "d_num"
+        ),
+    )
+    ks_d = F.col("d_num").cast("double") / (F.col("n_a") * F.col("n_b")).cast("double")
+    ks_crit = F.lit(1.36) * F.sqrt(
+        (F.col("n_a") + F.col("n_b")).cast("double")
+        / (F.col("n_a") * F.col("n_b")).cast("double")
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "d_num",
+        ks_d.alias("ks_d"),
+        ks_crit.alias("ks_crit"),
+        (ks_d > ks_crit).alias("drift"),
+    )

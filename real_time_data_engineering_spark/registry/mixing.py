@@ -288,3 +288,82 @@ def d25_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_u16").cast("double") / F.lit(65536.0) < F.col("accept_rate"))
         .select("doc_id", "source", "est_tokens", "source_tokens", "accept_rate")
     )
+
+
+# ---------------------------------------------------------------------------
+# d33 — weighted sampling without replacement (Efraimidis–Spirakis
+# A-Res): pick k=50 docs per source with inclusion probability
+# proportional to token weight — the "sample big docs more often"
+# selection d9's uniform Bernoulli and d25's per-source temperature
+# can't express. Key insight of A-Res: assigning each item the key
+# u^(1/w) (equivalently ordering by -ln(u)/w ascending) and keeping
+# the top-k IS a weighted sample without replacement — one pass, no
+# sequential reservoir state, perfect for a distributed top-k.
+# Determinism: u = (u16+1)/65536 from the md5 coin (power-of-two
+# division → bit-identical doubles), -ln(u) quantized DECIMAL(18,9) at
+# the source, then INTEGER fixed-point division by the weight
+# (truncating div on non-negatives — identical in both engines), so
+# the priority key is an exact BIGINT. Per-source top-50 is a ranked
+# window over the (source)-keyed aggregate — the T1 top-k shape.
+# ---------------------------------------------------------------------------
+_D33_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(ceil(CAST(length(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS BIGINT) / 4.0)
+              AS BIGINT) AS weight_tokens,
+         (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS u16
+  FROM documents
+), keyed AS (
+  SELECT doc_id, source, weight_tokens,
+         (CAST(CAST(round(-ln((u16 + 1) / 65536.0), 9) AS DECIMAL(28,9))
+               * 1000000000 AS BIGINT) * 1000000) // weight_tokens AS priority_fp
+  FROM t
+), ranked AS (
+  SELECT doc_id, source, weight_tokens, priority_fp,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY priority_fp ASC, doc_id ASC) AS pick_rank
+  FROM keyed
+)
+SELECT doc_id, source, weight_tokens, priority_fp, CAST(pick_rank AS BIGINT) AS pick_rank
+FROM ranked WHERE pick_rank <= 50
+"""
+
+
+@register(
+    "d33_weighted_reservoir",
+    _D33_ORACLE,
+    doc="Efraimidis-Spirakis weighted sampling without replacement "
+    "(k=50 per source, weight = est tokens): priority -ln(u)/w as an "
+    "exact integer fixed-point key from the md5 coin — one pass, "
+    "distributed top-k, no reservoir state.",
+)
+def d33_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted 50-doc sample per source (A-Res one-pass form)."""
+    docs = load_table(spark, sf_dir, "documents")
+    u16 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "long"
+    )
+    neg_lnu = F.round(
+        -F.log((u16 + F.lit(1)).cast("double") / F.lit(65536.0)), 9
+    ).cast("decimal(18,9)")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        est_bpe_tokens("text").alias("weight_tokens"),
+        (neg_lnu * F.lit(1_000_000_000)).cast("long").alias("_nl_fp"),
+    ).select(
+        "doc_id",
+        "source",
+        "weight_tokens",
+        F.expr("(_nl_fp * 1000000) div weight_tokens").alias("priority_fp"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("priority_fp").asc(), F.col("doc_id").asc()
+    )
+    return (
+        keyed.withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick_rank") <= 50)
+    )

@@ -167,3 +167,33 @@ def test_pagerank_mass_and_floors(spark):
             assert r.pr_fp >= base
     # connected nodes exist in the corpus (the dup graph is non-empty)
     assert any(r.degree > 0 for r in rows)
+
+
+def test_histogram_covers_every_order_in_twenty_contiguous_bins(spark):
+    rows = sorted(_run(spark, "q45_price_histogram").collect(), key=lambda r: r.bin)
+    o = load_table(spark, SF_DIR, "orders")
+    assert sum(r.n_orders for r in rows) == o.count()
+    assert all(0 <= r.bin <= 19 for r in rows)
+    # bins tile the range: each hi is the next bin's lo (integer-exact)
+    by_bin = {r.bin: r for r in rows}
+    for b in range(19):
+        if b in by_bin and b + 1 in by_bin:
+            assert by_bin[b].bin_hi == by_bin[b + 1].bin_lo
+
+
+def test_ks_statistic_is_a_valid_probability_distance(spark):
+    r = _run(spark, "q46_ks_drift").collect()[0]
+    assert 0.0 <= r.ks_d <= 1.0
+    assert r.ks_crit > 0
+    assert r.drift == (r.ks_d > r.ks_crit)
+    assert r.d_num <= r.n_a * r.n_b
+
+
+def test_weighted_reservoir_caps_per_source_and_is_deterministic(spark):
+    rows = _run(spark, "d33_weighted_reservoir").collect()
+    per_source = {}
+    for r in rows:
+        per_source[r.source] = per_source.get(r.source, 0) + 1
+    assert all(n <= 50 for n in per_source.values())
+    again = {(r.source, r.doc_id) for r in _run(spark, "d33_weighted_reservoir").collect()}
+    assert {(r.source, r.doc_id) for r in rows} == again
