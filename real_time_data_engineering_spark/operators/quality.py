@@ -202,3 +202,64 @@ def redact_pii(text: Column | str) -> dict[str, Column]:
         "n_phones": F.regexp_count(c, F.lit(PHONE_RE)).cast("long"),
         "redacted": redacted,
     }
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift: exact two-sample Kolmogorov–Smirnov over
+# pre-aggregated value counts. Shared by the batch drift query (q46)
+# and the streaming drift monitor (streaming/ingest.drift_monitor) so
+# the in-stream verdict is definitionally the batch verdict.
+# ---------------------------------------------------------------------------
+
+
+def exact_ks_counts(a_counts: DataFrame, b_counts: DataFrame) -> DataFrame:
+    """Exact KS statistic from two (v, cnt) count relations.
+
+    D = max |F_a - F_b| computed entirely in integers via the common-
+    denominator form |cum_a*n_b - cum_b*n_a| — no per-row division, so
+    the result hashes identically across engines and partitionings.
+    The CDF window is ordered over the union of DISTINCT values:
+    bounded by the value domain, not by either sample's row count.
+    Returns one row: (n_a, n_b, d_num, ks_d, ks_crit, drift) with the
+    5% two-sample critical value 1.36*sqrt((n_a+n_b)/(n_a*n_b)).
+    """
+    from pyspark.sql import Window
+
+    a = a_counts.select(F.col("v"), F.col("cnt").alias("a_at"))
+    b = b_counts.select(F.col("v"), F.col("cnt").alias("b_at"))
+    byval = (
+        a.join(b, "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("a_at", F.lit(0)).alias("a_at"),
+            F.coalesce("b_at", F.lit(0)).alias("b_at"),
+        )
+    )
+    w_cdf = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = byval.select(
+        F.sum("a_at").over(w_cdf).alias("cum_a"),
+        F.sum("b_at").over(w_cdf).alias("cum_b"),
+        F.sum("a_at").over(w_all).alias("n_a"),
+        F.sum("b_at").over(w_all).alias("n_b"),
+    )
+    agg = cum.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max(
+            F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+        ).alias("d_num"),
+    )
+    ks_d = F.col("d_num").cast("double") / (F.col("n_a") * F.col("n_b")).cast("double")
+    ks_crit = F.lit(1.36) * F.sqrt(
+        (F.col("n_a") + F.col("n_b")).cast("double")
+        / (F.col("n_a") * F.col("n_b")).cast("double")
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "d_num",
+        ks_d.alias("ks_d"),
+        ks_crit.alias("ks_crit"),
+        (ks_d > ks_crit).alias("drift"),
+    )

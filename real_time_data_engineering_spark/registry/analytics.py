@@ -1775,39 +1775,17 @@ FROM cum
 )
 def q46_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KS statistic + drift verdict between two event-type distributions."""
+    from ..operators.quality import exact_ks_counts
+
     ev = load_table(spark, sf_dir, "events")
-    s = ev.filter(F.col("event_type").isin("purchase", "view")).select(
-        (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("v"),
-        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_a"),
-    )
-    byval = s.groupBy("v").agg(
-        F.sum("is_a").alias("a_at"), F.sum(1 - F.col("is_a")).alias("b_at")
-    )
-    w_cdf = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
-    cum = byval.select(
-        F.sum("a_at").over(w_cdf).alias("cum_a"),
-        F.sum("b_at").over(w_cdf).alias("cum_b"),
-        F.sum("a_at").over(w_all).alias("n_a"),
-        F.sum("b_at").over(w_all).alias("n_b"),
-    )
-    agg = cum.agg(
-        F.max("n_a").alias("n_a"),
-        F.max("n_b").alias("n_b"),
-        F.max(F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))).alias(
-            "d_num"
-        ),
-    )
-    ks_d = F.col("d_num").cast("double") / (F.col("n_a") * F.col("n_b")).cast("double")
-    ks_crit = F.lit(1.36) * F.sqrt(
-        (F.col("n_a") + F.col("n_b")).cast("double")
-        / (F.col("n_a") * F.col("n_b")).cast("double")
-    )
-    return agg.select(
-        "n_a",
-        "n_b",
-        "d_num",
-        ks_d.alias("ks_d"),
-        ks_crit.alias("ks_crit"),
-        (ks_d > ks_crit).alias("drift"),
-    )
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("v")
+
+    def counts(event_type: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .select(cents)
+            .groupBy("v")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    return exact_ks_counts(counts("purchase"), counts("view"))

@@ -354,3 +354,44 @@ def run_asof_enrich(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Streaming distribution-drift monitor (the deequ/evidently drift class
+# in-stream): the live value distribution, accumulated as per-cent
+# counts by a streaming aggregation, is KS-tested against a static
+# reference distribution after every micro-batch. foreachBatch in
+# complete mode hands the monitor the FULL updated count relation, so
+# the verdict after batch k is definitionally the batch q46 verdict
+# over everything streamed so far — asserted in
+# tests/test_streaming.py. State is bounded by the value domain
+# (distinct cent values), not by stream length — the same bound that
+# makes the batch CDF window safe at 100 TB.
+# ---------------------------------------------------------------------------
+def drift_monitor_stream(
+    values: DataFrame,
+    reference_counts: DataFrame,
+    out_dir: str,
+    value_col: str = "v",
+):
+    """Monitor a streaming value column for drift against a reference.
+
+    ``values``: streaming frame with an integer value column (cents).
+    ``reference_counts``: static (v, cnt) distribution to test against.
+    Appends one (batch_id, n_a, n_b, d_num, ks_d, ks_crit, drift) row
+    per micro-batch to ``out_dir`` (parquet). Returns the writeStream
+    builder (caller starts it).
+    """
+    from ..operators.quality import exact_ks_counts
+
+    counts = values.groupBy(F.col(value_col).alias("v")).agg(F.count("*").alias("cnt"))
+
+    def _emit(batch_counts: DataFrame, batch_id: int) -> None:
+        (
+            exact_ks_counts(batch_counts, reference_counts)
+            .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return counts.writeStream.foreachBatch(_emit).outputMode("complete")

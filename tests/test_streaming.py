@@ -728,3 +728,44 @@ def test_stream_stream_attribution_join_equals_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and got, "attribution join must produce matches"
+
+
+def test_streaming_drift_monitor_equals_batch_ks(spark, tmp_path):
+    """The drift monitor's verdict after the final micro-batch must equal
+    the batch KS (q46 machinery) over everything streamed so far."""
+    from real_time_data_engineering_spark.operators.quality import exact_ks_counts
+
+    ev = load_table(spark, SF_DIR, "events")
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("v")
+
+    def counts(df):
+        return df.select(cents).groupBy("v").agg(F.count("*").alias("cnt"))
+
+    reference = counts(ev.filter(F.col("event_type") == "view"))
+
+    # stream the purchase values in two chunks → two micro-batches
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "value")
+    src = tmp_path / "purchase_stream"
+    half = purchases.count() // 2
+    purchases.filter(F.col("event_id") % 2 == 0).write.parquet(str(src / "chunk0"))
+    purchases.filter(F.col("event_id") % 2 == 1).write.parquet(str(src / "chunk1"))
+    stream = (
+        spark.readStream.schema(purchases.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+        .select(cents)
+    )
+    out = tmp_path / "drift_log"
+    q = si.drift_monitor_stream(stream, reference, str(out)).start()
+    q.processAllAvailable()
+    q.stop()
+
+    log = spark.read.parquet(str(out)).collect()
+    assert len(log) >= 1  # one verdict per micro-batch
+    last = max(log, key=lambda r: r.batch_id)
+    want = exact_ks_counts(counts(purchases), reference).collect()[0]
+    assert (last.n_a, last.n_b, last.d_num) == (want.n_a, want.n_b, want.d_num)
+    assert last.ks_d == want.ks_d and last.drift == want.drift
+    # intermediate verdicts ran on partial data: monotone sample growth
+    assert min(r.n_a for r in log) <= last.n_a
+    assert half > 0
