@@ -105,6 +105,7 @@ EXTRA = [
     "q45_price_histogram",
     "q46_ks_drift",
     "d33_weighted_reservoir",
+    "d34_lm_perplexity",
 ]
 
 # Queries whose lineage persists an exploded working relation DISK_ONLY

@@ -1652,3 +1652,105 @@ def d32_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pr").alias("pr_fp"),
         (F.col("pr").cast("double") / F.lit(1_000_000_000.0)).alias("pagerank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d34 — bigram language-model quality score (the CCNet/KenLM class):
+# score every document by its average log-probability under a Laplace-
+# smoothed bigram model trained on the corpus itself — the classic
+# "does this read like the corpus" quality filter between the rule
+# sets (d20) and the model-based filters a real pipeline plugs in.
+# p(w2|w1) = (B(w1w2)+1) / (U(w1)+V); log p splits into
+# log10(B+1) - log10(U+V), BOTH logs over small integers → quantized
+# DECIMAL(18,6) at the source → exact decimal sums per doc → one
+# final double division (avg log-prob). No transcendental ever sees a
+# non-integer input, so cross-engine parity holds at any scale.
+# Scale: two count shuffles (bigram-keyed, unigram-keyed — the d26
+# cost class), the unigram+V table broadcast back (vocab is MBs), the
+# bigram join keyed on the gram. V is a scalar driver fetch (d24
+# precedent).
+# ---------------------------------------------------------------------------
+_D34_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), tok AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks
+), bi AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+), bcnt AS (
+  SELECT w1, w2, COUNT(*) AS b FROM bi GROUP BY 1, 2
+), ucnt AS (
+  SELECT w, COUNT(*) AS u FROM tok GROUP BY 1
+), vv AS (
+  SELECT COUNT(*) AS v FROM ucnt
+), scored AS (
+  SELECT d.doc_id,
+         CAST(round(log10(CAST(c.b + 1 AS DOUBLE)), 6) AS DECIMAL(18,6))
+           - CAST(round(log10(CAST(u.u + (SELECT v FROM vv) AS DOUBLE)), 6) AS DECIMAL(18,6))
+           AS logp
+  FROM bi d
+  JOIN bcnt c ON c.w1 = d.w1 AND c.w2 = d.w2
+  JOIN ucnt u ON u.w = d.w1
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(logp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_logprob,
+       CAST(SUM(logp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) < -2.5 AS low_quality
+FROM scored GROUP BY 1
+"""
+
+
+@register(
+    "d34_lm_perplexity",
+    _D34_ORACLE,
+    doc="Bigram LM quality score (CCNet/KenLM class): avg log-prob per "
+    "doc under a Laplace-smoothed corpus bigram model. log p = "
+    "log10(B+1) - log10(U+V): logs only on integers, quantized decimal "
+    "sums, one final division.",
+)
+def d34_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average bigram log-probability + low-quality flag per document."""
+    from ..functions.text import tokens
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    toked = docs.select("doc_id", tokens("text").alias("_toks"))
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("_toks")) - 2),
+        lambda i: F.struct(
+            F.element_at(F.col("_toks"), i + 1).alias("w1"),
+            F.element_at(F.col("_toks"), i + 2).alias("w2"),
+        ),
+    )
+    bi = (
+        toked.filter(F.size(F.col("_toks")) >= 2)
+        .select("doc_id", F.explode(gram).alias("g"))
+        .select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    )
+    bcnt = bi.groupBy("w1", "w2").agg(F.count("*").alias("b"))
+    ucnt = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("u"))
+    )
+    v = ucnt.count()  # scalar vocab size — driver fetch (d24 precedent)
+    log10q = lambda c: F.round(F.log10(c.cast("double")), 6).cast("decimal(18,6)")  # noqa: E731
+    scored = (
+        bi.join(bcnt, ["w1", "w2"])
+        .join(F.broadcast(ucnt.select(F.col("w").alias("w1"), "u")), "w1")
+        .select(
+            "doc_id",
+            (log10q(F.col("b") + 1) - log10q(F.col("u") + F.lit(v))).alias("logp"),
+        )
+    )
+    avg = F.col("_s").cast("double") / F.col("n_bigrams").cast("double")
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("logp").alias("_s"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            avg.alias("avg_logprob"),
+            (avg < -2.5).alias("low_quality"),
+        )
+    )

@@ -197,3 +197,21 @@ def test_weighted_reservoir_caps_per_source_and_is_deterministic(spark):
     assert all(n <= 50 for n in per_source.values())
     again = {(r.source, r.doc_id) for r in _run(spark, "d33_weighted_reservoir").collect()}
     assert {(r.source, r.doc_id) for r in rows} == again
+
+
+def test_lm_logprob_is_negative_and_counts_bigrams_exactly(spark):
+    rows = _run(spark, "d34_lm_perplexity").collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    # B(w1w2) <= U(w1) < U+V ensures p <= 1 → every avg log-prob <= 0
+    assert rows and all(r.avg_logprob <= 0 for r in rows)
+    for r in rows:
+        assert r.low_quality == (r.avg_logprob < -2.5)
+    # total bigram instances = sum over docs of (token_count - 1)
+    tok_total = (
+        docs.select(
+            (F.size(F.split(F.lower(F.trim("text")), r"\s+")) - 1).alias("nb")
+        )
+        .agg(F.sum(F.greatest("nb", F.lit(0))))
+        .first()[0]
+    )
+    assert sum(r.n_bigrams for r in rows) == tok_total
