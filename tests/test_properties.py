@@ -275,3 +275,71 @@ def test_range_frame_shrinks_over_calendar_gaps(spark):
     assert out[dt.date(2024, 1, 3)] == (3, 300.0)
     assert out[dt.date(2024, 1, 20)] == (1, 70.0), "gap must reset the window"
     assert out[dt.date(2024, 1, 22)] == (2, 100.0), "in-range prior day joins the window"
+
+
+@given(
+    a=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=12),
+    b=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=12),
+)
+@_settings
+def test_exact_ks_matches_python_model(spark, a, b):
+    """exact_ks_counts == the textbook two-sample KS computed in pure
+    Python over the same samples (value lists -> counts)."""
+    from real_time_data_engineering_spark.operators.quality import exact_ks_counts
+    from collections import Counter
+
+    ca, cb = Counter(a), Counter(b)
+    df_a = spark.createDataFrame(list(ca.items()), "v long, cnt long")
+    df_b = spark.createDataFrame(list(cb.items()), "v long, cnt long")
+    row = exact_ks_counts(df_a, df_b).collect()[0]
+
+    n_a, n_b = len(a), len(b)
+    grid = sorted(set(a) | set(b))
+    d_num = max(
+        abs(
+            sum(1 for x in a if x <= v) * n_b
+            - sum(1 for x in b if x <= v) * n_a
+        )
+        for v in grid
+    )
+    assert (row.n_a, row.n_b, row.d_num) == (n_a, n_b, d_num)
+    assert row.ks_d == d_num / (n_a * n_b)
+    # identical samples → D = 0; disjoint supports → D = n_a*n_b
+    if sorted(a) == sorted(b):
+        assert row.d_num == 0
+
+
+@given(
+    weights=st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=20),
+)
+@_settings
+def test_weighted_reservoir_priority_matches_python_model(spark, weights):
+    """The A-Res integer priority key reproduces the same ordering a
+    pure-Python implementation of -ln(u)/w (same md5 coin, same
+    quantization, same truncating division) produces."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as FF
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "doc_id long, weight_tokens long"
+    )
+    u16 = FF.conv(
+        FF.substring(FF.md5(FF.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    neg_lnu = FF.round(
+        -FF.log((u16 + FF.lit(1)).cast("double") / FF.lit(65536.0)), 9
+    ).cast("decimal(18,9)")
+    keyed = df.select(
+        "doc_id",
+        (neg_lnu * FF.lit(1_000_000_000)).cast("long").alias("nl_fp"),
+        "weight_tokens",
+    ).selectExpr("doc_id", "(nl_fp * 1000000) div weight_tokens AS priority_fp")
+    got = {r.doc_id: r.priority_fp for r in keyed.collect()}
+
+    for i, w in enumerate(weights):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16)
+        nl = round(-math.log((h + 1) / 65536.0), 9)
+        nl_fp = int((nl * 10**9).__round__())  # decimal-exact: nl has 9 dp
+        assert got[i] == (nl_fp * 1_000_000) // w
