@@ -64,6 +64,33 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # of q3, doubly-green with unchanged code since r1) and finally q21,
 # the one remaining rows-only check (HLL sketch — approximate by
 # construction, accuracy property-tested instead).
+
+# The 50 queries CORRECTNESS_r03 recorded green, IN ITS ORDER. Without
+# this pin, new round-4 analytics-module queries would register ahead
+# of the dedup/mixing/similarity modules (import order) and silently
+# evict previously-green rows from a budgeted artifact. Never reorder
+# or remove entries here; append-only discipline lives in the round-4+
+# additions that follow registration order after this block.
+_R3_GREEN_HEAD = (
+    "q1_daily_revenue", "q2_top_nations", "q3_hourly_demand",
+    "q4_priority_share", "q5_running_revenue", "q6_mode_per_user",
+    "q7_user_features", "q8_distinct_counts", "q9_daily_anomaly",
+    "q10_date_spine", "q11_json_extract", "q12_dedup_latest",
+    "q13_silver_lineitem", "q14_referential_check", "q15_topk_per_brand",
+    "q20_grouping_sets", "q27_group_quantiles", "d1_exact_dedup",
+    "d2_ngram_jaccard_topk", "d3_lang_id", "d4_text_stats",
+    "d5_minhash_lsh", "d6_simhash", "d7_embedding_neardup",
+    "d8_fingerprint_neardup", "d15_dup_clusters", "d16_cluster_keepers",
+    "d19_embedding_neardup_lsh", "q24_scd2_history", "d9_stratified_sample",
+    "d10_token_budget_mix", "d11_shard_assignment", "d18_sequence_packing",
+    "d12_repetition_stats", "d13_pii_redaction", "d14_decontamination",
+    "d17_leakage_safe_split", "d20_gopher_quality", "s1_cosine_topk",
+    "s2_knn_label_vote", "s3_ivf_topk", "s4_kmeans_clusters",
+    "s5_ivf_topk_kmeans", "q17_cdc_apply", "q18_sessionization",
+    "q19_hourly_rollup", "q25_sliding_rollup", "q26_cdc_materialize",
+    "q22_asof_order", "q23_range_clicks",
+)
+
 _DRIVER_TAIL = (
     "d21_simhash_neardup",
     "s6_pq_topk",
@@ -80,9 +107,11 @@ _DRIVER_TAIL = (
 
 def all_specs() -> dict[str, QuerySpec]:
     _load()
-    head = {n: s for n, s in _REGISTRY.items() if n not in _DRIVER_TAIL}
+    pinned = set(_R3_GREEN_HEAD) | set(_DRIVER_TAIL)
+    head = {n: _REGISTRY[n] for n in _R3_GREEN_HEAD if n in _REGISTRY}
+    mid = {n: s for n, s in _REGISTRY.items() if n not in pinned}
     tail = {n: _REGISTRY[n] for n in _DRIVER_TAIL if n in _REGISTRY}
-    return {**head, **tail}
+    return {**head, **mid, **tail}
 
 
 def get(name: str) -> QuerySpec:

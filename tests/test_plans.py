@@ -372,3 +372,15 @@ def test_driver_tail_names_are_registered_and_last():
     missing = [n for n in registry._DRIVER_TAIL if n not in specs]
     assert not missing, f"_DRIVER_TAIL names not in registry: {missing}"
     assert list(specs)[-len(registry._DRIVER_TAIL):] == list(registry._DRIVER_TAIL)
+
+
+def test_r3_green_head_keeps_its_positions():
+    """The 50 queries CORRECTNESS_r03 recorded green must occupy the
+    first 50 all_specs() positions in the exact r3 order — new
+    additions must never evict a previously-green row from a budgeted
+    driver artifact (they slot between this head and _DRIVER_TAIL)."""
+    from real_time_data_engineering_spark import registry
+
+    specs = list(registry.all_specs())
+    head = list(registry._R3_GREEN_HEAD)
+    assert specs[: len(head)] == head
