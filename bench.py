@@ -106,6 +106,7 @@ EXTRA = [
     "q46_ks_drift",
     "d33_weighted_reservoir",
     "d34_lm_perplexity",
+    "q47_chi_square_independence",
 ]
 
 # Queries whose lineage persists an exploded working relation DISK_ONLY

@@ -1789,3 +1789,113 @@ def q46_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return exact_ks_counts(counts("purchase"), counts("view"))
+
+
+# ---------------------------------------------------------------------------
+# q47 — chi-square independence test (event_type × day-of-week
+# contingency): the second classic distribution audit next to q46's
+# KS — "is traffic mix independent of weekday". Parity engineering:
+# every per-cell term (O·N − r·c)² / (N·r·c) is a deterministic IEEE
+# double built from EXACT INTEGERS (counts and their products stay
+# under 2^53 up to ~3e7 events; the 100 TB mitigation — decimal
+# numerators — is documented here), and the cross-cell sum runs as a
+# SORTED-ARRAY FOLD (sort_array(collect_list) + aggregate lambda /
+# DuckDB list(ORDER BY) + list_reduce), so float addition happens in
+# ONE defined order on both engines — never a partition-order-
+# dependent SUM. Day-of-week is ((epoch_days + 4) mod 7) — pure
+# integer arithmetic, immune to the engines' differing dayofweek()
+# conventions. dof = (types-1)(dows-1); the 5% critical value 36.415
+# applies to the full 5×7 grid (flag is NULL-safe on dof).
+# ---------------------------------------------------------------------------
+_Q47_ORACLE = """
+WITH obs AS (
+  SELECT event_type AS et,
+         (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7 AS dow,
+         COUNT(*) AS o
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT SUM(o) AS n FROM obs
+), rows_ AS (
+  SELECT et, SUM(o) AS r FROM obs GROUP BY 1
+), cols_ AS (
+  SELECT dow, SUM(o) AS c FROM obs GROUP BY 1
+), cells AS (
+  SELECT obs.et, obs.dow,
+         CAST(obs.o * t.n - r.r * c.c AS DOUBLE) * CAST(obs.o * t.n - r.r * c.c AS DOUBLE)
+           / (CAST(t.n AS DOUBLE) * CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE)) AS term
+  FROM obs
+  JOIN rows_ r ON r.et = obs.et
+  JOIN cols_ c ON c.dow = obs.dow
+  CROSS JOIN tot t
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n_events,
+       CAST(((SELECT COUNT(*) FROM rows_) - 1)
+            * ((SELECT COUNT(*) FROM cols_) - 1) AS BIGINT) AS dof,
+       list_reduce(list(term ORDER BY et, dow), (a, b) -> a + b) AS chi2,
+       CASE WHEN ((SELECT COUNT(*) FROM rows_) - 1)
+                 * ((SELECT COUNT(*) FROM cols_) - 1) = 24
+            THEN list_reduce(list(term ORDER BY et, dow), (a, b) -> a + b) > 36.415
+            ELSE NULL END AS dependent
+FROM cells
+"""
+
+
+@register(
+    "q47_chi_square_independence",
+    _Q47_ORACLE,
+    doc="Chi-square independence test over the event_type x weekday "
+    "contingency grid: per-cell terms from exact integer counts, "
+    "cross-cell sum as a SORTED-ARRAY FOLD so float addition has one "
+    "defined order on both engines; integer (epoch_days+4) mod 7 "
+    "sidesteps dayofweek() convention drift.",
+)
+def q47_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-mix independence verdict (chi2, dof, 5% flag for 5x7)."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = (
+        ev.select(
+            F.col("event_type").alias("et"),
+            ((F.expr("unix_micros(ts) div 86400000000") + 4) % 7).alias("dow"),
+        )
+        .groupBy("et", "dow")
+        .agg(F.count("*").alias("o"))
+    )
+    w_all = Window.partitionBy()
+    w_et = Window.partitionBy("et")
+    w_dow = Window.partitionBy("dow")
+    cells = obs.select(
+        "et",
+        "dow",
+        F.col("o"),
+        F.sum("o").over(w_all).alias("n"),
+        F.sum("o").over(w_et).alias("r"),
+        F.sum("o").over(w_dow).alias("c"),
+    )
+    num = (F.col("o") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+    term = (num * num) / (
+        F.col("n").cast("double") * F.col("r").cast("double") * F.col("c").cast("double")
+    )
+    per_cell = cells.select(
+        "et",
+        "dow",
+        "n",
+        term.alias("term"),
+        F.count("*").over(w_et).alias("_r_cells"),
+    )
+    agg = per_cell.agg(
+        F.max("n").alias("n_events"),
+        ((F.countDistinct("et") - 1) * (F.countDistinct("dow") - 1))
+        .cast("long")
+        .alias("dof"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("et", "dow", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("chi2"),
+    )
+    return agg.select(
+        "n_events",
+        "dof",
+        "chi2",
+        F.when(F.col("dof") == 24, F.col("chi2") > F.lit(36.415)).alias("dependent"),
+    )

@@ -215,3 +215,14 @@ def test_lm_logprob_is_negative_and_counts_bigrams_exactly(spark):
         .first()[0]
     )
     assert sum(r.n_bigrams for r in rows) == tok_total
+
+
+def test_chi_square_is_nonnegative_with_full_grid_dof(spark):
+    r = _run(spark, "q47_chi_square_independence").collect()[0]
+    assert r.chi2 >= 0.0
+    ev = load_table(spark, SF_DIR, "events")
+    n_types = ev.select("event_type").distinct().count()
+    assert r.dof == (n_types - 1) * 6  # all 7 weekdays occur in the corpus
+    assert r.n_events == ev.count()
+    if r.dof == 24:
+        assert r.dependent == (r.chi2 > 36.415)
