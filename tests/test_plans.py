@@ -384,3 +384,34 @@ def test_r3_green_head_keeps_its_positions():
     specs = list(registry.all_specs())
     head = list(registry._R3_GREEN_HEAD)
     assert specs[: len(head)] == head
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
+    """The 100 TB sketch-pruning path: Spark's runtime Bloom filter
+    (on by default in the session) injects a might_contain probe into
+    the fact side of a shuffle join whose other side is selective —
+    the same Bloom prescreen a hand-built decontamination filter would
+    add, for free, with exact results. Size thresholds keep it dormant
+    at test scale, so the test lowers them to prove the plan shape."""
+    from real_time_data_engineering_spark.sources.readers import load_table
+    from conftest import SF_DIR_T2
+
+    keys = [
+        ("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"),
+        ("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"),
+        ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+    ]
+    old = {k: spark.conf.get(k) for k, _ in keys}
+    try:
+        for k, v in keys:
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_DIR_T2, "lineitem")
+        o = load_table(spark, SF_DIR_T2, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        phys = j._jdf.queryExecution().executedPlan().toString().lower()
+        assert "might_contain" in phys or "bloomfilter" in phys
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
