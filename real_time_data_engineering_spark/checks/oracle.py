@@ -102,8 +102,14 @@ class OracleDiffer:
         self.con = duckdb.connect()
         for t in TABLE_NAMES:
             path = os.path.join(sf_dir, f"{t}.parquet")
-            if os.path.exists(path):
-                self.con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+            if os.path.isdir(path):
+                # Spark-written table: a directory of part files. Glob it
+                # so replica/derived corpora diff exactly like the
+                # single-file driver corpus.
+                path = os.path.join(path, "*.parquet")
+            elif not os.path.exists(path):
+                continue
+            self.con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     def run(self, name: str) -> DiffResult:
         from ..registry import get
