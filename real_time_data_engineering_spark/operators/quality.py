@@ -250,11 +250,11 @@ def exact_ks_counts(a_counts: DataFrame, b_counts: DataFrame) -> DataFrame:
             F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
         ).alias("d_num"),
     )
-    ks_d = F.col("d_num").cast("double") / (F.col("n_a") * F.col("n_b")).cast("double")
-    ks_crit = F.lit(1.36) * F.sqrt(
-        (F.col("n_a") + F.col("n_b")).cast("double")
-        / (F.col("n_a") * F.col("n_b")).cast("double")
-    )
+    # an empty sample makes the test undefined (0/0): NULL out rather
+    # than diverge between engines' 0/0 renderings
+    den = F.nullif((F.col("n_a") * F.col("n_b")).cast("double"), F.lit(0.0))
+    ks_d = F.col("d_num").cast("double") / den
+    ks_crit = F.lit(1.36) * F.sqrt((F.col("n_a") + F.col("n_b")).cast("double") / den)
     return agg.select(
         "n_a",
         "n_b",

@@ -1677,14 +1677,14 @@ WITH bounds AS (
   FROM orders
 ), binned AS (
   SELECT least(((CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
-                 - b.min_c) * 20) // (b.max_c - b.min_c), 19) AS bin,
+                 - b.min_c) * 20) // greatest(b.max_c - b.min_c, 1), 19) AS bin,
          b.min_c, b.max_c
   FROM orders, bounds b
 )
 SELECT CAST(bin AS BIGINT) AS bin,
        COUNT(*) AS n_orders,
-       CAST(min_c + (bin * (max_c - min_c)) // 20 AS DOUBLE) / 100.0 AS bin_lo,
-       CAST(min_c + ((bin + 1) * (max_c - min_c)) // 20 AS DOUBLE) / 100.0 AS bin_hi
+       CAST(min_c + (bin * greatest(max_c - min_c, 1)) // 20 AS DOUBLE) / 100.0 AS bin_lo,
+       CAST(min_c + ((bin + 1) * greatest(max_c - min_c, 1)) // 20 AS DOUBLE) / 100.0 AS bin_hi
 FROM binned
 GROUP BY bin, min_c, max_c
 """
@@ -1704,7 +1704,9 @@ def q45_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = (money("o_totalprice") * 100).cast("long")
     row = o.agg(F.min(cents).alias("lo"), F.max(cents).alias("hi")).first()
     min_c, max_c = int(row.lo), int(row.hi)
-    span = max_c - min_c
+    # degenerate single-price corpus: floor the span at 1 so the
+    # integer bucketing never divides by zero (bin 0 holds everything)
+    span = max(max_c - min_c, 1)
     binned = o.select(
         F.least(
             F.expr(f"((CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) - {min_c}) * 20) div {span}"),
@@ -1754,13 +1756,13 @@ SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
        CAST(MAX(n_b) AS BIGINT) AS n_b,
        CAST(MAX(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num,
        CAST(MAX(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
-         / CAST(MAX(n_a) * MAX(n_b) AS DOUBLE) AS ks_d,
+         / NULLIF(CAST(MAX(n_a) * MAX(n_b) AS DOUBLE), 0.0) AS ks_d,
        1.36 * sqrt(CAST(MAX(n_a) + MAX(n_b) AS DOUBLE)
-                   / CAST(MAX(n_a) * MAX(n_b) AS DOUBLE)) AS ks_crit,
+                   / NULLIF(CAST(MAX(n_a) * MAX(n_b) AS DOUBLE), 0.0)) AS ks_crit,
        CAST(MAX(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
-         / CAST(MAX(n_a) * MAX(n_b) AS DOUBLE)
+         / NULLIF(CAST(MAX(n_a) * MAX(n_b) AS DOUBLE), 0.0)
          > 1.36 * sqrt(CAST(MAX(n_a) + MAX(n_b) AS DOUBLE)
-                       / CAST(MAX(n_a) * MAX(n_b) AS DOUBLE)) AS drift
+                       / NULLIF(CAST(MAX(n_a) * MAX(n_b) AS DOUBLE), 0.0)) AS drift
 FROM cum
 """
 

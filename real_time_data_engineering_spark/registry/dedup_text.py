@@ -1282,7 +1282,7 @@ WITH toks AS (
 )
 SELECT d1, d2, CAST(len1 AS BIGINT) AS len1, CAST(len2 AS BIGINT) AS len2,
        CAST(edit_distance AS BIGINT) AS edit_distance,
-       1.0 - CAST(edit_distance AS DOUBLE) / CAST(greatest(len1, len2) AS DOUBLE)
+       1.0 - CAST(edit_distance AS DOUBLE) / CAST(greatest(len1, len2, 1) AS DOUBLE)
          AS prefix_similarity
 FROM verified
 WHERE edit_distance <= 64
@@ -1330,7 +1330,9 @@ def d29_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.lit(1.0)
             - F.col("edit_distance").cast("double")
-            / F.greatest("len1", "len2").cast("double")
+            # greatest(..., 1): two empty normal-form prefixes have
+            # distance 0 and defined similarity 1, not 0/0
+            / F.greatest("len1", "len2", F.lit(1)).cast("double")
         ).alias("prefix_similarity"),
     )
 
@@ -1459,12 +1461,12 @@ WITH toks AS (
   FROM pts
 )
 SELECT CAST(n AS BIGINT) AS n_terms,
-       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+       CAST(n * sxy - sx * sy AS DOUBLE) / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0.0) AS slope,
        CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
-         - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+         - (CAST(n * sxy - sx * sy AS DOUBLE) / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0.0))
            * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS intercept,
        CAST(n * sxy - sx * sy AS DOUBLE)
-         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+         / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 0.0)
          AS pearson_r
 FROM sums
 """

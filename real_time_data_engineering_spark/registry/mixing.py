@@ -319,7 +319,7 @@ WITH t AS (
 ), keyed AS (
   SELECT doc_id, source, weight_tokens,
          (CAST(CAST(round(-ln((u16 + 1) / 65536.0), 9) AS DECIMAL(28,9))
-               * 1000000000 AS BIGINT) * 1000000) // weight_tokens AS priority_fp
+               * 1000000000 AS BIGINT) * 1000000) // greatest(weight_tokens, 1) AS priority_fp
   FROM t
 ), ranked AS (
   SELECT doc_id, source, weight_tokens, priority_fp,
@@ -358,7 +358,10 @@ def d33_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         "weight_tokens",
-        F.expr("(_nl_fp * 1000000) div weight_tokens").alias("priority_fp"),
+        # greatest(..., 1): an empty doc has weight 0 — floor it so the
+        # priority key stays defined (and engine NULL-ordering
+        # differences never enter the ranking)
+        F.expr("(_nl_fp * 1000000) div greatest(weight_tokens, 1)").alias("priority_fp"),
     )
     w = Window.partitionBy("source").orderBy(
         F.col("priority_fp").asc(), F.col("doc_id").asc()

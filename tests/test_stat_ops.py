@@ -226,3 +226,38 @@ def test_chi_square_is_nonnegative_with_full_grid_dof(spark):
     assert r.n_events == ev.count()
     if r.dof == 24:
         assert r.dependent == (r.chi2 > 36.415)
+
+
+def test_degenerate_inputs_keep_guarded_ops_defined(spark, tmp_path):
+    """The division guards: single-price histogram, empty-doc reservoir
+    weight, empty-sample KS — all stay defined instead of 0/0."""
+    from real_time_data_engineering_spark.operators.quality import exact_ks_counts
+
+    # q45 on a constant-price orders table → every row lands in bin 0
+    deg = str(tmp_path / "degenerate")
+    spark.createDataFrame(
+        [(i, 42.00) for i in range(7)], "o_orderkey long, o_totalprice double"
+    ).write.parquet(f"{deg}/orders.parquet")
+    rows = _run_dir(spark, "q45_price_histogram", deg)
+    assert [(r.bin, r.n_orders) for r in rows] == [(0, 7)]
+
+    # d33 with an empty document → weight 0 floors to 1, priority defined
+    spark.createDataFrame(
+        [(1, "", "src0"), (2, "alpha beta gamma", "src0")],
+        "doc_id long, text string, source string",
+    ).write.parquet(f"{deg}/documents.parquet")
+    picks = _run_dir(spark, "d33_weighted_reservoir", deg)
+    assert {r.doc_id for r in picks} == {1, 2}
+    assert all(r.priority_fp is not None for r in picks)
+
+    # KS with an empty side → NULL verdict, not a 0/0 rendering
+    a = spark.createDataFrame([(1, 3)], "v long, cnt long")
+    b = a.filter("v < 0")
+    r = exact_ks_counts(a, b).collect()[0]
+    assert r.n_b == 0 and r.ks_d is None and r.drift is None
+
+
+def _run_dir(spark, name, sf_dir):
+    from real_time_data_engineering_spark.registry import get as _get
+
+    return _get(name).spark(spark, sf_dir).collect()
