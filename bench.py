@@ -107,6 +107,7 @@ EXTRA = [
     "d33_weighted_reservoir",
     "d34_lm_perplexity",
     "q47_chi_square_independence",
+    "d35_full_curation",
 ]
 
 # Queries whose lineage persists an exploded working relation DISK_ONLY

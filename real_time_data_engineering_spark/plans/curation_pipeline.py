@@ -1,0 +1,199 @@
+"""End-to-end LLM-corpus curation pipeline: the ladder composed.
+
+The taxi medallion DAG (`plans/taxi_pipeline.py`) is the reference's
+pipeline surface; this is its training-data twin — one callable that
+takes a raw document corpus through the full verified curation ladder:
+
+    raw → exact dedup → near-dup keeper selection → quality gates
+        → benchmark decontamination → temperature sampling
+        → shard assignment
+
+Every stage reuses the SAME operator kernels the registry value-checks
+one by one (d1/d5/d15/d16-class dedup, d20/d12 gates, d14 decontam,
+d25 sampling, d11 sharding), so the composition inherits their oracle
+evidence; the composition itself is gated by determinism, stage-
+monotonicity, and cross-check tests (`tests/test_curation_pipeline.py`)
+rather than one giant SQL mirror.
+
+Scale shape: the stages are the individually documented ones — the
+expensive rungs (MinHash banding, component resolution) run AFTER
+exact dedup has collapsed identical copies, which is the ordering the
+100× replica stress in the README quantifies (cliques make pairwise
+rungs candidate-quadratic; exact dedup first returns them to the
+unique-corpus cost).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import est_bpe_tokens
+from ..operators import dedup as D
+from ..operators.quality import contamination_stats, gopher_quality_rules, repetition_stats
+from ..sources.readers import ensure_min_partitions, load_table
+
+#: d14's eval-set convention: every 19th doc id plays the benchmark.
+EVAL_MOD = 19
+
+
+@dataclass(frozen=True)
+class CurationRun:
+    """Stage outputs of one curation pass (all lazy DataFrames)."""
+
+    raw: DataFrame
+    exact_unique: DataFrame
+    neardup_keep: DataFrame
+    quality_pass: DataFrame
+    decontaminated: DataFrame
+    sampled: DataFrame
+    sharded: DataFrame  # final: doc_id, source, est_tokens, shard
+    shard_accounting: DataFrame  # shard, n_docs, total_tokens
+
+    def audit_counts(self) -> dict[str, int]:
+        """Materialize the funnel: stage → surviving docs."""
+        return {
+            "raw": self.raw.count(),
+            "exact_unique": self.exact_unique.count(),
+            "neardup_keep": self.neardup_keep.count(),
+            "quality_pass": self.quality_pass.count(),
+            "decontaminated": self.decontaminated.count(),
+            "sampled": self.sampled.count(),
+            "sharded": self.sharded.count(),
+        }
+
+
+def _quality_score(df: DataFrame) -> DataFrame:
+    """d4's composite score (token volume, stopword evidence, punct
+    restraint) — the keeper-selection metric."""
+    from ..functions.text import STOPWORDS, char_count, marker_hits, punct_count, token_count
+
+    m = df.select(
+        "doc_id",
+        token_count("text").alias("_nt"),
+        char_count("text").alias("_nc"),
+        punct_count("text").alias("_np"),
+        marker_hits("text", STOPWORDS).alias("_ns"),
+    )
+    return m.select(
+        "doc_id",
+        (
+            F.lit(0.4) * (F.least(F.col("_nt"), F.lit(100)).cast("double") / F.lit(100.0))
+            + F.lit(0.3) * (F.col("_ns").cast("double") / F.col("_nt").cast("double"))
+            + F.lit(0.3)
+            * (F.lit(1.0) - F.col("_np").cast("double") / F.col("_nc").cast("double"))
+        ).alias("quality_score"),
+    )
+
+
+def curate_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_shards: int = 8,
+    eval_mod: int = EVAL_MOD,
+    contamination_threshold: float = 0.5,
+) -> CurationRun:
+    """Run the full curation ladder over ``sf_dir``'s documents table."""
+    raw = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+
+    # 1. exact dedup FIRST (collapses identical copies before any
+    #    pairwise rung — see the module note on the 100× asymmetry)
+    exact = D.dedup_keep_first(raw)
+
+    # 2. near-dup keeper selection: MinHash banding → components →
+    #    highest-quality doc per cluster; singletons pass through
+    pairs = D.minhash_candidate_pairs(exact, n=3, k=16, bands=4).select("d1", "d2")
+    comp = D.connected_components(pairs, src="d1", dst="d2")
+    quality = _quality_score(exact)
+    clustered = comp.select(F.col("node").alias("doc_id"), "cluster_id").join(
+        quality, "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    keepers = (
+        clustered.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id")
+    )
+    singletons = exact.select("doc_id").join(
+        comp.select(F.col("node").alias("doc_id")), "doc_id", "left_anti"
+    )
+    neardup_keep = exact.join(keepers.unionByName(singletons), "doc_id")
+
+    # 3. quality gates: Gopher rule set + repetition flag
+    gopher = gopher_quality_rules(neardup_keep).select("doc_id", "passes_gopher")
+    rep = repetition_stats(neardup_keep).select("doc_id", "is_repetitive")
+    quality_pass = (
+        neardup_keep.join(gopher, "doc_id")
+        .join(rep, "doc_id", "left")
+        .filter(F.col("passes_gopher") & ~F.coalesce("is_repetitive", F.lit(False)))
+        .select(*neardup_keep.columns)
+    )
+
+    # 4. benchmark decontamination (d14's eval convention); eval docs
+    #    themselves never enter the training output
+    contam = contamination_stats(
+        quality_pass,
+        F.col("doc_id") % eval_mod == 0,
+        n=5,
+        threshold=contamination_threshold,
+    ).select("doc_id", "is_contaminated")
+    train_only = quality_pass.filter(F.col("doc_id") % eval_mod != 0)
+    decontaminated = (
+        train_only.join(contam, "doc_id", "left")
+        .filter(~F.coalesce("is_contaminated", F.lit(False)))
+        .select(*train_only.columns)
+    )
+
+    # 5. temperature sampling (alpha=0.5, d25's md5-coin form)
+    t = decontaminated.select(
+        "doc_id",
+        "source",
+        est_bpe_tokens("text").alias("est_tokens"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        .alias("_u16"),
+    )
+    tot = t.groupBy("source").agg(F.sum("est_tokens").alias("_src_tokens"))
+    t_min = int(tot.agg(F.min("_src_tokens")).first()[0] or 0)
+    rates = tot.withColumn(
+        "_rate",
+        F.least(
+            F.lit(1.0),
+            F.sqrt(
+                F.lit(float(t_min))
+                / F.greatest(F.col("_src_tokens"), F.lit(1)).cast("double")
+            ),
+        ),
+    )
+    sampled = (
+        t.join(F.broadcast(rates), "source")
+        .filter(F.col("_u16").cast("double") / F.lit(65536.0) < F.col("_rate"))
+        .select("doc_id", "source", "est_tokens")
+    )
+
+    # 6. shard assignment + accounting (d11's md5 uniform shards)
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = F.pmod(
+        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1)),
+        F.lit(n_shards),
+    )
+    sharded = sampled.withColumn("shard", shard.cast("long"))
+    accounting = sharded.groupBy("shard").agg(
+        F.count("*").alias("n_docs"), F.sum("est_tokens").alias("total_tokens")
+    )
+
+    return CurationRun(
+        raw=raw,
+        exact_unique=exact,
+        neardup_keep=neardup_keep,
+        quality_pass=quality_pass,
+        decontaminated=decontaminated,
+        sampled=sampled,
+        sharded=sharded,
+        shard_accounting=accounting,
+    )

@@ -1756,3 +1756,22 @@ def d34_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (avg < -2.5).alias("low_quality"),
         )
     )
+
+
+@register(
+    "d35_full_curation",
+    None,  # composition of stage-wise oracle-verified operators; the
+    # end-to-end result is gated by determinism, funnel-monotonicity,
+    # and per-stage cross-checks in tests/test_curation_pipeline.py —
+    # a single SQL mirror of six chained stages would restate, not
+    # strengthen, the per-stage oracles.
+    doc="The full curation ladder in one call (plans/curation_pipeline): "
+    "exact dedup -> near-dup keeper -> Gopher+repetition gates -> "
+    "decontamination -> temperature sampling -> shard assignment. "
+    "Rows-only by design; every stage is individually value-checked.",
+)
+def d35_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final training-shard table from the composed curation pipeline."""
+    from ..plans.curation_pipeline import curate_corpus
+
+    return curate_corpus(spark, sf_dir).sharded

@@ -1,0 +1,81 @@
+"""The composed curation ladder: determinism, funnel monotonicity, and
+stage cross-checks against the individually oracle-verified operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_data_engineering_spark.plans.curation_pipeline import curate_corpus
+from real_time_data_engineering_spark.sources.readers import load_table
+
+from conftest import SF_DIR
+
+
+def test_curation_funnel_is_monotone_and_deterministic(spark):
+    run = curate_corpus(spark, SF_DIR)
+    counts = run.audit_counts()
+    order = [
+        "raw",
+        "exact_unique",
+        "neardup_keep",
+        "quality_pass",
+        "decontaminated",
+        "sampled",
+        "sharded",
+    ]
+    for a, b in zip(order, order[1:]):
+        assert counts[a] >= counts[b], (a, b, counts)
+    assert counts["sharded"] > 0
+    # sampling and sharding only annotate — same doc set
+    assert counts["sampled"] == counts["sharded"]
+    # deterministic: a second pass selects the identical shard table
+    again = curate_corpus(spark, SF_DIR)
+    a = sorted(map(tuple, run.sharded.collect()))
+    b = sorted(map(tuple, again.sharded.collect()))
+    assert a == b
+
+
+def test_curation_stages_cross_check_the_verified_operators(spark):
+    from real_time_data_engineering_spark.operators.dedup import dedup_keep_first
+    from real_time_data_engineering_spark.operators.quality import gopher_quality_rules
+
+    run = curate_corpus(spark, SF_DIR)
+    docs = load_table(spark, SF_DIR, "documents")
+
+    # stage 1 equals the d1-class keeper count
+    assert run.exact_unique.count() == dedup_keep_first(docs).count()
+
+    # every final doc passed the Gopher gate and is not an eval doc
+    final_ids = {r.doc_id for r in run.sharded.select("doc_id").collect()}
+    assert final_ids  # non-empty corpus survives
+    assert all(i % 19 != 0 for i in final_ids)
+    gopher_ok = {
+        r.doc_id
+        for r in gopher_quality_rules(docs).filter("passes_gopher").collect()
+    }
+    assert final_ids <= gopher_ok
+
+    # the near-dup stage keeps exactly one doc per candidate cluster
+    from real_time_data_engineering_spark.operators.dedup import (
+        connected_components,
+        minhash_candidate_pairs,
+    )
+
+    pairs = minhash_candidate_pairs(run.exact_unique, n=3, k=16, bands=4).select(
+        "d1", "d2"
+    )
+    comp = connected_components(pairs, src="d1", dst="d2")
+    kept = run.neardup_keep.select("doc_id")
+    per_cluster = (
+        comp.select(F.col("node").alias("doc_id"), "cluster_id")
+        .join(kept, "doc_id")
+        .groupBy("cluster_id")
+        .count()
+        .collect()
+    )
+    assert per_cluster and all(r["count"] == 1 for r in per_cluster)
+
+    # shard accounting reconciles with the final table
+    acc = {r.shard: (r.n_docs, r.total_tokens) for r in run.shard_accounting.collect()}
+    assert sum(n for n, _ in acc.values()) == len(final_ids)
