@@ -40,8 +40,9 @@ def _strip_scheme(uri: str) -> str:
 
 # The characters Hive/Spark escape in partition dir names
 # (Hive FileUtils.escapePathName / Spark ExternalCatalogUtils — verified
-# empirically on Spark 4.1.2: 'a=b/c%d e' renders as 'a%3Db%2Fc%25d e').
-_HIVE_UNSAFE = set('"#%\'*/:=?\\\x7f[]^')
+# empirically on Spark 4.1.2: 'a=b/c%d e' renders as 'a%3Db%2Fc%25d e';
+# '{' is in Spark's charToEscape set and renders as %7B).
+_HIVE_UNSAFE = set('"#%\'*/:=?\\\x7f[]^{')
 
 
 def _hive_escape(value: str) -> str:

@@ -99,13 +99,29 @@ def _stat_encode(v):
     """JSON-safe, ORDER-PRESERVING encoding for stat bounds and predicate
     values: dates/timestamps render as ISO strings (lexicographic order
     == chronological order at fixed precision), numbers/strings/bools
-    pass through, anything else (binary, nested) is unprunable."""
+    pass through, anything else (binary, nested) is unprunable.
+
+    Timezone discipline: pyarrow returns parquet TIMESTAMP (adjusted-to-
+    UTC) stats as tz-AWARE datetimes, while predicate values are usually
+    tz-NAIVE session wall-clock. Rendering both through the same naive
+    strftime would let a string compare wrongly prove a file disjoint in
+    a non-UTC session. Aware values are therefore normalized to UTC and
+    encoded as a ``["utc", iso]`` list; naive values stay plain strings.
+    The two encodings deliberately do NOT inter-compare — list vs str
+    raises TypeError, which `_provably_empty` treats as "keep the file"
+    — so mixed-awareness comparisons can never prune (pruning is never
+    a correctness decision; the exact filter still runs on the scan)."""
     if isinstance(v, bool) or v is None:
         return v
     if isinstance(v, (int, float, str)):
         return v
     if isinstance(v, datetime.datetime):
         # fixed-width so lexicographic compare stays chronological
+        if v.tzinfo is not None:
+            return [
+                "utc",
+                v.astimezone(datetime.timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%f"),
+            ]
         return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
     if isinstance(v, datetime.date):
         return v.strftime("%Y-%m-%d")
@@ -468,8 +484,13 @@ class ManifestTable:
         keep = [f for f in snap.files if f not in touched]
         if not touched:
             return snap  # stats prove nothing matches: true no-op
+        # DELETE WHERE keeps every row where the predicate is NOT TRUE
+        # (Delta/Iceberg/SQL semantics): a NULL in the predicate column
+        # makes the conjunction NULL, and a bare filter(~NULL) would drop
+        # the row from the rewrite — silently deleting it. coalesce to
+        # FALSE so NULL-predicate rows survive the copy-on-write.
         survivors = self._read_files(spark, sorted(touched), snap).filter(
-            ~_predicate_column(predicate)
+            ~F.coalesce(_predicate_column(predicate), F.lit(False))
         )
         new_files = self._stage(survivors)
         stats = {

@@ -337,8 +337,13 @@ def attribution_join_stream(
     tests/test_streaming.py.
 
     Input contract: each side carries (``key_col``, ``ts_col``) plus
-    its own id/payload columns; rename collisions BEFORE calling (the
-    join keeps every non-conflicting column from both sides).
+    its own id/payload columns; rename PAYLOAD collisions BEFORE calling
+    (the join keeps every non-conflicting column from both sides). The
+    shared columns are disambiguated in the output: one ``key_col``
+    (values equal by the join condition) and both timestamps — the
+    VIEW side keeps the ``ts_col`` name, the click side comes back as
+    ``click_{ts_col}`` so downstream ``select(ts_col)`` never hits
+    AMBIGUOUS_REFERENCE.
 
     Outer-variant caveat (verified empirically on Spark 4.1.2): with
     ``how='left_outer'`` the null-padded rows for unmatched views are
@@ -359,7 +364,14 @@ def attribution_join_stream(
             <= F.col(f"v.{ts_col}") + F.expr(f"INTERVAL {window_sec} SECONDS")
         )
     )
-    drop_right = [F.col(f"c.{key_col}")]
     out = v.join(c, cond, "inner")
-    # one key column in the output (values are equal by the join cond)
-    return out.drop(*drop_right)
+    # One key column in the output (values are equal by the join cond),
+    # and the click-side timestamp renamed so the output never carries
+    # two columns named ts_col (AMBIGUOUS_REFERENCE downstream).
+    keep = [F.col(f"v.{name}") for name in views.columns]
+    keep += [
+        F.col(f"c.{name}").alias(f"click_{ts_col}") if name == ts_col else F.col(f"c.{name}")
+        for name in clicks.columns
+        if name != key_col
+    ]
+    return out.select(*keep)

@@ -168,7 +168,7 @@ def test_partition_filter_matches_hive_escaped_values(spark, tmp_path):
     import os
 
     path = str(tmp_path / "esc_tbl")
-    weird, plain = "s=3/a%b", "plain"
+    weird, plain = "s=3/a%b{c", "plain"  # '{' is in Spark's charToEscape too
     df = spark.createDataFrame(
         [(s, i, float(i)) for s in (weird, plain) for i in range(40)],
         "src string, k int, v double",
@@ -177,7 +177,7 @@ def test_partition_filter_matches_hive_escaped_values(spark, tmp_path):
     df.filter(f"src = '{weird}'").repartition(12).write.mode("append").partitionBy(
         "src"
     ).parquet(path)
-    esc_dir = "src=s%3D3%2Fa%25b"
+    esc_dir = "src=s%3D3%2Fa%25b%7Bc"
     assert os.path.isdir(os.path.join(path, esc_dir))  # escaping premise
     n_frag = len(
         [f for f in os.listdir(os.path.join(path, esc_dir)) if f.endswith(".parquet")]

@@ -554,3 +554,70 @@ def test_manifest_random_walk_matches_model(spark, tmp_path):
             assert got == model, f"divergence after step {step} ({op})"
         else:
             assert t.read(spark).count() == 0, f"expected empty after step {step} ({op})"
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """DELETE WHERE keeps every row where the predicate is NOT TRUE —
+    including NULL (Delta/Iceberg/SQL semantics). NULL rows inside a
+    REWRITTEN file must survive the copy-on-write: a bare filter(~pred)
+    evaluates to NULL on them and silently deletes them (r4 advice)."""
+    t = ManifestTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30), (4, None), (5, 50)], "id int, val int"
+    ).coalesce(1)  # one file → NULL rows live INSIDE the rewritten file
+    t.write(df)
+    t.delete_where(spark, [("val", ">", 25)])
+    got = {(r.id, r.val) for r in t.read(spark).collect()}
+    assert got == {(1, 10), (2, None), (4, None)}
+    # and an all-NULL file behaves identically (kept, not layout-lucky)
+    t2 = ManifestTable(str(tmp_path / "t2"))
+    t2.write(
+        spark.createDataFrame([(1, None), (2, None)], "id int, val int").coalesce(1)
+    )
+    t2.delete_where(spark, [("val", ">", 25)])
+    assert t2.read(spark).count() == 2
+
+
+def test_timestamp_pruning_safe_in_non_utc_session(spark, tmp_path):
+    """Parquet TIMESTAMP stats come back tz-AWARE (UTC) from pyarrow;
+    predicate datetimes are tz-NAIVE session wall clock. In a non-UTC
+    session a naive strftime render of both sides can wrongly prove a
+    file disjoint and silently skip matching rows (r4 advice). The fix
+    refuses to inter-compare the two encodings, so pruning stays a pure
+    optimization: read() and delete_where() must return exact results
+    under a +05:30 session timezone."""
+    import datetime as dt
+
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try:
+        rows = [(i, dt.datetime(2024, 1, 1, 12, 0, i)) for i in range(10)]
+        df = spark.createDataFrame(rows, "id int, ts timestamp").coalesce(1)
+        t = ManifestTable(str(tmp_path / "t"))
+        t.write(df)
+        cut = dt.datetime(2024, 1, 1, 12, 0, 5)
+        got = {r.id for r in t.read(spark, predicate=[("ts", ">=", cut)]).collect()}
+        assert got == {5, 6, 7, 8, 9}, "read-side prune lost matching rows"
+        t.delete_where(spark, [("ts", ">=", cut)])
+        assert {r.id for r in t.read(spark).collect()} == {0, 1, 2, 3, 4}, (
+            "delete-side prune excluded an admitting file"
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)
+
+
+def test_stat_encode_timezone_discipline():
+    """Aware datetimes encode UTC-normalized and never inter-compare
+    with naive encodings (TypeError → keep the file); aware-aware
+    compares are offset-correct."""
+    import datetime as dt
+
+    from real_time_data_engineering_spark.operators.manifest import _stat_encode
+
+    ist = dt.timezone(dt.timedelta(hours=5, minutes=30))
+    aware = _stat_encode(dt.datetime(2024, 1, 1, 12, 0, 0, tzinfo=ist))
+    same_utc = _stat_encode(dt.datetime(2024, 1, 1, 6, 30, 0, tzinfo=dt.timezone.utc))
+    naive = _stat_encode(dt.datetime(2024, 1, 1, 12, 0, 0))
+    assert aware == same_utc  # offset-normalized before rendering
+    with pytest.raises(TypeError):
+        aware < naive  # mixed awareness must refuse, not mis-prune

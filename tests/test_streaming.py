@@ -701,6 +701,10 @@ def test_stream_stream_attribution_join_equals_batch(spark, tmp_path):
     vs = spark.readStream.schema(views_b.schema).parquet(vdir)
     cs = spark.readStream.schema(clicks_b.schema).parquet(cdir)
     joined = attribution_join_stream(vs, cs, window_sec=3600)
+    # no ambiguous columns: one user_id, view-side ts keeps its name,
+    # click-side ts is disambiguated — select("ts") must not raise
+    assert joined.columns.count("ts") == 1 and "click_ts" in joined.columns
+    joined.select("ts", "click_ts")
     q = (
         joined.select("user_id", "view_id", "click_id")
         .writeStream.format("memory")
