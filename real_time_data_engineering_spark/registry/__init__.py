@@ -65,7 +65,9 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # the one remaining rows-only check (HLL sketch — approximate by
 # construction, accuracy property-tested instead).
 
-# The 50 queries CORRECTNESS_r03 recorded green, IN ITS ORDER. Without
+# The 50 queries CORRECTNESS_r03 recorded green, IN ITS ORDER —
+# re-confirmed by CORRECTNESS_r04 (same 50 keys, same order, 50/50
+# green), so the pin already freezes the r4 artifact too. Without
 # this pin, new round-4 analytics-module queries would register ahead
 # of the dedup/mixing/similarity modules (import order) and silently
 # evict previously-green rows from a budgeted artifact. Never reorder

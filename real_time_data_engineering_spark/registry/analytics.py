@@ -1486,6 +1486,85 @@ def q43_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def spend_decile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer decile by the EXACT plan (q43's NTILE) — the
+    equivalence test's baseline side. (o_custkey, spend, decile)."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(F.sum(money("o_totalprice")).alias("spend"))
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey").asc())
+    return spend.withColumn("decile", F.ntile(10).over(w).cast("long"))
+
+
+def spend_decile_assignment_sketch(
+    spark: SparkSession, sf_dir: str, accuracy: int = 10_000
+) -> DataFrame:
+    """q43's SCALE plan: equi-depth decile assignment from
+    `percentile_approx` cut points instead of one global NTILE sort.
+
+    The exact form sorts every per-customer aggregate in a single
+    window partition — bounded by customer count, but still ONE
+    task's sort at 100×. This twin replaces it with (1) the same
+    spend aggregate, (2) a Greenwald-Khanna sketch of the 9 interior
+    decile boundaries — a partial-aggregable O(accuracy)-state fold,
+    no global sort — and (3) a narrow per-row bucket lookup against
+    the 9 broadcast-as-literal cut points. Cost at any scale: the
+    groupBy shuffle q43 already pays + one sketch pass; no WindowExec.
+
+    Semantics trade (why the exact form stays the oracle config):
+    value-based cut points cannot split ties the way NTILE's unique
+    (spend DESC, custkey ASC) order does, and the sketch's rank error
+    is ≤ n/accuracy — so customers within sketch error of a boundary
+    may land one decile off. The equivalence test
+    (tests/test_analytics_twins.py) bounds the drift: every customer
+    within ±1 decile, mismatches a small fraction, totals conserved.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(F.sum(money("o_totalprice")).alias("spend"))
+    # 9 interior boundaries (p10..p90) from ONE sketch aggregate; the
+    # scalar fetch is O(1) driver-side (the d24-cutoff pattern — a
+    # broadcast-join of a literal would constant-fold into a BNLJ).
+    cuts = spend.agg(
+        F.percentile_approx(
+            F.col("spend").cast("double"),
+            F.array(*[F.lit(i / 10.0) for i in range(1, 10)]),
+            F.lit(accuracy),
+        ).alias("c")
+    ).first()["c"]
+    # NTILE orders spend DESC → decile 1 is the top tenth: a customer
+    # whose spend exceeds j ascending cut points sits in decile 10 - j.
+    cut_arr = F.array(*[F.lit(float(c)) for c in sorted(cuts)])
+    above = F.aggregate(
+        cut_arr,
+        F.lit(0),
+        lambda acc, c: acc
+        + F.when(F.col("spend").cast("double") > c, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return spend.withColumn("decile", (F.lit(10) - above).cast("long"))
+
+
+@register(
+    "q48_spend_deciles_sketch",
+    None,  # approximate by construction: sketch cut points cannot split
+    # ties like NTILE's unique order, so a value hash against the exact
+    # oracle would flap on boundary rows. Evidence instead: the sf0.1
+    # equivalence test (tests/test_windows.py — ±1 adjacent-decile
+    # drift <2% of customers, conservation, no-WindowExec plan gate);
+    # q43 keeps the exact NTILE form as the oracle-checked config.
+    doc="q43's 100x plan: equi-depth spend deciles from percentile_approx "
+    "cut points + a narrow bucket lookup — no global-sort WindowExec.",
+)
+def q43_spend_deciles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q43's output shape computed from the sketch assignment — the
+    100× plan, drop-in for the exact NTILE form."""
+    ranked = spend_decile_assignment_sketch(spark, sf_dir)
+    return ranked.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.min("spend").cast("double").alias("min_spend"),
+        F.max("spend").cast("double").alias("max_spend"),
+        F.sum("spend").cast("double").alias("total_spend"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # q44 — clickstream transition matrix (first-order Markov): per user,
 # events ordered by (ts, event_id); count each (event_type -> next)

@@ -132,3 +132,77 @@ def test_gap_fill_interpolation_micro(spark, tmp_path):
     assert out["1995-01-04"] == (False, 400.0, 500.0)
     assert out["1995-01-05"] == (False, 400.0, 600.0)
     assert out["1995-01-06"] == (True, 700.0, 700.0)
+
+
+def test_spend_decile_sketch_equals_exact_ntile_boundary_tolerant(spark):
+    """q43's 100x plan (percentile_approx cut points + narrow bucket
+    lookup, registry/analytics.py:spend_decile_assignment_sketch) vs
+    the exact global-sort NTILE, at the largest local corpus (sf0.1).
+
+    Boundary tolerance: value-based cut points cannot split spend TIES
+    the way NTILE's unique order does, and the sketch's rank error is
+    <= n/accuracy — so per-customer assignments may differ by AT MOST
+    one adjacent decile, for a small fraction of customers near the 9
+    boundaries. Everything else must agree exactly."""
+    from real_time_data_engineering_spark.registry.analytics import (
+        spend_decile_assignment,
+        spend_decile_assignment_sketch,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    exact = spend_decile_assignment(spark, sf).select(
+        "o_custkey", F.col("decile").alias("d_exact")
+    )
+    sketch = spend_decile_assignment_sketch(spark, sf).select(
+        "o_custkey", "spend", F.col("decile").alias("d_sketch")
+    )
+    j = exact.join(sketch, "o_custkey").select(
+        "o_custkey", "spend", "d_exact", "d_sketch"
+    )
+    agg = j.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("d_exact") != F.col("d_sketch"), 1).otherwise(0)).alias(
+            "n_diff"
+        ),
+        F.max(F.abs(F.col("d_exact") - F.col("d_sketch"))).alias("max_drift"),
+        F.sum("spend").alias("tot"),
+    ).first()
+    assert agg["n"] > 5_000, "sf0.1 premise: a real customer population"
+    # never off by more than one adjacent decile
+    assert agg["max_drift"] <= 1, f"non-adjacent decile drift: {agg['max_drift']}"
+    # boundary drift only: <2% of customers (9 boundaries x sketch error)
+    assert agg["n_diff"] / agg["n"] < 0.02, f"{agg['n_diff']}/{agg['n']} drifted"
+    # conservation: both assignments cover every customer exactly once
+    assert spend_decile_assignment_sketch(spark, sf).count() == agg["n"]
+    # the aggregated decile table conserves totals and bucket count
+    from real_time_data_engineering_spark.registry.analytics import (
+        q43_spend_deciles_sketch,
+    )
+
+    tbl = q43_spend_deciles_sketch(spark, sf)
+    rows = {r["decile"]: r for r in tbl.collect()}
+    assert set(rows) == set(range(1, 11)), f"missing deciles: {sorted(rows)}"
+    total = sum(r["n_customers"] for r in rows.values())
+    assert total == agg["n"]
+    # equi-depth within sketch tolerance: every decile within 5% of n/10
+    for d, r in rows.items():
+        assert abs(r["n_customers"] - agg["n"] / 10) < 0.05 * agg["n"], (
+            f"decile {d} size {r['n_customers']} vs expected ~{agg['n'] / 10:.0f}"
+        )
+    # deciles are value-ordered: decile 1 holds the top spenders
+    for d in range(1, 10):
+        assert rows[d]["min_spend"] >= rows[d + 1]["max_spend"] - 1e-9
+
+
+def test_spend_decile_sketch_plan_has_no_global_window(spark):
+    """The 100x plan must contain NO WindowExec (the exact form's
+    single-partition global sort is exactly what it removes) and no
+    collect-based driver loop — one sketch aggregate + narrow lookup."""
+    from real_time_data_engineering_spark.registry.analytics import (
+        q43_spend_deciles_sketch,
+    )
+
+    plan = q43_spend_deciles_sketch(
+        spark, SF_DIR
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
