@@ -109,6 +109,7 @@ EXTRA = [
     "q47_chi_square_independence",
     "d35_full_curation",
     "q48_spend_deciles_sketch",
+    "d36_bpe_merges",
 ]
 
 # Queries whose lineage persists an exploded working relation DISK_ONLY

@@ -1775,3 +1775,73 @@ def d35_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.curation_pipeline import curate_corpus
 
     return curate_corpus(spark, sf_dir).sharded
+
+
+# ---------------------------------------------------------------------------
+# d36 — BPE merge-pair vocabulary induction (operators/bpe.py): the
+# classic LLM tokenizer-training loop. The oracle unrolls the N merge
+# rounds as chained CTEs (the d32 unrolled-round pattern): per round,
+# overlapping pair counts -> deterministic argmax (count DESC, lhs ASC,
+# rhs ASC) -> greedy leftmost merge via the SAME ,-wrapped string fold
+# the Spark side uses (list_reduce there, `aggregate` HOF here), so
+# every round's winning pair AND its count are value-checked exactly —
+# integer counts end-to-end, no float surface at all.
+# ---------------------------------------------------------------------------
+_BPE_MERGES = 6
+
+
+def _bpe_oracle(n: int) -> str:
+    """DuckDB SQL unrolling ``n`` BPE merge rounds over `documents`."""
+    parts = [
+        """
+WITH base AS (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents
+  ) GROUP BY 1
+),
+w0 AS (SELECT regexp_extract_all(word, '.') AS syms, freq FROM base)"""
+    ]
+    for r in range(n):
+        parts.append(
+            f""",
+p{r} AS (
+  SELECT a, b, SUM(freq) AS cnt FROM (
+    SELECT unnest(syms[:len(syms)-1]) AS a, unnest(syms[2:]) AS b, freq FROM w{r}
+  ) GROUP BY 1, 2
+),
+m{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)"""
+        )
+        if r < n - 1:
+            parts.append(
+                f""",
+w{r + 1} AS (
+  SELECT list_filter(string_split(list_reduce(list_prepend(',', syms),
+    (acc, x) -> CASE WHEN ends_with(acc, ',' || m.a || ',') AND x = m.b
+                     THEN acc[:len(acc) - len(m.a) - 1] || m.a || m.b || ','
+                     ELSE acc || x || ',' END), ','), s -> s <> '') AS syms, freq
+  FROM w{r}, m{r} AS m
+)"""
+            )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({r + 1} AS BIGINT) AS merge_rank, a AS lhs, b AS rhs,"
+        f" CAST(cnt AS BIGINT) AS pair_count FROM m{r}"
+        for r in range(n)
+    )
+    return "".join(parts) + "\n" + union
+
+
+@register(
+    "d36_bpe_merges",
+    _bpe_oracle(_BPE_MERGES),
+    doc="BPE tokenizer training: iterative merge-pair induction over the "
+    "corpus word-frequency table — first N merges with their counts, "
+    "deterministic (count DESC, pair ASC) tie-break. One corpus-sized "
+    "word count, then N vocab-sized rounds (d32's checkpointed-iteration "
+    "policy, O(1) driver argmax per round).",
+)
+def d36_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered BPE merge table (merge_rank, lhs, rhs, pair_count)."""
+    from ..operators.bpe import bpe_merge_table
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    return bpe_merge_table(docs, n_merges=_BPE_MERGES)
