@@ -1,0 +1,27 @@
+# Round-artifact regeneration (VERDICT r4 #7): ONE command rebuilds
+# every per-round evidence file from the current code, so no artifact
+# can go stale against a late fix. Stages run sequentially — each
+# stops its SparkSession before the next starts, and bench.py's
+# contention guard additionally waits for straggler JVMs to drain.
+#
+#   make round-artifacts ROUND=r05          # SWEEP/FUNNEL/BENCH_local/results.csv
+#   make sweep ROUND=r05 SF_DIR=/root/testdata/sf0.1
+#
+ROUND ?= r05
+SF_DIR ?= /root/testdata/sf0.1
+
+.PHONY: round-artifacts sweep funnel bench test
+
+round-artifacts: sweep funnel bench
+
+sweep:
+	python -m real_time_data_engineering_spark.checks.sweep $(SF_DIR) 2>/dev/null | tee SWEEP_$(ROUND).txt
+
+funnel:
+	python -m real_time_data_engineering_spark.checks.funnel $(SF_DIR) 2>/dev/null | tee FUNNEL_$(ROUND).txt
+
+bench:  # writes BENCH_local.json (full report) + results.csv; prints the short driver line
+	python bench.py 2>/dev/null | tail -1
+
+test:
+	python -m pytest tests/ -x -q

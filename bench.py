@@ -110,6 +110,7 @@ EXTRA = [
     "d35_full_curation",
     "q48_spend_deciles_sketch",
     "d36_bpe_merges",
+    "d37_bpe_tokenize_stats",
 ]
 
 # Queries whose lineage persists an exploded working relation DISK_ONLY

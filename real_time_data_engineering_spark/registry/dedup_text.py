@@ -1790,16 +1790,21 @@ def d35_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 6
 
 
-def _bpe_oracle(n: int) -> str:
-    """DuckDB SQL unrolling ``n`` BPE merge rounds over `documents`."""
+def _bpe_chain(n: int, *, final_state: bool = False) -> str:
+    """The shared CTE chain unrolling ``n`` BPE merge rounds over
+    `documents`. With ``final_state`` the per-round word relations
+    carry the original word and the chain includes w{n} (the vocab
+    AFTER the last merge) — d37's apply side; without it the chain
+    stops at m{n-1} — d36's merge-table side."""
+    word_col = "word, " if final_state else ""
     parts = [
-        """
+        f"""
 WITH base AS (
   SELECT word, COUNT(*) AS freq FROM (
     SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents
   ) GROUP BY 1
 ),
-w0 AS (SELECT regexp_extract_all(word, '.') AS syms, freq FROM base)"""
+w0 AS (SELECT {word_col}regexp_extract_all(word, '.') AS syms, freq FROM base)"""
     ]
     for r in range(n):
         parts.append(
@@ -1811,23 +1816,28 @@ p{r} AS (
 ),
 m{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)"""
         )
-        if r < n - 1:
+        if r < n - 1 or final_state:
             parts.append(
                 f""",
 w{r + 1} AS (
-  SELECT list_filter(string_split(list_reduce(list_prepend(',', syms),
+  SELECT {word_col}list_filter(string_split(list_reduce(list_prepend(',', syms),
     (acc, x) -> CASE WHEN ends_with(acc, ',' || m.a || ',') AND x = m.b
                      THEN acc[:len(acc) - len(m.a) - 1] || m.a || m.b || ','
                      ELSE acc || x || ',' END), ','), s -> s <> '') AS syms, freq
   FROM w{r}, m{r} AS m
 )"""
             )
+    return "".join(parts)
+
+
+def _bpe_oracle(n: int) -> str:
+    """DuckDB SQL unrolling ``n`` BPE merge rounds over `documents`."""
     union = "\nUNION ALL\n".join(
         f"SELECT CAST({r + 1} AS BIGINT) AS merge_rank, a AS lhs, b AS rhs,"
         f" CAST(cnt AS BIGINT) AS pair_count FROM m{r}"
         for r in range(n)
     )
-    return "".join(parts) + "\n" + union
+    return _bpe_chain(n) + "\n" + union
 
 
 @register(
@@ -1845,3 +1855,89 @@ def d36_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     return bpe_merge_table(docs, n_merges=_BPE_MERGES)
+
+
+# ---------------------------------------------------------------------------
+# d37 — corpus tokenization under the LEARNED vocab (d36's apply half):
+# train the N merges, apply them once to the unique-word table (N
+# narrow folds over the vocab — never over the corpus), then join the
+# per-word token count back to every word occurrence and account by
+# source. chars_per_token is the compression a tokenizer buys per
+# source — the number an LLM data pipeline budgets corpora with. The
+# oracle reuses the d36 CTE chain carrying the original word, so the
+# trained state itself (w6) is the vocab both engines tokenize with:
+# exact integer sums, one identical double division.
+# Scale: train cost is d36's; apply is vocab-sized; the occurrence
+# join keys on word against the vocab relation (AQE broadcasts it at
+# test scale; at 100 TB vocab stays Heaps'-law small vs the corpus).
+# ---------------------------------------------------------------------------
+def _bpe_tokenize_oracle(n: int) -> str:
+    return (
+        _bpe_chain(n, final_state=True)
+        + f""",
+vocab AS (
+  SELECT word, len(syms) AS n_toks, len(word) AS n_chars FROM w{n}
+),
+docw AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_words,
+       CAST(SUM(v.n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(v.n_toks) AS BIGINT) AS total_tokens,
+       CAST(SUM(v.n_chars) AS DOUBLE) / CAST(SUM(v.n_toks) AS DOUBLE)
+         AS chars_per_token
+FROM docw JOIN vocab v USING (word)
+GROUP BY 1"""
+    )
+
+
+@register(
+    "d37_bpe_tokenize_stats",
+    _bpe_tokenize_oracle(_BPE_MERGES),
+    doc="Tokenize the corpus with the trained BPE vocab (d36's apply "
+    "half): per-source word/char/token totals and chars-per-token "
+    "compression. Merges apply to the unique-word table only (N narrow "
+    "folds over the vocab); occurrences join the per-word token count "
+    "back by key.",
+)
+def d37_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenization accounting under the learned merges."""
+    from ..operators.bpe import bpe_merge_table, merge_pair_expr, word_freq_table
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_merge_table(docs, n_merges=_BPE_MERGES)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    vocab = word_freq_table(docs).select(
+        "word", F.expr("regexp_extract_all(word, '.', 0)").alias("syms")
+    )
+    for lhs, rhs in merges:
+        vocab = vocab.withColumn("syms", F.expr(merge_pair_expr("syms", lhs, rhs)))
+    vocab = vocab.select(
+        "word",
+        F.size("syms").cast("long").alias("n_toks"),
+        F.length("word").cast("long").alias("n_chars"),
+    )
+    docw = docs.select(
+        "source",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("word"),
+    )
+    return (
+        docw.join(vocab, "word")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_toks").alias("total_tokens"),
+            (F.sum("n_chars").cast("double") / F.sum("n_toks").cast("double")).alias(
+                "chars_per_token"
+            ),
+        )
+    )
