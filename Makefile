@@ -20,8 +20,12 @@ sweep:
 funnel:
 	python -m real_time_data_engineering_spark.checks.funnel $(SF_DIR) 2>/dev/null | tee FUNNEL_$(ROUND).txt
 
-bench:  # writes BENCH_local.json (full report) + results.csv; prints the short driver line
-	python bench.py 2>/dev/null | tail -1
+bench:  # writes BENCH_local.json (full report) + results.csv; prints the short driver line.
+	# The committed artifact runs with a raised query-phase budget so EVERY
+	# query gets the full 10-iteration protocol (no `degraded` tail); the
+	# driver's own invocation keeps bench.py's safe 420s default so it can
+	# never outrun the harness timeout.
+	SPARK_GRAFT_BENCH_BUDGET=1500 python bench.py 2>/dev/null | tail -1
 
 test:
 	python -m pytest tests/ -x -q

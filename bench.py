@@ -111,6 +111,7 @@ EXTRA = [
     "q48_spend_deciles_sketch",
     "d36_bpe_merges",
     "d37_bpe_tokenize_stats",
+    "s8_ivfpq_topk",
 ]
 
 # Queries whose lineage persists an exploded working relation DISK_ONLY
@@ -160,6 +161,11 @@ class TreeSampler(threading.Thread):
         self._disk_probe = disk_probe
         self._window_disk: dict[int, int] = {}
         self.peak_cpu_pct = 0.0
+        # suite-peak attribution: the label active when the suite-wide
+        # peak RSS sample was taken (VERDICT r4 #5 — name the moment,
+        # don't leave one opaque number)
+        self.label = "startup"
+        self.peak_label = "startup"
         self._last_cpu_s: float | None = None
         self._last_t: float | None = None
         self._page = os.sysconf("SC_PAGE_SIZE")
@@ -215,6 +221,8 @@ class TreeSampler(threading.Thread):
                     for rdd_id, size in disk.items():
                         self._window_disk[rdd_id] = max(self._window_disk.get(rdd_id, 0), size)
             with self._lock:
+                if rss_mb > self.peak_mb:
+                    self.peak_label = self.label
                 self.peak_mb = max(self.peak_mb, rss_mb)
                 self._window_peak_mb = max(self._window_peak_mb, rss_mb)
                 self._sum_mb += rss_mb
@@ -344,6 +352,7 @@ def main() -> None:
             q_iters, q_warmups = iters, warmups
         spill = name in SPILL_QUERIES
         spill_delta = 0
+        sampler.label = name
         sampler.window_peak_mb()  # reset the per-query window
         # per-RDD-id accounting: only caches that appear AFTER this
         # query starts count toward its footprint, so concurrent
@@ -408,10 +417,13 @@ def main() -> None:
         return time.time() - t
 
     streaming_sessionization: dict[str, float] = {}
+    sampler.label = "streaming_sessionization"
+    sampler.window_peak_mb()  # the twins get their own peak window too
     for tag, factory in (("native", sessionize_stream_native), ("pandas_state", sessionize_stream)):
         _run_session_twin(factory, f"{tag}_warm")  # warm-up discard
         twin = sorted(_run_session_twin(factory, f"{tag}_{i}") for i in range(2))
         streaming_sessionization[f"{tag}_sec"] = round((twin[0] + twin[1]) / 2, 3)
+    query_peak_mb["streaming_sessionization"] = round(sampler.window_peak_mb(), 1)
 
     # E2E medallion analogue of the reference's 10k-event benchmark
     # (BASELINE.md P02: 53 s processing + 18 s gold at the same event
@@ -448,6 +460,7 @@ def main() -> None:
 
     # two cold runs (fresh warehouse each), p50 — the E2E number swings
     # 2x run-to-run from tempdir I/O + GC; the median is the honest read
+    sampler.label = "taxi_e2e_10k"
     sampler.window_peak_mb()
     e2e = sorted([e2e_once(with_checks=True), e2e_once()])
     times["taxi_e2e_10k"] = round((e2e[0] + e2e[1]) / 2, 3)
@@ -513,6 +526,7 @@ def main() -> None:
         "query_peak_mb": query_peak_mb,
         "top_memory_queries": top_memory,
         "peak_memory_mb": peak_mb,
+        "peak_during": sampler.peak_label,
         "avg_memory_mb": avg_mb,
         "peak_cpu_pct": peak_cpu,
         "spill_bytes": spill_bytes,
@@ -559,6 +573,7 @@ def main() -> None:
         "extra_suite_sec": round(sum(extra_times.values()), 3),
         "n_extra_queries": len(extra_times),
         "peak_memory_mb": peak_mb,
+        "peak_during": sampler.peak_label,
         "avg_memory_mb": avg_mb,
         "peak_cpu_pct": peak_cpu,
         "top_memory_queries": top_memory,

@@ -37,6 +37,7 @@ create — out of scope here.)
 from __future__ import annotations
 
 import datetime
+import hashlib
 import json
 import os
 import time
@@ -131,16 +132,71 @@ def _stat_encode(v):
 _OPS = ("==", "!=", "<", "<=", ">", ">=")
 
 
+def _bloom_encode(v) -> str | None:
+    """Type-tagged rendering for bloom membership. ONLY types whose
+    equality is exact and whose rendering cannot collide across types
+    are bloomable (bool/int/str): floats (binary-vs-decimal rendering),
+    dates and timestamps (naive/aware ambiguity — see `_stat_encode`)
+    are excluded, because a bloom MISS prunes the file, so any encoding
+    mismatch between written value and predicate value would silently
+    drop matching rows. Returns None for unbloomable values."""
+    if isinstance(v, bool):
+        return f"b:{int(v)}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, str):
+        return f"s:{v}"
+    return None
+
+
+def _bloom_build(values, m_bits: int, k: int = 4) -> dict | None:
+    """Bloom filter over a file's column values → {"b": hex, "m", "k"},
+    or None when any value is unbloomable (the whole column opts out
+    for this file — absent bloom never prunes). md5-derived bit
+    positions: stable across processes, engines and Python hash seeds."""
+    bits = 0
+    for v in values:
+        if v is None:
+            continue  # equality predicates never match NULL
+        enc = _bloom_encode(v)
+        if enc is None:
+            return None
+        h = hashlib.md5(enc.encode("utf-8")).digest()
+        for i in range(k):
+            bits |= 1 << (int.from_bytes(h[i * 4 : (i + 1) * 4], "big") % m_bits)
+    return {"b": format(bits, "x"), "m": m_bits, "k": k}
+
+
+def _bloom_maybe_contains(bloom: dict, value) -> bool:
+    """False ONLY when the bloom proves the value absent (all-bits test
+    failed); True on any doubt — unbloomable predicate value, malformed
+    entry — so bloom pruning stays a pure optimization."""
+    enc = _bloom_encode(value)
+    if enc is None or not isinstance(bloom, dict) or "b" not in bloom:
+        return True
+    bits = int(bloom["b"], 16)
+    m_bits, k = int(bloom["m"]), int(bloom["k"])
+    h = hashlib.md5(enc.encode("utf-8")).digest()
+    return all(
+        (bits >> (int.from_bytes(h[i * 4 : (i + 1) * 4], "big") % m_bits)) & 1
+        for i in range(k)
+    )
+
+
 def _provably_empty(file_stats: dict, predicate: list[tuple]) -> bool:
-    """True only when the file's [min, max] for some conjunct is provably
-    disjoint from the predicate — i.e. NO row in the file can satisfy
-    it. Unknown stats / incomparable types → False (keep the file)."""
+    """True only when the file's stats for some conjunct PROVE no row
+    can satisfy it: [min, max] disjoint from the predicate range, or —
+    for equality — a bloom-filter miss. Unknown stats / incomparable
+    types → False (keep the file)."""
     for col, op, value in predicate:
         if op not in _OPS:
             raise ValueError(f"unsupported predicate op {op!r}; use one of {_OPS}")
         s = file_stats.get(col)
         if not s:
             continue
+        if op == "==" and "bloom" in s and value is not None:
+            if not _bloom_maybe_contains(s["bloom"], value):
+                return True
         lo, hi, nulls, rows = s.get("min"), s.get("max"), s.get("null_count"), s.get("num_rows")
         v = _stat_encode(value)
         if v is None:
@@ -230,8 +286,32 @@ class ManifestTable:
     """A parquet table whose visible state is defined by its latest
     version manifest, never by directory listing."""
 
-    def __init__(self, path: str):
+    def __init__(
+        self,
+        path: str,
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int = 8192,
+        bloom_max_ndv: int = 2000,
+    ):
+        """``bloom_cols`` opts columns into per-file BLOOM skipping for
+        equality predicates (the Delta/Iceberg bloom-index class):
+        min/max bounds prune range queries but do nothing for point
+        lookups on high-cardinality columns whose per-file ranges all
+        overlap — a bloom miss proves the key absent and skips the
+        file. Write-time cost: one column read per staged file (unlike
+        the footer-only min/max pass — that is the same trade Delta's
+        bloom index makes). ``bloom_bits`` sizes the filter (8192 bits
+        = 1 KiB/col/file ≈ 2% false-positive at 1k distinct values);
+        files with more than ``bloom_max_ndv`` distinct values skip the
+        bloom (a saturated filter prunes nothing and bloats the
+        manifest). Bloom entries ride in the per-file stats, so readers
+        need no table-level config and tables written with different
+        settings interoperate; false positives only cost an un-pruned
+        file — never correctness (the exact filter still runs)."""
         self.path = path.rstrip("/")
+        self.bloom_cols = list(bloom_cols or [])
+        self.bloom_bits = bloom_bits
+        self.bloom_max_ndv = bloom_max_ndv
         os.makedirs(os.path.join(self.path, _MANIFEST_DIR), exist_ok=True)
 
     # -- snapshot resolution ------------------------------------------------
@@ -374,8 +454,28 @@ class ManifestTable:
     def _stats_for(self, files: list[str]) -> dict:
         """Footer min/max stats per staged file — O(files) metadata reads,
         no data pages (the cost Iceberg pays at commit for its
-        manifest-entry bounds)."""
-        return {f: _footer_stats(os.path.join(self.path, f)) for f in files}
+        manifest-entry bounds) — plus, for opted-in ``bloom_cols``, a
+        per-file equality bloom (one column read per file, see
+        ``__init__``)."""
+        out = {f: _footer_stats(os.path.join(self.path, f)) for f in files}
+        if self.bloom_cols:
+            import pyarrow.parquet as pq
+
+            for f in files:
+                pf = pq.ParquetFile(os.path.join(self.path, f))
+                present = [c for c in self.bloom_cols if c in pf.schema_arrow.names]
+                if not present:
+                    continue
+                tbl = pf.read(columns=present)
+                for c in present:
+                    distinct = set(tbl.column(c).to_pylist())
+                    distinct.discard(None)
+                    if not distinct or len(distinct) > self.bloom_max_ndv:
+                        continue  # saturated/empty blooms prune nothing
+                    bloom = _bloom_build(distinct, self.bloom_bits)
+                    if bloom is not None:
+                        out[f].setdefault(c, {})["bloom"] = bloom
+        return out
 
     def _commit(
         self,

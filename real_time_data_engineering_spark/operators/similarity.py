@@ -468,38 +468,33 @@ def embedding_neardup_lsh(
     )
 
 
-def ivf_topk(
-    emb: DataFrame,
+def ivf_route(
+    base: DataFrame,
     query_pred: Column,
-    k: int = 5,
     n_probe: int = 2,
     id_col: str = "vec_id",
-    emb_col: str = "embedding",
     cell_col: str = "label",
 ) -> DataFrame:
-    """IVF-bucketed ANN: centroids from cell means, probe n nearest cells.
+    """Route each query to its ``n_probe`` nearest cells of a quantized
+    corpus (``base`` = `with_quantized` output carrying ``cell_col``);
+    returns (qid, q_emb, q_norm, cell). Shared by the IVF exact-rerank
+    path (`ivf_topk`) and the IVF-PQ codes path (`ivfpq_topk`).
 
-    This is the scale path: the corpus is hash-partitioned by cell once
-    (at write time it would be bucketed), and each query only scans the
-    ``n_probe`` cells whose centroids are nearest — a broadcast of
-    |cells| centroids decides the routing, so no corpus shuffle.
-    Recall < 1.0 by construction; property-tested against brute force.
+    Centroid per cell = exact integer SUM vector + count: affinity
+    against a mean centroid is then (q · s)/c — an exact dot with ONE
+    final float64 divide, bit-reproducible on any engine and under any
+    partition order (double mean centroids would make the routing
+    depend on summation order).
+
+    Exactness ceiling — ENFORCED, not just documented: the routing dot
+    multiplies a query component (|q| < 2^20) by a cell SUM component
+    (~cell_rows · 2^20), which overflows int64 once a cell passes
+    ~2^17 ≈ 1.3e5 vectors. The routing therefore accumulates in
+    decimal(38,0) (`dot_dec`) — still exact, still order-independent,
+    matching DuckDB's HUGEINT SUM, with the ceiling pushed to ~10^26
+    rows/cell. Cells that large are still a quantizer-quality smell
+    (IVF guidance is √N cells), but they route correctly.
     """
-    base = with_quantized(emb, emb_col)
-    # centroid per cell as exact integer SUM vector + count: affinity
-    # against a mean centroid is then (q · s)/c — an exact int64 dot
-    # with ONE final float64 divide, bit-reproducible on any engine and
-    # under any partition order (double mean centroids would make the
-    # routing depend on summation order).
-    #
-    # Exactness ceiling — ENFORCED, not just documented: the routing dot
-    # multiplies a query component (|q| < 2^20) by a cell SUM component
-    # (~cell_rows · 2^20), which overflows int64 once a cell passes
-    # ~2^17 ≈ 1.3e5 vectors. The routing therefore accumulates in
-    # decimal(38,0) (`dot_dec`) — still exact, still order-independent,
-    # matching DuckDB's HUGEINT SUM, with the ceiling pushed to ~10^26
-    # rows/cell. Cells that large are still a quantizer-quality smell
-    # (IVF guidance is √N cells), but they route correctly.
     cent = (
         base.select(F.col(cell_col).alias("cell"), F.posexplode("emb_q").alias("pos", "v"))
         .groupBy("cell", "pos")
@@ -524,7 +519,32 @@ def ivf_topk(
         ),
     )
     wq = Window.partitionBy("qid").orderBy(F.desc("affinity"), F.asc("cell"))
-    routed = qc.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") <= n_probe).select("qid", "q_emb", "q_norm", "cell")
+    return (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("qid", "q_emb", "q_norm", "cell")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF-bucketed ANN: centroids from cell means, probe n nearest cells.
+
+    This is the scale path: the corpus is hash-partitioned by cell once
+    (at write time it would be bucketed), and each query only scans the
+    ``n_probe`` cells whose centroids are nearest — a broadcast of
+    |cells| centroids decides the routing, so no corpus shuffle.
+    Recall < 1.0 by construction; property-tested against brute force.
+    """
+    base = with_quantized(emb, emb_col)
+    routed = ivf_route(base, query_pred, n_probe=n_probe, id_col=id_col, cell_col=cell_col)
     v = base.select(
         F.col(id_col).alias("nid"), F.col(cell_col).alias("cell"), F.col("emb_q").alias("v_emb"), F.col("norm_q").alias("v_norm")
     )
@@ -788,6 +808,25 @@ def pq_train_codes(
             break
         C = new_C
 
+    codes = pq_encode(narrow, C, id_col="id", emb_col="v").select(
+        F.col("id").alias(id_col), "sub", "code"
+    )
+    # release the training working set (see kmeans_assign): the lazy
+    # codes scan recomputes the narrow projection once from source
+    narrow.unpersist(blocking=False)
+    return codes, C
+
+
+def pq_encode(
+    emb: DataFrame, C, id_col: str = "vec_id", emb_col: str = "embedding"
+) -> DataFrame:
+    """Encode a corpus against an already-trained PQ codebook ``C``
+    ((m, k, sub_dim) ndarray): (id_col, sub, code). One Arrow-batched
+    narrow pass; codebooks ride in the closure. Used by
+    `pq_train_codes` on its own training output and by `ivfpq_topk`'s
+    sample-trained path (train on a bounded sample, encode everything).
+    The kernel is closure-contained (driver-parity rule)."""
+
     def codes_fn(cents):
         Cc = cents.copy()
 
@@ -817,13 +856,60 @@ def pq_train_codes(
 
         return go
 
-    codes = narrow.mapInPandas(codes_fn(C), "id bigint, sub int, code int").select(
+    narrow = emb.select(
+        F.col(id_col).alias("id"), F.col(emb_col).cast("array<double>").alias("v")
+    )
+    return narrow.mapInPandas(codes_fn(C), "id bigint, sub int, code int").select(
         F.col("id").alias(id_col), "sub", "code"
     )
-    # release the training working set (see kmeans_assign): the lazy
-    # codes scan recomputes the narrow projection once from source
-    narrow.unpersist(blocking=False)
-    return codes, C
+
+
+def adc_lut(
+    emb: DataFrame,
+    query_pred: Column,
+    C,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Per-query asymmetric-distance lookup table against a trained PQ
+    codebook ``C`` (ndarray (m, k, sub_dim)): (qid, sub, cluster, dist)
+    — m·k exact-int64 cells per query, the broadcast side of every ADC
+    scoring join. Shared by `pq_adc_topk` (full-corpus scan) and
+    `ivfpq_topk` (candidates restricted to routed IVF cells)."""
+    import numpy as np
+
+    m, k, sub_dim = C.shape
+    spark = emb.sparkSession
+    Cq = np.floor(C * QUANT_SCALE).astype(np.int64)
+    cb_rows = [
+        (j, c, [int(x) for x in Cq[j, c]]) for j in range(m) for c in range(k)
+    ]
+    cb = spark.createDataFrame(cb_rows, "sub int, cluster int, cq array<bigint>")
+    q = emb.filter(query_pred).select(F.col(id_col).alias("qid"), quantized(emb_col).alias("qq"))
+    qsub = q.select(
+        "qid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("sub"),
+                        F.slice("qq", j * sub_dim + 1, sub_dim).alias("qv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("x"),
+    ).select("qid", F.col("x.sub").alias("sub"), F.col("x.qv").alias("qv"))
+    return qsub.join(F.broadcast(cb), "sub").select(
+        "qid",
+        "sub",
+        "cluster",
+        F.aggregate(
+            F.zip_with("qv", "cq", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dist"),
+    )
 
 
 def pq_adc_topk(
@@ -850,41 +936,8 @@ def pq_adc_topk(
     sums, so ranking is bit-deterministic on any engine — the whole
     composite (Lloyd rounds → codes → ADC) is DuckDB-oracle-checkable.
     """
-    import numpy as np
-
     codes, C = pq_train_codes(emb, m, k, max_iter, id_col, emb_col)
-    sub_dim = C.shape[2]
-    spark = emb.sparkSession
-    Cq = np.floor(C * QUANT_SCALE).astype(np.int64)
-    cb_rows = [
-        (j, c, [int(x) for x in Cq[j, c]]) for j in range(m) for c in range(k)
-    ]
-    cb = spark.createDataFrame(cb_rows, "sub int, cluster int, cq array<bigint>")
-    q = emb.filter(query_pred).select(F.col(id_col).alias("qid"), quantized(emb_col).alias("qq"))
-    qsub = q.select(
-        "qid",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).cast("int").alias("sub"),
-                        F.slice("qq", j * sub_dim + 1, sub_dim).alias("qv"),
-                    )
-                    for j in range(m)
-                ]
-            )
-        ).alias("x"),
-    ).select("qid", F.col("x.sub").alias("sub"), F.col("x.qv").alias("qv"))
-    lut = qsub.join(F.broadcast(cb), "sub").select(
-        "qid",
-        "sub",
-        "cluster",
-        F.aggregate(
-            F.zip_with("qv", "cq", lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("dist"),
-    )
+    lut = adc_lut(emb, query_pred, C, id_col=id_col, emb_col=emb_col)
     cd = codes.select(F.col(id_col).alias("nid"), F.col("sub").alias("c_sub"), "code")
     scored = (
         cd.join(
@@ -923,3 +976,83 @@ def ivf_topk_kmeans(
     assign = kmeans_assign(emb, k=n_cells, id_col=id_col, emb_col=emb_col, sample_n=sample_n)
     cells = emb.join(assign.select(id_col, "cluster"), id_col)
     return ivf_topk(cells, query_pred, k=k, n_probe=n_probe, id_col=id_col, emb_col=emb_col, cell_col="cluster")
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    topk: int = 5,
+    n_probe: int = 2,
+    n_cells: int = 10,
+    m: int = 8,
+    k_codes: int = 16,
+    pq_iter: int = 5,
+    km_iter: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    sample_n: int | None = None,
+) -> DataFrame:
+    """IVF-PQ: the FAISS ``IVFxx,PQyy`` index shape — coarse k-means
+    routing composed with asymmetric-distance scoring over PQ CODES.
+
+    This is the full 100 TB ANN configuration: `ivf_topk_kmeans` still
+    reranks candidates against RAW vectors (exact, but the probe must
+    read the vector column), while here the probe touches only the
+    codes relation (m small ints per vector — the index fits in memory
+    when the vectors cannot) plus the per-query m·k LUT. Cost per
+    query: |probed cells| · m code lookups, no vector I/O.
+
+    Composition of two independently oracle-checked trainings:
+    the coarse quantizer (`kmeans_assign`, s4/s5 contract) and the PQ
+    codebooks (`pq_train_codes`, s6 contract) — both exact-int
+    deterministic, so the composite ranking (est_dist ASC, nid ASC) is
+    bit-reproducible and the whole index remains SQL-oracle-checkable.
+    Accuracy = IVF recall × ADC estimate quality; `s7`-style recall
+    against brute force is property-tested, and `ivf_topk_kmeans`
+    stays the exact-rerank alternative.
+
+    ``sample_n`` bounds BOTH trainings' Lloyd scans (the 100 TB knob);
+    None (the oracle-checked config) trains on everything.
+    """
+    assign = kmeans_assign(
+        emb, k=n_cells, max_iter=km_iter, id_col=id_col, emb_col=emb_col, sample_n=sample_n
+    )
+    # the assignment feeds FOUR consumers through `base` (centroid
+    # sums, cell counts, the query projection, the candidate join);
+    # materialize it once — at scale this IS the write-time bucketing
+    # (d15/d32 checkpoint policy for multi-consumer iterative output)
+    assign = assign.select(id_col, "cluster").localCheckpoint(eager=True)
+    cells = emb.join(assign, id_col)
+    base = with_quantized(cells, emb_col)
+    routed = ivf_route(base, query_pred, n_probe=n_probe, id_col=id_col, cell_col="cluster")
+    # candidate set: corpus members of each query's probed cells (the
+    # routed relation is |queries|·n_probe rows — always broadcast)
+    cand = (
+        base.select(F.col(id_col).alias("nid"), F.col("cluster").alias("cell"))
+        .join(F.broadcast(routed.select("qid", "cell")), "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+    )
+    # PQ training bounded by the same sample_n knob as the quantizer
+    train = emb if sample_n is None else emb.orderBy(id_col).limit(sample_n)
+    codes, C = pq_train_codes(train, m, k_codes, pq_iter, id_col, emb_col)
+    if sample_n is not None:
+        # encode the WHOLE corpus with the sample-trained codebooks
+        codes = pq_encode(emb, C, id_col, emb_col)
+    lut = adc_lut(emb, query_pred, C, id_col=id_col, emb_col=emb_col)
+    cd = codes.select(F.col(id_col).alias("nid"), F.col("sub").alias("c_sub"), "code")
+    scored = (
+        cand.join(cd, "nid")
+        .join(
+            F.broadcast(lut),
+            (F.col("c_sub") == lut.sub) & (F.col("code") == lut.cluster) & (cand.qid == lut.qid),
+        )
+        .groupBy(cand.qid, "nid")
+        .agg(F.sum("dist").cast("long").alias("est_dist"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("est_dist"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .select("qid", "nid", "est_dist", "rank")
+    )

@@ -92,8 +92,10 @@ def s2_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 # property-tested.
 # The IVF pipeline body, parameterized only by the `qv` CTE that
 # provides (vec_id, label, emb) — s3 uses the raw label column as the
-# cell, s5 feeds the kmeans-trained cluster in as the label.
-_IVF_BODY = f"""), norms AS (
+# cell, s5 feeds the kmeans-trained cluster in as the label. Split in
+# two so s8 can reuse the ROUTING half (through `cand`) with ADC
+# scoring over PQ codes instead of the exact-cosine rerank.
+_IVF_ROUTE_BODY = f"""), norms AS (
   SELECT v.vec_id, CAST(SUM(u.e * u.e) AS BIGINT) AS norm_q
   FROM qv v, unnest(v.emb) AS u(e)
   GROUP BY 1
@@ -124,7 +126,9 @@ _IVF_BODY = f"""), norms AS (
   JOIN qv v ON v.label = r.cell
   JOIN norms n ON n.vec_id = v.vec_id
   WHERE v.vec_id <> r.qid
-), dots AS (
+)"""
+
+_IVF_SCORE_TAIL = """, dots AS (
   SELECT cd.qid, cd.nid, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
   FROM cand cd
   JOIN u a ON a.vec_id = cd.qid
@@ -143,6 +147,8 @@ SELECT qid, nid, cosine, rank FROM (
          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS BIGINT) AS rank
   FROM scored) WHERE rank <= 5
 """
+
+_IVF_BODY = _IVF_ROUTE_BODY + _IVF_SCORE_TAIL
 
 _S3_ORACLE = """
 WITH qv AS (
@@ -292,16 +298,18 @@ def s5_ivf_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _pq_oracle(
+def _pq_chain(
     k: int = 16,
     iters: int = 5,
     m: int = 8,
     sub_dim: int = 8,
     n_queries: int = 20,
-    topk: int = 5,
 ) -> str:
-    head = f"""
-WITH pxu AS MATERIALIZED (
+    """The PQ train→encode→LUT CTE chain (pxu … pkasg, qcent, lut),
+    WITHOUT a leading WITH or a scoring tail — composable after other
+    chains (s8 appends it to the Lloyd-cell CTEs) or wrapped directly
+    by `_pq_oracle` for s6's full-corpus scan."""
+    head = f"""pxu AS MATERIALIZED (
   SELECT vec_id,
          CAST((generate_subscripts(embedding, 1) - 1) // {sub_dim} AS INT) AS sub,
          CAST((generate_subscripts(embedding, 1) - 1) % {sub_dim} AS INT) AS pos,
@@ -354,7 +362,22 @@ WITH pxu AS MATERIALIZED (
   FROM pxu x JOIN qcent c ON c.sub = x.sub AND c.pos = x.pos
   WHERE x.vec_id < {n_queries}
   GROUP BY 1, 2, 3
-), pscored AS (
+)"""
+    return head + "".join(rounds) + tail
+
+
+def _pq_oracle(
+    k: int = 16,
+    iters: int = 5,
+    m: int = 8,
+    sub_dim: int = 8,
+    n_queries: int = 20,
+    topk: int = 5,
+) -> str:
+    return (
+        "\nWITH "
+        + _pq_chain(k, iters, m, sub_dim, n_queries)
+        + f""", pscored AS (
   SELECT l.qid, g.vec_id AS nid, CAST(SUM(l.dist) AS BIGINT) AS est_dist
   FROM pkasg g JOIN lut l ON l.sub = g.sub AND l.cluster = g.cluster
   WHERE g.vec_id <> l.qid
@@ -365,7 +388,7 @@ SELECT qid, nid, est_dist, rank FROM (
          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY est_dist ASC, nid ASC) AS BIGINT) AS rank
   FROM pscored) WHERE rank <= {topk}
 """
-    return head + "".join(rounds) + tail
+    )
 
 
 @register(
@@ -432,4 +455,66 @@ def s7_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hits",
             (F.col("n_hits").cast("double") / F.lit(5.0)).alias("recall_at_5"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# s8 — IVF-PQ (the FAISS `IVFxx,PQyy` index): coarse k-means routing
+# composed with asymmetric-distance scoring over PQ CODES. s5 reranks
+# probed candidates against raw vectors; s8's probe touches only the
+# codes relation (m small ints per vector) plus the per-query m·k LUT
+# — the memory-side configuration every 100 TB ANN deployment runs.
+# Oracle = the three already-verified chains composed: unrolled-Lloyd
+# cells (s4/s5), the PQ train→encode→LUT chain (s6), and the IVF
+# routing body (s3/s5), with ADC scoring restricted to routed-cell
+# candidates. Everything is exact-int deterministic end to end.
+# ---------------------------------------------------------------------------
+_S8_ORACLE = (
+    _kmeans_cte(k=10, iters=10)
+    + ", "
+    + _pq_chain(k=16, iters=5, m=8, sub_dim=8, n_queries=_N_QUERIES)
+    + """, qv AS MATERIALIZED (
+  SELECT e.vec_id, ka.cluster AS label, list_transform(e.embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS emb
+  FROM embeddings e JOIN kasg ka ON ka.vec_id = e.vec_id
+"""
+    + _IVF_ROUTE_BODY
+    + """, s8scored AS (
+  SELECT cd.qid, cd.nid, CAST(SUM(l.dist) AS BIGINT) AS est_dist
+  FROM cand cd
+  JOIN pkasg g ON g.vec_id = cd.nid
+  JOIN lut l ON l.qid = cd.qid AND l.sub = g.sub AND l.cluster = g.cluster
+  GROUP BY 1, 2
+)
+SELECT qid, nid, est_dist, rank FROM (
+  SELECT qid, nid, est_dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY est_dist ASC, nid ASC) AS BIGINT) AS rank
+  FROM s8scored) WHERE rank <= 5
+"""
+)
+
+
+@register(
+    "s8_ivfpq_topk",
+    _S8_ORACLE,
+    doc="IVF-PQ composite index (FAISS IVF10,PQ8x16 analogue): k-means "
+    "cell routing (probe 2 of 10) + asymmetric-distance top-5 over PQ "
+    "codes only — candidates never touch the raw vector column. Oracle "
+    "composes the s4 Lloyd chain, the s6 PQ chain and the s3 routing "
+    "body; exact-int deterministic throughout.",
+)
+def s8_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route queries to 2 of 10 trained cells, score candidates by PQ
+    codes (8 subspaces x 16 centroids), return top-5 per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivfpq_topk(
+        emb,
+        F.col("vec_id") < _N_QUERIES,
+        topk=5,
+        n_probe=2,
+        n_cells=10,
+        m=8,
+        k_codes=16,
+        pq_iter=5,
+        km_iter=10,
     )

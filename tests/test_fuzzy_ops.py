@@ -488,3 +488,48 @@ def test_ann_recall_query_bounds_and_exact_self_consistency(spark, embeddings):
     assert len(out) == 20
     assert all(0.0 <= r.recall_at_5 <= 1.0 for r in out)
     assert all(r.n_hits == int(r.recall_at_5 * 5) for r in out)
+
+
+def test_ivfpq_full_probe_equals_full_scan_adc(spark, embeddings):
+    """With n_probe = n_cells the IVF routing is exhaustive, so IVF-PQ
+    must produce EXACTLY the full-scan ADC ranking (same codebooks,
+    same est_dist, same tie-break) on a zero-norm-free corpus — the
+    composition adds candidate restriction and nothing else."""
+    nonzero = S.with_quantized(embeddings).select("vec_id", "embedding")
+    pred = F.col("vec_id") < 20
+    full = {
+        (r.qid, r.nid, r.est_dist, r.rank)
+        for r in S.pq_adc_topk(nonzero, pred, m=8, k=16, max_iter=5, topk=5).collect()
+    }
+    ivfpq = {
+        (r.qid, r.nid, r.est_dist, r.rank)
+        for r in S.ivfpq_topk(
+            nonzero, pred, topk=5, n_probe=10, n_cells=10, m=8, k_codes=16, pq_iter=5
+        ).collect()
+    }
+    assert ivfpq == full
+
+
+def test_ivfpq_recovers_planted_duplicates(spark, embeddings):
+    """The composite index must still find a jittered twin: the twin
+    lands in the same coarse cell almost surely (0.1% jitter), and the
+    ADC estimate ranks it at the top within the probed candidates."""
+    jitter = F.transform(
+        "embedding",
+        lambda x, j: x * (1.0 + ((F.col("vec_id") + j) % 5 - 2).cast("double") / 2000.0),
+    )
+    copies = embeddings.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        jitter.cast("array<float>").alias("embedding"),
+        "label",
+    )
+    corpus = embeddings.select("vec_id", "embedding", "label").unionByName(copies)
+    got = S.ivfpq_topk(
+        corpus, F.col("vec_id") < 100000, topk=3, n_probe=2, n_cells=10, m=8, k_codes=16
+    )
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r.qid, []).append(r.nid)
+    n_q = embeddings.count()
+    hits = sum(1 for qid, nids in by_q.items() if qid + 100000 in nids)
+    assert hits / n_q >= 0.85, f"planted-twin recall@3 through IVF-PQ {hits}/{n_q}"

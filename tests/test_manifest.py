@@ -621,3 +621,79 @@ def test_stat_encode_timezone_discipline():
     assert aware == same_utc  # offset-normalized before rendering
     with pytest.raises(TypeError):
         aware < naive  # mixed awareness must refuse, not mis-prune
+
+
+def test_bloom_skipping_prunes_point_lookups_minmax_cannot(spark, tmp_path):
+    """Equality predicate on a high-cardinality column whose per-file
+    [min, max] ranges ALL overlap: min/max skipping keeps every file,
+    the bloom proves absence and prunes — and read() stays exact."""
+    t = ManifestTable(str(tmp_path / "t"), bloom_cols=["k"])
+    # interleaved keys: file A gets evens, file B odds over one range,
+    # so both files span [0, 1999] and min/max can never separate them
+    a = spark.createDataFrame([(i, "a") for i in range(0, 2000, 2)], "k int, src string")
+    b = spark.createDataFrame([(i, "b") for i in range(1, 2000, 2)], "k int, src string")
+    t.write(a.coalesce(1), mode="overwrite")
+    t.write(b.coalesce(1), mode="append")
+    assert len(t.snapshot().files) == 2
+    # value 4 lives only in file A: bloom must prune B (min/max cannot)
+    files = t.files_for([("k", "==", 4)])
+    assert len(files) == 1, f"bloom failed to prune: {files}"
+    got = t.read(spark, predicate=[("k", "==", 4)]).collect()
+    assert [(r.k, r.src) for r in got] == [(4, "a")]
+    # absent-everywhere value: bloom may prune BOTH files (fp aside),
+    # and the read must still be exact (empty)
+    assert t.read(spark, predicate=[("k", "==", 2001)]).count() == 0
+
+
+def test_bloom_never_causes_wrong_results_on_unbloomable_types(spark, tmp_path):
+    """Floats and timestamps are excluded from blooming by design
+    (rendering/awareness mismatches would wrongly prune); the column
+    simply carries no bloom and equality reads stay exact."""
+    import datetime as dt
+
+    t = ManifestTable(str(tmp_path / "t"), bloom_cols=["x", "ts", "k"])
+    df = spark.createDataFrame(
+        [(1.5, dt.datetime(2024, 1, 1, 12), 7), (2.5, dt.datetime(2024, 1, 2, 12), 8)],
+        "x double, ts timestamp, k int",
+    )
+    t.write(df.coalesce(1))
+    stats = t.snapshot().stats
+    (fstats,) = stats.values()
+    assert "bloom" not in fstats.get("x", {}), "float column must not bloom"
+    assert "bloom" not in fstats.get("ts", {}), "timestamp column must not bloom"
+    assert "bloom" in fstats.get("k", {}), "int column should bloom"
+    assert t.read(spark, predicate=[("x", "==", 1.5)]).count() == 1
+    assert t.read(spark, predicate=[("k", "==", 7)]).count() == 1
+
+
+def test_bloom_saturation_cap_and_null_handling(spark, tmp_path):
+    """Files past bloom_max_ndv skip the bloom (saturated filters prune
+    nothing and bloat the manifest); NULLs neither enter the bloom nor
+    let `== value` pruning drop NULL-bearing files wrongly."""
+    t = ManifestTable(str(tmp_path / "t"), bloom_cols=["k"], bloom_max_ndv=50)
+    big = spark.createDataFrame([(i,) for i in range(200)], "k int")
+    t.write(big.coalesce(1))
+    (fstats,) = t.snapshot().stats.values()
+    assert "bloom" not in fstats.get("k", {}), "ndv cap ignored"
+    t2 = ManifestTable(str(tmp_path / "t2"), bloom_cols=["k"])
+    withnulls = spark.createDataFrame([(1,), (None,), (3,)], "k int")
+    t2.write(withnulls.coalesce(1))
+    assert t2.read(spark, predicate=[("k", "==", 3)]).count() == 1
+    assert t2.read(spark, predicate=[("k", "==", 2)]).count() == 0
+
+
+def test_bloom_survives_delete_where_and_json_roundtrip(spark, tmp_path):
+    """Blooms persist through the manifest JSON and ride untouched-file
+    stats across copy-on-write commits; rewritten files get fresh
+    blooms (delete on a bloomed table keeps point-lookup pruning)."""
+    t = ManifestTable(str(tmp_path / "t"), bloom_cols=["name"])
+    a = spark.createDataFrame([("alpha", 1), ("beta", 2)], "name string, v int")
+    b = spark.createDataFrame([("gamma", 3), ("delta", 4)], "name string, v int")
+    t.write(a.coalesce(1), mode="overwrite")
+    t.write(b.coalesce(1), mode="append")
+    t.delete_where(spark, [("v", ">", 3)])  # rewrites only file B
+    # fresh instance: stats come back through the JSON manifest
+    t2 = ManifestTable(str(tmp_path / "t"), bloom_cols=["name"])
+    assert len(t2.files_for([("name", "==", "alpha")])) == 1
+    assert [(r.name, r.v) for r in t2.read(spark, predicate=[("name", "==", "gamma")]).collect()] == [("gamma", 3)]
+    assert t2.read(spark, predicate=[("name", "==", "delta")]).count() == 0
