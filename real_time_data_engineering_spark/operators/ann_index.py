@@ -148,3 +148,174 @@ def ivf_index_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ persistent index: the durable form of `similarity.ivfpq_topk`
+# (FAISS writing an IVFPQ index to disk). The raw vector column is NOT
+# stored — only the PQ codes (m small ints per vector), bucketed by
+# coarse cell, plus two metadata-sized side tables. At 100 TB the index
+# is ~m bytes per vector where the corpus is 4·dim; a probe reads only
+# the routed cells' code files.
+# ---------------------------------------------------------------------------
+_CODEBOOKS = "_codebooks"
+_CODES = "codes"
+
+
+def write_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 10,
+    m: int = 8,
+    k_codes: int = 16,
+    pq_iter: int = 5,
+    km_iter: int = 10,
+    sample_n: int | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Train both quantizers, encode once, bucket the CODES on disk.
+
+    Layout: ``path/codes/cluster=N/*.parquet`` with (id, sub, code) —
+    the only corpus-sized relation, and it's m small ints per vector —
+    plus ``path/_centroids`` (coarse routing: exact int64 SUM vectors,
+    same representation as `write_ivf_index`) and ``path/_codebooks``
+    (sub, cluster, cq array<bigint>: the quantized PQ codebooks, m·k
+    rows). Zero-norm vectors are excluded at write time (cosine-domain
+    contract, same as every `with_quantized` path). ``sample_n`` bounds
+    BOTH trainings; encoding always covers the full corpus."""
+    from .similarity import pq_encode, pq_train_codes
+
+    spark = emb.sparkSession
+    assign = kmeans_assign(
+        emb, k=n_cells, max_iter=km_iter, id_col=id_col, emb_col=emb_col, sample_n=sample_n
+    ).select(id_col, "cluster").localCheckpoint(eager=True)
+    base = with_quantized(emb.join(assign, id_col), emb_col)
+    cent = (
+        base.select("cluster", F.posexplode("emb_q").alias("pos", "v"))
+        .groupBy("cluster", "pos")
+        .agg(F.sum("v").alias("s"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "s"))).getField("s").alias("cent_s"))
+        .join(base.groupBy("cluster").agg(F.count("*").alias("c")), "cluster")
+    )
+    train = emb if sample_n is None else emb.orderBy(id_col).limit(sample_n)
+    codes, C = pq_train_codes(train, m, k_codes, pq_iter, id_col, emb_col)
+    if sample_n is not None:
+        codes = pq_encode(emb, C, id_col, emb_col)
+    coded = codes.join(base.select(id_col, "cluster"), id_col)
+    coded.write.mode("overwrite").partitionBy("cluster").parquet(
+        os.path.join(path, _CODES)
+    )
+    cent.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, _CENTROIDS))
+    import numpy as np
+
+    Cq = np.floor(C * 1_000_000.0).astype(np.int64)
+    cb_rows = [
+        (j, c, [int(x) for x in Cq[j, c]]) for j in range(m) for c in range(k_codes)
+    ]
+    spark.createDataFrame(cb_rows, "sub int, cluster int, cq array<bigint>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(path, _CODEBOOKS))
+
+
+def ivfpq_index_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    topk: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over a written IVF-PQ index for an external query frame
+    (``queries``: id_col + emb_col — fresh vectors, not the corpus;
+    the index stores no raw vectors to filter). Routing broadcasts the
+    stored centroids; the probe becomes a PARTITION filter on the
+    codes scan (unprobed cells' files stay unread); scoring is the
+    exact-int64 ADC LUT over codes only. Same deterministic contracts
+    as `similarity.ivfpq_topk` — a written index answers exactly like
+    the in-memory composition (equivalence-tested)."""
+    cent = spark.read.parquet(os.path.join(path, _CENTROIDS))
+    cb = spark.read.parquet(os.path.join(path, _CODEBOOKS))
+    q = with_quantized(queries, emb_col).select(
+        F.col(id_col).alias("qid"),
+        F.col("emb_q").alias("q_emb"),
+        F.col("norm_q").alias("q_norm"),
+    )
+    qc = q.crossJoin(F.broadcast(cent)).select(
+        "qid",
+        "q_emb",
+        "cluster",
+        (dot_dec(F.col("q_emb"), F.col("cent_s")).cast("double") / F.col("c").cast("double")).alias(
+            "affinity"
+        ),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("affinity"), F.asc("cluster"))
+    routed = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("qid", "q_emb", "cluster")
+    )
+    probe_cells = sorted({r.cluster for r in routed.select("cluster").distinct().collect()})
+    codes = spark.read.parquet(os.path.join(path, _CODES)).filter(
+        F.col("cluster").isin(probe_cells)
+    )
+    # per-query LUT from the STORED codebooks: slice the quantized query
+    # into subvectors, exact-int64 distance to each codebook entry
+    meta = cb.agg(
+        F.max("sub").alias("max_sub"), F.max(F.size("cq")).alias("sub_dim")
+    ).first()
+    m, sub_dim = int(meta["max_sub"]) + 1, int(meta["sub_dim"])
+    qsub = routed.select("qid", "q_emb").distinct().select(
+        "qid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("sub"),
+                        F.slice("q_emb", j * sub_dim + 1, sub_dim).alias("qv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("x"),
+    ).select("qid", F.col("x.sub").alias("sub"), F.col("x.qv").alias("qv"))
+    lut = qsub.join(F.broadcast(cb), "sub").select(
+        "qid",
+        "sub",
+        "cluster",
+        F.aggregate(
+            F.zip_with("qv", "cq", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dist"),
+    )
+    cand = codes.join(
+        F.broadcast(routed.select("qid", "cluster")), "cluster"
+    ).filter(F.col("qid") != F.col(id_col))
+    # disambiguate the LUT's key columns before the 3-key equi-join
+    # (both sides carry a qid otherwise — AMBIGUOUS_REFERENCE)
+    lut_r = lut.select(
+        F.col("qid").alias("l_qid"),
+        F.col("sub").alias("l_sub"),
+        F.col("cluster").alias("l_cluster"),
+        "dist",
+    )
+    scored = (
+        cand.select("qid", F.col(id_col).alias("nid"), "sub", "code")
+        .join(
+            F.broadcast(lut_r),
+            (F.col("sub") == F.col("l_sub"))
+            & (F.col("code") == F.col("l_cluster"))
+            & (F.col("qid") == F.col("l_qid")),
+        )
+        .groupBy("qid", "nid")
+        .agg(F.sum("dist").cast("long").alias("est_dist"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("est_dist"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .select("qid", "nid", "est_dist", "rank")
+    )

@@ -64,3 +64,66 @@ def test_index_layout_is_hive_bucketed(spark, index_path):
     # _-prefixed dirs are invisible to the corpus reader (no schema clash)
     corpus = spark.read.parquet(index_path)
     assert "cluster" in corpus.columns and "embedding" in corpus.columns
+
+
+@pytest.fixture(scope="module")
+def ivfpq_path(spark, tmp_path_factory):
+    from real_time_data_engineering_spark.operators.ann_index import write_ivfpq_index
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path_factory.mktemp("ivfpq") / "index")
+    write_ivfpq_index(emb, path, n_cells=10, m=8, k_codes=16)
+    return path
+
+
+def test_ivfpq_index_equals_in_memory_composition(spark, ivfpq_path):
+    """A written IVF-PQ index must answer exactly like the in-memory
+    train→encode→route→ADC composition with the same parameters — the
+    stored centroids, codes and codebooks carry the full deterministic
+    contract through the disk roundtrip."""
+    from real_time_data_engineering_spark.operators.ann_index import ivfpq_index_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    pred = F.col("vec_id") < 20
+    want = {
+        (r.qid, r.nid, r.est_dist, r.rank)
+        for r in S.ivfpq_topk(
+            emb, pred, topk=5, n_probe=2, n_cells=10, m=8, k_codes=16
+        ).collect()
+    }
+    got = {
+        (r.qid, r.nid, r.est_dist, r.rank)
+        for r in ivfpq_index_topk(
+            spark, ivfpq_path, emb.filter(pred), topk=5, n_probe=2
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_ivfpq_probe_scan_is_partition_pruned(spark, ivfpq_path):
+    """The probed-cells filter must reach the CODES scan as a
+    PartitionFilter — unprobed cluster= code files stay unread."""
+    from real_time_data_engineering_spark.operators.ann_index import ivfpq_index_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = ivfpq_index_topk(spark, ivfpq_path, emb.filter(F.col("vec_id") < 3), topk=5, n_probe=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "PartitionFilters: [" in line and "cluster" in line and "[]" not in line
+        for line in plan.splitlines()
+    ), plan
+
+
+def test_ivfpq_index_stores_codes_not_vectors(spark, ivfpq_path):
+    """The corpus-sized relation on disk is codes-only: no embedding
+    column anywhere under codes/ — that is the entire storage win."""
+    import os
+
+    codes_dir = os.path.join(ivfpq_path, "codes")
+    clusters = [d for d in os.listdir(codes_dir) if d.startswith("cluster=")]
+    assert len(clusters) > 1
+    codes = spark.read.parquet(codes_dir)
+    assert "embedding" not in codes.columns
+    assert {"vec_id", "sub", "code", "cluster"} <= set(codes.columns)
+    assert os.path.isdir(os.path.join(ivfpq_path, "_centroids"))
+    assert os.path.isdir(os.path.join(ivfpq_path, "_codebooks"))

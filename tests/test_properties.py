@@ -343,3 +343,60 @@ def test_weighted_reservoir_priority_matches_python_model(spark, weights):
         nl = round(-math.log((h + 1) / 65536.0), 9)
         nl_fp = int((nl * 10**9).__round__())  # decimal-exact: nl has 9 dp
         assert got[i] == (nl_fp * 1_000_000) // w
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_bloomable = st.one_of(
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.text(max_size=40),
+    st.booleans(),
+)
+
+
+@given(
+    values=st.lists(_bloomable, min_size=1, max_size=300),
+    probe_idx=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_bloom_never_false_negative(values, probe_idx):
+    """The one property a bloom filter must NEVER violate: every value
+    that went in tests as present — a false negative would make
+    `files_for` prune a file that contains the predicate value, i.e. a
+    silent wrong answer. False positives only cost an unpruned file."""
+    from real_time_data_engineering_spark.operators.manifest import (
+        _bloom_build,
+        _bloom_maybe_contains,
+    )
+
+    # values passed RAW, not set()-deduped: Python's set collapses
+    # False/0 and True/1 across types (hash equality), which would drop
+    # a bool's distinct "b:" encoding before it reaches the filter —
+    # hypothesis found exactly [0, False]. _bloom_build must therefore
+    # be duplicate-safe by itself (it is: re-setting bits is idempotent)
+    # and _stats_for only ever sets over a single-typed parquet column.
+    bloom = _bloom_build(values, m_bits=8192)
+    assert bloom is not None
+    for v in values:
+        assert _bloom_maybe_contains(bloom, v), f"false negative on {v!r}"
+    # a probe of an arbitrary value never errors and returns a bool
+    assert _bloom_maybe_contains(bloom, probe_idx) in (True, False)
+
+
+@given(st.one_of(st.floats(allow_nan=False), st.binary(max_size=8)))
+@settings(max_examples=50, deadline=None)
+def test_bloom_unbloomable_types_opt_out_both_sides(v):
+    """Floats/bytes (and anything else non-{bool,int,str}) must abort
+    the BUILD (column opts out) and pass the MEMBERSHIP probe (never
+    prune) — the two sides of the same safety contract."""
+    from real_time_data_engineering_spark.operators.manifest import (
+        _bloom_build,
+        _bloom_encode,
+        _bloom_maybe_contains,
+    )
+
+    assert _bloom_encode(v) is None
+    assert _bloom_build([1, v], m_bits=1024) is None
+    some = _bloom_build([1, 2, 3], m_bits=1024)
+    assert _bloom_maybe_contains(some, v) is True
