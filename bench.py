@@ -112,6 +112,7 @@ EXTRA = [
     "d36_bpe_merges",
     "d37_bpe_tokenize_stats",
     "s8_ivfpq_topk",
+    "d38_heavy_hitter_tokens",
 ]
 
 # Queries whose lineage persists an exploded working relation DISK_ONLY

@@ -1941,3 +1941,45 @@ def d37_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d38 — heavy-hitter tokens (frequent-items census): every token whose
+# frequency strictly exceeds n/k. The exact two-pass form is the
+# oracle-checked path (integer cross-multiplied threshold — no float
+# in the cut; the share division is one identical double op with the
+# scalar total fetched driver-side, d24 pattern). The one-pass
+# Misra-Gries sketch (`operators/sketches.mg_heavy_hitters`) is the
+# 100 TB companion — state bounded to k counters per partition, merged
+# with the mergeable-summaries decrement, property-tested against this
+# exact form's guarantees (tests/test_stat_ops.py) the way q21's HLL
+# is anchored to q27's exact quantiles.
+# ---------------------------------------------------------------------------
+_HH_K = 30
+
+_D38_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token FROM documents
+),
+tot AS (SELECT COUNT(*) AS n FROM tok),
+c AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY 1)
+SELECT token, freq,
+       CAST(freq AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE) AS share
+FROM c WHERE freq * {_HH_K} > (SELECT n FROM tot)
+"""
+
+
+@register(
+    "d38_heavy_hitter_tokens",
+    _D38_ORACLE,
+    doc=f"Heavy-hitter token census: tokens with frequency > n/{_HH_K} "
+    "(exact two-pass form; the one-pass Misra-Gries sketch in "
+    "operators/sketches.py is the bounded-state scale path, "
+    "property-tested against this form's guarantees).",
+)
+def d38_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens above the n/k frequency threshold with corpus share."""
+    from ..operators.sketches import exact_heavy_hitters
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    return exact_heavy_hitters(docs, k=_HH_K)

@@ -261,3 +261,62 @@ def _run_dir(spark, name, sf_dir):
     from real_time_data_engineering_spark.registry import get as _get
 
     return _get(name).spark(spark, sf_dir).collect()
+
+
+def test_mg_sketch_guarantees_against_exact_heavy_hitters(spark):
+    """Misra-Gries(k) merged across partitions must (a) contain EVERY
+    token with true frequency > n/(k+1) and (b) underestimate any
+    surviving token's count by at most n/(k+1) — the mergeable-
+    summaries bound, checked against the exact two-pass form."""
+    from real_time_data_engineering_spark.operators.sketches import (
+        exact_heavy_hitters,
+        mg_heavy_hitters,
+    )
+    from real_time_data_engineering_spark.sources.readers import load_table
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    k = 12
+    toks = docs.selectExpr(
+        "explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS token"
+    )
+    n = toks.count()
+    true_counts = {r["token"]: r["cnt"] for r in toks.groupBy("token").agg(F.count("*").alias("cnt")).collect()}
+    est = {r["token"]: r["est_freq"] for r in mg_heavy_hitters(docs, k=k).collect()}
+    assert len(est) <= k
+    bound = n / (k + 1)
+    for t, c in true_counts.items():
+        if c > bound:
+            assert t in est, f"guaranteed heavy hitter {t!r} (freq {c}) missing"
+    for t, e in est.items():
+        c = true_counts.get(t, 0)
+        assert 0 < e <= c, f"{t!r}: estimate {e} exceeds true count {c}"
+        assert c - e <= bound + 1e-9, f"{t!r}: undercount {c - e} beyond n/(k+1)={bound}"
+    # the exact registered form agrees with a hand recount at threshold
+    hh = {r["token"]: r["freq"] for r in exact_heavy_hitters(docs, k=k).collect()}
+    want = {t: c for t, c in true_counts.items() if c * k > n}
+    assert hh == want
+
+
+def test_mg_sketch_is_partition_count_robust(spark):
+    """The guarantee must hold however the corpus is partitioned (MG
+    is order-sensitive; the BOUND is not)."""
+    from real_time_data_engineering_spark.operators.sketches import mg_heavy_hitters
+    from real_time_data_engineering_spark.sources.readers import load_table
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    k = 8
+    toks = docs.selectExpr(
+        "explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS token"
+    )
+    n = toks.count()
+    true_counts = {r["token"]: r["cnt"] for r in toks.groupBy("token").agg(F.count("*").alias("cnt")).collect()}
+    for parts in (1, 7):
+        est = {
+            r["token"]: r["est_freq"]
+            for r in mg_heavy_hitters(docs.repartition(parts), k=k).collect()
+        }
+        for t, c in true_counts.items():
+            if c > n / (k + 1):
+                assert t in est, f"parts={parts}: lost guaranteed {t!r}"
