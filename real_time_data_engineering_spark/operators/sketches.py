@@ -44,13 +44,19 @@ def _tokens(df: DataFrame, text_col: str) -> DataFrame:
 
 def exact_heavy_hitters(df: DataFrame, k: int = 200, text_col: str = "text") -> DataFrame:
     """Tokens with frequency STRICTLY above n/k (the classic heavy-
-    hitter threshold): (token, freq, share). Two corpus passes; the
-    scalar total is an O(1) driver fetch (d24 pattern — a join against
-    a 1-row aggregate would plan a BroadcastNestedLoopJoin), and the
-    threshold is integer cross-multiplied so the cut is exact."""
-    toks = _tokens(df, text_col)
-    n = toks.count()
-    counts = toks.groupBy("token").agg(F.count("*").alias("freq"))
+    hitter threshold): (token, freq, share). ONE corpus pass: the
+    per-token counts are checkpointed (vocab-sized), the scalar total
+    is summed from THEM — an O(vocab) job, not a second corpus scan —
+    and fetched driver-side (d24 pattern: a join against a 1-row
+    aggregate would plan a BroadcastNestedLoopJoin). The threshold is
+    integer cross-multiplied so the cut is exact."""
+    counts = (
+        _tokens(df, text_col)
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    n = int(counts.agg(F.sum("freq")).first()[0] or 0)
     return counts.filter(F.col("freq") * F.lit(k) > F.lit(n)).select(
         "token",
         "freq",
