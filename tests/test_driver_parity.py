@@ -23,6 +23,8 @@ _KERNEL_QUERIES = [
     "d19_embedding_neardup_lsh",  # LSH bit kernel
     "s4_kmeans_clusters",  # assignment + partial-sum kernels
     "s5_ivf_topk_kmeans",
+    "s6_pq_topk",  # per-subspace Lloyd + encode kernels
+    "s8_ivfpq_topk",  # composes the kmeans + PQ kernels
     "m1_media_features",  # multimodal Arrow kernels
     "m2_media_resize",
     "q18_sessionization",  # applyInPandasWithState
