@@ -29,3 +29,8 @@ bench:  # writes BENCH_local.json (full report) + results.csv; prints the short 
 
 test:
 	python -m pytest tests/ -x -q
+
+REV ?= HEAD~1
+bench-diff:  # flag per-query p50 regressions vs a prior committed BENCH_local.json
+	git show $(REV):BENCH_local.json > /tmp/bench_prev.json
+	-python -m real_time_data_engineering_spark.checks.bench_diff /tmp/bench_prev.json BENCH_local.json

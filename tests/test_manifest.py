@@ -502,16 +502,29 @@ def test_zorder_clustering_prunes_both_dimensions(spark, tmp_path):
     assert lin.read(spark, predicate=box).count() == want
 
 
-def test_manifest_random_walk_matches_model(spark, tmp_path):
+@pytest.mark.parametrize(
+    "bloom_kw",
+    [
+        {},
+        # tiny bloom (forced false positives) on both columns: fp must
+        # only cost pruning, NEVER correctness, through every protocol
+        # interaction the walk generates
+        {"bloom_cols": ["val", "id"], "bloom_bits": 256},
+    ],
+    ids=["plain", "bloomed"],
+)
+def test_manifest_random_walk_matches_model(spark, tmp_path, bloom_kw):
     """Seeded 24-op random walk over write/append/delete/compact/
     expire/vacuum: after every op the table equals a plain in-memory
-    model. Catches protocol interactions no single-op test sees
-    (delete after compact after expire, stats carried across rewrites,
-    vacuum not breaking the retained snapshot...)."""
+    model — including an equality-predicate probe each step, so the
+    bloomed variant exercises bloom pruning against the model under
+    every commit shape. Catches protocol interactions no single-op
+    test sees (delete after compact after expire, stats carried
+    across rewrites, vacuum not breaking the retained snapshot...)."""
     import random
 
     rng = random.Random(20260814)
-    t = ManifestTable(str(tmp_path / "walk"))
+    t = ManifestTable(str(tmp_path / "walk"), **bloom_kw)
     model: dict[int, int] = {}
     next_id = 0
 
@@ -552,6 +565,12 @@ def test_manifest_random_walk_matches_model(spark, tmp_path):
         got = {r.id: r.val for r in t.read(spark).collect()} if model else {}
         if model:
             assert got == model, f"divergence after step {step} ({op})"
+            # equality-predicate probe: point lookups (the bloom path)
+            # must return exactly the model's matches after every op
+            probe = rng.randrange(100)
+            want = {k for k, v in model.items() if v == probe}
+            hit = {r.id for r in t.read(spark, predicate=[("val", "==", probe)]).collect()}
+            assert hit == want, f"predicate probe diverged after step {step} ({op})"
         else:
             assert t.read(spark).count() == 0, f"expected empty after step {step} ({op})"
 
