@@ -646,20 +646,59 @@ class ManifestTable:
 
     # -- maintenance --------------------------------------------------------
 
-    def compact(self, spark: SparkSession, target_mb: int = 128) -> Snapshot:
-        """rewrite_data_files binpack analogue: rewrite the CURRENT
-        snapshot into ~target-size files and commit the new layout as a
+    def compact(
+        self,
+        spark: SparkSession,
+        target_mb: int = 128,
+        cluster_by: list[str] | None = None,
+        zorder: tuple[str, str] | None = None,
+        n_files: int | None = None,
+    ) -> Snapshot:
+        """rewrite_data_files analogue: rewrite the CURRENT snapshot
+        into ~target-size files and commit the new layout as a
         metadata-only swap. Readers of older versions are untouched —
-        their files still exist until vacuum."""
+        their files still exist until vacuum.
+
+        Plain call = binpack (Iceberg's default rewrite strategy).
+        ``cluster_by`` re-sorts the rewrite on those columns (Delta
+        `OPTIMIZE ... ZORDER BY(col)`'s linear case / Iceberg
+        sort-order rewrite) — the maintenance-time twin of
+        `write(cluster_by=...)`, for tables whose ingest arrived
+        unsorted: after the rewrite every file covers a narrow value
+        range and the manifest's min/max stats actually prune.
+        ``zorder=(c1, c2)`` interleaves two integer columns with the
+        Morton key (`zorder_key`) so BOTH dimensions prune — the true
+        multi-column OPTIMIZE ZORDER. Data is unchanged either way;
+        only layout and therefore skipping behavior move. ``n_files``
+        pins the output file count (same knob as `write` — on small
+        relations the byte-based target collapses to one file and
+        leaves nothing to skip)."""
+        if cluster_by and zorder:
+            raise ValueError("pass cluster_by or zorder, not both")
         snap = self.snapshot()
         df = self.read(spark)
         total = sum(os.path.getsize(os.path.join(self.path, f)) for f in snap.files)
-        n_out = max(1, round(total / (target_mb * 1024 * 1024)))
-        files = self._stage(df.repartition(n_out))
+        n_out = n_files or max(1, round(total / (target_mb * 1024 * 1024)))
+        if zorder:
+            keyed = df.withColumn("_z", zorder_key(*zorder))
+            out = (
+                keyed.repartitionByRange(n_out, F.col("_z"))
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+            op = f"compact-zorder({zorder[0]},{zorder[1]})"
+        elif cluster_by:
+            cols = [F.col(c) for c in cluster_by]
+            out = df.repartitionByRange(n_out, *cols).sortWithinPartitions(*cols)
+            op = f"compact-cluster({','.join(cluster_by)})"
+        else:
+            out = df.repartition(n_out)
+            op = "compact"
+        files = self._stage(out)
         return self._commit(
             snap.version + 1,
             files,
-            "compact",
+            op,
             self._stats_for(files),
             snap.schema_json or df.schema.json(),
         )

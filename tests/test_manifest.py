@@ -716,3 +716,48 @@ def test_bloom_survives_delete_where_and_json_roundtrip(spark, tmp_path):
     assert len(t2.files_for([("name", "==", "alpha")])) == 1
     assert [(r.name, r.v) for r in t2.read(spark, predicate=[("name", "==", "gamma")]).collect()] == [("gamma", 3)]
     assert t2.read(spark, predicate=[("name", "==", "delta")]).count() == 0
+
+
+def test_compact_recluster_turns_on_pruning(spark, tmp_path):
+    """OPTIMIZE-style maintenance: a table ingested UNSORTED has
+    every-file-overlapping stats (no pruning); compact(cluster_by)
+    re-lays it out so range predicates prune, and compact(zorder)
+    makes BOTH dimensions prune — same rows throughout."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(1000), rng.randrange(1000)) for i in range(4000)]
+    rng.shuffle(rows)
+    t = ManifestTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    # 8 unsorted files: every file spans ~the full [0, 1000) range
+    t.write(df.repartition(8))
+    n_files = len(t.snapshot().files)
+    assert n_files >= 8
+    pred_a = [("a", "<", 100)]
+    assert len(t.files_for(pred_a)) == n_files, "unsorted premise broken"
+    want_a = {r.id for r in df.filter("a < 100").collect()}
+
+    t.compact(spark, cluster_by=["a"], n_files=8)
+    pruned = len(t.files_for(pred_a))
+    total = len(t.snapshot().files)
+    assert total > 3, "need multiple output files for pruning to mean anything"
+    assert pruned < total, f"cluster_by failed to prune ({pruned}/{total})"
+    assert {r.id for r in t.read(spark, predicate=pred_a).collect()} == want_a
+
+    # b is still random within the a-sorted layout: no pruning on b
+    pred_b = [("b", "<", 100)]
+    assert len(t.files_for(pred_b)) == total
+
+    t.compact(spark, zorder=("a", "b"), n_files=8)
+    total_z = len(t.snapshot().files)
+    assert total_z > 3
+    pruned_a = len(t.files_for(pred_a))
+    pruned_b = len(t.files_for(pred_b))
+    assert pruned_a < total_z, f"zorder lost a-pruning ({pruned_a}/{total_z})"
+    assert pruned_b < total_z, f"zorder failed b-pruning ({pruned_b}/{total_z})"
+    assert {r.id for r in t.read(spark, predicate=pred_a).collect()} == want_a
+    assert {r.id for r in t.read(spark, predicate=pred_b).collect()} == {
+        r.id for r in df.filter("b < 100").collect()
+    }
+    assert t.snapshot().operation == "compact-zorder(a,b)"
