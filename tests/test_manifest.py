@@ -761,3 +761,48 @@ def test_compact_recluster_turns_on_pruning(spark, tmp_path):
         r.id for r in df.filter("b < 100").collect()
     }
     assert t.snapshot().operation == "compact-zorder(a,b)"
+
+
+def test_streamed_table_recluster_lifecycle(spark, tmp_path):
+    """The full ingestion lifecycle: a stream appends unsorted
+    micro-batches (every file spans the value range — zero pruning),
+    maintenance re-clusters once, and the SAME table starts skipping —
+    with the incremental reader correctly refusing to cross the
+    rewrite (double-count hazard) while per-window reads still work."""
+    import random
+
+    from real_time_data_engineering_spark.operators.manifest import (
+        write_stream_to_manifest,
+    )
+
+    rng = random.Random(11)
+    src = str(tmp_path / "src")
+    rows = [(i, rng.randrange(1000)) for i in range(3000)]
+    for b in range(3):  # three files → three micro-batches
+        spark.createDataFrame(rows[b * 1000 : (b + 1) * 1000], "id long, a long").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("id long, a long").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = write_stream_to_manifest(
+        stream, str(tmp_path / "t"), str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+    t = ManifestTable(str(tmp_path / "t"))
+    v_streamed = t.snapshot().version
+    assert t.read(spark).count() == 3000
+    pred = [("a", "<", 100)]
+    assert len(t.files_for(pred)) == len(t.snapshot().files), "unsorted premise"
+    want = {r.id for r in t.read(spark, predicate=pred).collect()}
+
+    t.compact(spark, cluster_by=["a"], n_files=6)
+    assert len(t.files_for(pred)) < len(t.snapshot().files), "recluster must prune"
+    assert {r.id for r in t.read(spark, predicate=pred).collect()} == want
+
+    # incremental consumption refuses to span the rewrite...
+    with pytest.raises(ValueError, match="not an append"):
+        t.read_appended(spark, since=1)
+    # ...but the pre-rewrite append window still reads exactly the
+    # micro-batches that landed after the first commit
+    assert t.read_appended(spark, since=1, until=v_streamed).count() == 2000
