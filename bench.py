@@ -113,6 +113,7 @@ EXTRA = [
     "d37_bpe_tokenize_stats",
     "s8_ivfpq_topk",
     "d38_heavy_hitter_tokens",
+    "d39_epoch_shuffle",
 ]
 
 # Queries whose lineage persists an exploded working relation DISK_ONLY

@@ -370,3 +370,69 @@ def d33_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.withColumn("pick_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("pick_rank") <= 50)
     )
+
+
+# ---------------------------------------------------------------------------
+# d39 — deterministic per-epoch shuffle order: the resumable data-
+# loader permutation a trainer actually consumes. Per epoch, every doc
+# gets a position within its shard from an md5(doc_id:epoch) sort key
+# — a different, reproducible permutation each epoch, resumable from
+# any (epoch, shard, position) checkpoint with no RNG state to
+# persist. The ranking window is PARTITIONED by (epoch, shard), so at
+# 100 TB each sort is one shard's worth — shard count is the
+# parallelism knob, never a global sort (q43's lesson). Tie-break on
+# doc_id keeps the order total even under md5-collision paranoia.
+# ---------------------------------------------------------------------------
+_N_EPOCHS = 2
+
+_D39_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+          + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % {_N_SHARDS} AS shard
+  FROM documents
+), e AS (
+  SELECT epoch, doc_id, shard,
+         md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)) AS ord
+  FROM t, (SELECT unnest([0, 1]) AS epoch)
+)
+SELECT CAST(epoch AS BIGINT) AS epoch,
+       CAST(shard AS BIGINT) AS shard,
+       doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY ord, doc_id)
+            AS BIGINT) AS position
+FROM e
+"""
+
+
+@register(
+    "d39_epoch_shuffle",
+    _D39_ORACLE,
+    doc="Deterministic per-epoch data-loader order: md5(doc_id:epoch) "
+    "permutation ranked WITHIN (epoch, shard) — reproducible, resumable "
+    "from any checkpoint without RNG state, shard-parallel (no global "
+    "sort) at any scale.",
+)
+def d39_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(epoch, shard, doc_id, position) for the first two epochs."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = F.pmod(
+        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1)),
+        F.lit(_N_SHARDS),
+    )
+    e = docs.select(
+        "doc_id",
+        shard.cast("long").alias("shard"),
+        F.explode(F.array(*[F.lit(i) for i in range(_N_EPOCHS)])).alias("epoch"),
+    )
+    ord_key = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("epoch").cast("string"))
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy(ord_key, F.col("doc_id"))
+    return e.select(
+        F.col("epoch").cast("long").alias("epoch"),
+        "shard",
+        "doc_id",
+        F.row_number().over(w).cast("long").alias("position"),
+    )

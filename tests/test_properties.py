@@ -400,3 +400,25 @@ def test_bloom_unbloomable_types_opt_out_both_sides(v):
     assert _bloom_build([1, v], m_bits=1024) is None
     some = _bloom_build([1, 2, 3], m_bits=1024)
     assert _bloom_maybe_contains(some, v) is True
+
+
+def test_epoch_shuffle_is_a_fresh_permutation_per_epoch(spark):
+    """d39's data-loader order: per (epoch, shard) the positions are a
+    dense 1..n permutation, the two epochs order docs differently for
+    nearly every doc (md5 mixing), and the whole table is reproducible
+    run to run (resumability without RNG state)."""
+    from real_time_data_engineering_spark.registry import all_specs
+    from conftest import SF_DIR_T2
+
+    spec = all_specs()["d39_epoch_shuffle"]
+    out = spec.spark(spark, SF_DIR_T2).toPandas()
+    for (_e, _s), grp in out.groupby(["epoch", "shard"]):
+        assert sorted(grp["position"]) == list(range(1, len(grp) + 1))
+    p0 = out[out.epoch == 0].set_index("doc_id")["position"]
+    p1 = out[out.epoch == 1].set_index("doc_id")["position"]
+    moved = (p0 != p1.reindex(p0.index)).mean()
+    assert moved > 0.9, f"epochs nearly identical: {moved:.3f} moved"
+    again = spec.spark(spark, SF_DIR_T2).toPandas()
+    assert out.sort_values(["epoch", "shard", "position"]).reset_index(drop=True).equals(
+        again.sort_values(["epoch", "shard", "position"]).reset_index(drop=True)
+    )
