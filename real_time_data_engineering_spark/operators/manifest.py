@@ -94,6 +94,10 @@ class Snapshot:
     # column silently vanishing when that file gets schema-sampled.
     # None for pre-schema manifests (reader falls back to mergeSchema).
     schema_json: str | None = None
+    # merge-on-read deletion vectors: {data_file_rel: dv_parquet_rel}.
+    # The DV parquet holds (file_path, row_index) rows to SKIP; a file
+    # absent here reads whole. {} for CoW-only / pre-DV manifests.
+    dvs: dict = field(default_factory=dict)
 
 
 def _stat_encode(v):
@@ -341,6 +345,7 @@ class ManifestTable:
             committed_at=m["committed_at"],
             stats=m.get("stats", {}),
             schema_json=m.get("schema"),
+            dvs=m.get("dvs", {}),
         )
 
     # -- read ---------------------------------------------------------------
@@ -391,7 +396,7 @@ class ManifestTable:
             # every file pruned: empty frame with the table's schema
             df = self._read_files(spark, [snap.files[0]], snap)
             return df.filter(F.lit(False))
-        df = self._read_files(spark, files, snap)
+        df = self._read_files_applying_dvs(spark, files, snap)
         if predicate:
             df = df.filter(_predicate_column(predicate))
         return df
@@ -409,6 +414,30 @@ class ManifestTable:
             schema = StructType.fromJson(json.loads(snap.schema_json))
             return spark.read.schema(schema).parquet(*paths)
         return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def _read_files_applying_dvs(
+        self, spark: SparkSession, files: list[str], snap: Snapshot
+    ) -> DataFrame:
+        """Scan ``files`` with the snapshot's deletion vectors applied:
+        rows whose (file_path, row_index) appear in a referenced DV are
+        anti-joined away. Files without a DV take the plain fast path
+        (no metadata columns, no join)."""
+        dv_paths = sorted({snap.dvs[f] for f in files if f in snap.dvs})
+        if not dv_paths:
+            return self._read_files(spark, files, snap)
+        df = self._read_files(spark, files, snap).select(
+            "*",
+            F.col("_metadata.file_path").alias("_dv_fp"),
+            F.col("_metadata.row_index").alias("_dv_ri"),
+        )
+        dv = spark.read.parquet(*[os.path.join(self.path, d) for d in dv_paths]).select(
+            F.col("file_path").alias("_dv_fp"), F.col("row_index").alias("_dv_ri")
+        )
+        # no broadcast hint: AQE broadcasts small vectors at runtime and
+        # falls back to a shuffled anti-join when a vector outgrows it
+        return df.join(dv, ["_dv_fp", "_dv_ri"], "left_anti").drop(
+            "_dv_fp", "_dv_ri"
+        )
 
     # -- write / commit -----------------------------------------------------
 
@@ -484,6 +513,7 @@ class ManifestTable:
         operation: str,
         stats: dict | None = None,
         schema_json: str | None = None,
+        dvs: dict | None = None,
     ) -> Snapshot:
         """Publish `files` as snapshot `version` — atomically, via
         O_CREAT|O_EXCL on the version file: exactly one racing writer
@@ -495,6 +525,7 @@ class ManifestTable:
                 "committed_at": time.time(),
                 "stats": stats or {},
                 "schema": schema_json,
+                "dvs": dvs or {},
             }
         )
         try:
@@ -544,13 +575,44 @@ class ManifestTable:
         new_stats = self._stats_for(new_files)
         base = self.snapshot()
         if mode == "overwrite":
-            files, stats = new_files, new_stats
+            files, stats, dvs = new_files, new_stats, {}
             schema = df.schema.json()  # overwrite (re)sets the table schema
         else:
             files = list(base.files) + new_files
             stats = {**base.stats, **new_stats}
             schema = self._merged_schema_json(base.schema_json, df)
-        return self._commit(base.version + 1, files, mode, stats, schema)
+            dvs = dict(base.dvs)  # appended files are DV-free; kept ones ride
+        return self._commit(base.version + 1, files, mode, stats, schema, dvs)
+
+    def append_with_retry(
+        self,
+        df: DataFrame,
+        max_attempts: int = 5,
+        cluster_by: list[str] | None = None,
+        n_files: int | None = None,
+    ) -> Snapshot:
+        """Optimistic-concurrency APPEND: the Delta/Iceberg conflict
+        rule that append-only commits never semantically conflict —
+        they only ADD files — so a racer that loses the version CAS
+        (`CommitConflict`) can rebase on the winner's snapshot and
+        retry, and every writer's rows land exactly once. Each retry
+        re-stages the data (write stages before commit), so an
+        abandoned attempt leaves only vacuum-able orphans, never
+        table-visible rows. Overwrite/delete are deliberately NOT
+        retried here: their outcome depends on the base state, so a
+        blind rebase would silently drop the winner's effects — those
+        callers must re-read and re-decide."""
+        last: CommitConflict | None = None
+        for _ in range(max_attempts):
+            try:
+                return self.write(
+                    df, mode="append", cluster_by=cluster_by, n_files=n_files
+                )
+            except CommitConflict as exc:
+                last = exc
+        raise CommitConflict(
+            f"append lost the version race {max_attempts} times: {last}"
+        )
 
     def merge_upsert(
         self,
@@ -569,27 +631,91 @@ class ManifestTable:
         merged = merge_upsert(existing, updates, key_cols, precombine_col)
         return self.write(merged, mode="overwrite")
 
-    def delete_where(self, spark: SparkSession, predicate: list[tuple]) -> Snapshot:
-        """DELETE WHERE as copy-on-write of ONLY the files whose stats
-        admit a match (Delta/Iceberg CoW delete): files the manifest
-        stats PROVE unaffected carry into the new snapshot by reference
-        — a metadata no-op — and only the admitting files are rewritten
-        without the matching rows. At 100 TB a selective delete then
-        rewrites a handful of files, not the table; the same footer
-        stats that drive read-side skipping drive the write-side blast
-        radius. Older snapshots still see the deleted rows (time
-        travel) until expire/vacuum."""
+    def delete_where(
+        self,
+        spark: SparkSession,
+        predicate: list[tuple],
+        merge_on_read: bool = False,
+    ) -> Snapshot:
+        """DELETE WHERE, scoped by stats to ONLY the files that admit a
+        match; files the manifest stats PROVE unaffected carry into the
+        new snapshot by reference — a metadata no-op either way.
+
+        Copy-on-write (default, Delta/Iceberg CoW): the admitting files
+        are rewritten without the matching rows. At 100 TB a selective
+        delete then rewrites a handful of files, not the table — the
+        read-side skipping stats double as the write-side blast radius.
+
+        ``merge_on_read=True`` writes DELETION VECTORS instead (the
+        Delta DV / Iceberg positional-delete path): no data file is
+        rewritten — one small sidecar parquet of (file_path, row_index)
+        positions is staged and the snapshot maps each touched file to
+        it; readers anti-join it away. The write costs one scan of the
+        touched files and O(deleted rows) output no matter how large
+        those files are — the right trade for frequent small deletes
+        (GDPR erasure, late corrections); `compact()` later applies the
+        vectors and returns the table to vector-free files. Touched
+        files keep their ORIGINAL stats — an over-approximation, so
+        pruning stays conservative, never wrong.
+
+        Both modes keep every row where the predicate is NOT TRUE
+        (SQL semantics): a NULL in the predicate column makes the
+        conjunction NULL — CoW coalesces the survivor filter to FALSE,
+        merge-on-read only marks rows where the predicate is TRUE.
+        Older snapshots still see the deleted rows (time travel) until
+        expire/vacuum.
+
+        Caveat (documented trade): DV rows key on the scan's absolute
+        ``_metadata.file_path`` URI, so vectors survive only as long as
+        the table directory does not MOVE — production formats key on
+        a stable file id for this reason; `compact()` clears vectors
+        and restores full relocatability."""
         snap = self.snapshot()
-        touched = set(self.files_for(predicate))
-        keep = [f for f in snap.files if f not in touched]
+        touched = sorted(self.files_for(predicate))
+        touched_set = set(touched)
+        keep = [f for f in snap.files if f not in touched_set]
         if not touched:
             return snap  # stats prove nothing matches: true no-op
-        # DELETE WHERE keeps every row where the predicate is NOT TRUE
-        # (Delta/Iceberg/SQL semantics): a NULL in the predicate column
-        # makes the conjunction NULL, and a bare filter(~NULL) would drop
-        # the row from the rewrite — silently deleting it. coalesce to
-        # FALSE so NULL-predicate rows survive the copy-on-write.
-        survivors = self._read_files(spark, sorted(touched), snap).filter(
+        keep_dvs = {f: snap.dvs[f] for f in keep if f in snap.dvs}
+        if merge_on_read:
+            # positions to delete = predicate-TRUE rows of the touched
+            # files. The metadata columns must be projected ON the scan
+            # (they do not survive joins), so the existing-DV anti-join
+            # is applied here rather than via the reading helper;
+            # already-deleted rows therefore never re-enter. The new
+            # sidecar carries the touched files' FULL vector (old
+            # positions unioned in), so each file maps to exactly one
+            # DV file per snapshot.
+            scan = self._read_files(spark, touched, snap).select(
+                "*",
+                F.col("_metadata.file_path").alias("file_path"),
+                F.col("_metadata.row_index").alias("row_index"),
+            )
+            old_paths = sorted({snap.dvs[f] for f in touched if f in snap.dvs})
+            old = None
+            if old_paths:
+                old = spark.read.parquet(
+                    *[os.path.join(self.path, d) for d in old_paths]
+                ).select("file_path", "row_index")
+                scan = scan.join(old, ["file_path", "row_index"], "left_anti")
+            new_dv = scan.filter(
+                F.coalesce(_predicate_column(predicate), F.lit(False))
+            ).select("file_path", "row_index")
+            if new_dv.limit(1).count() == 0:
+                return snap  # stats admitted files, but no row matches
+            if old is not None:
+                new_dv = new_dv.unionByName(old).distinct()
+            (dv_rel,) = self._stage(new_dv.coalesce(1))
+            dvs = {**keep_dvs, **{f: dv_rel for f in touched}}
+            return self._commit(
+                snap.version + 1,
+                list(snap.files),
+                "delete-mor",
+                dict(snap.stats),
+                snap.schema_json,
+                dvs,
+            )
+        survivors = self._read_files_applying_dvs(spark, touched, snap).filter(
             ~F.coalesce(_predicate_column(predicate), F.lit(False))
         )
         new_files = self._stage(survivors)
@@ -598,7 +724,12 @@ class ManifestTable:
             **self._stats_for(new_files),
         }
         return self._commit(
-            snap.version + 1, keep + new_files, "delete", stats, snap.schema_json
+            snap.version + 1,
+            keep + new_files,
+            "delete",
+            stats,
+            snap.schema_json,
+            keep_dvs,
         )
 
     # -- incremental consumption -------------------------------------------
@@ -725,7 +856,9 @@ class ManifestTable:
         (single-writer repair/test path)."""
         referenced = set()
         for v in self.versions():
-            referenced.update(self.snapshot(v).files)
+            rsnap = self.snapshot(v)
+            referenced.update(rsnap.files)
+            referenced.update(rsnap.dvs.values())  # DV sidecars are live
         cutoff = time.time() - older_than_s
         removed = []
         for root, _dirs, names in os.walk(self.path):

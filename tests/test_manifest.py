@@ -543,7 +543,9 @@ def test_manifest_random_walk_matches_model(spark, tmp_path, bloom_kw):
     model = {r.id: r.val for r in t.read(spark).collect()}
 
     for step in range(24):
-        op = rng.choice(["append", "delete", "compact", "expire", "vacuum", "overwrite"])
+        op = rng.choice(
+            ["append", "delete", "delete_mor", "compact", "expire", "vacuum", "overwrite"]
+        )
         if op == "append":
             rows = fresh_rows(rng.randrange(1, 12))
             t.write(df_of(rows), mode="append")
@@ -556,6 +558,10 @@ def test_manifest_random_walk_matches_model(spark, tmp_path, bloom_kw):
             cut = rng.randrange(100)
             t.delete_where(spark, [("val", "<", cut)])
             model = {k: v for k, v in model.items() if not (v < cut)}
+        elif op == "delete_mor":
+            cut = rng.randrange(100)
+            t.delete_where(spark, [("val", ">", cut)], merge_on_read=True)
+            model = {k: v for k, v in model.items() if not (v > cut)}
         elif op == "compact":
             t.compact(spark)
         elif op == "expire":
@@ -806,3 +812,137 @@ def test_streamed_table_recluster_lifecycle(spark, tmp_path):
     # ...but the pre-rewrite append window still reads exactly the
     # micro-batches that landed after the first commit
     assert t.read_appended(spark, since=1, until=v_streamed).count() == 2000
+
+
+def test_append_with_retry_rebase_keeps_both_writers_rows(spark, tmp_path):
+    """Optimistic append loop: a racer that loses the version CAS must
+    rebase on the winner's snapshot and retry, landing BOTH writers'
+    rows exactly once (Delta/Iceberg append-never-conflicts rule)."""
+    path = str(tmp_path / "t")
+    t = ManifestTable(path)
+    t.write(spark.createDataFrame([(0, "base")], "id long, src string"))
+
+    orig_commit = t._commit
+    raced = {"n": 0}
+
+    def commit_with_racer(
+        version, files, operation, stats=None, schema_json=None, dvs=None
+    ):
+        if raced["n"] == 0:
+            raced["n"] += 1
+            # a concurrent writer wins THIS version first
+            ManifestTable(path).write(
+                spark.createDataFrame([(1, "racer")], "id long, src string"),
+                mode="append",
+            )
+        return orig_commit(version, files, operation, stats, schema_json, dvs)
+
+    t._commit = commit_with_racer
+    try:
+        snap = t.append_with_retry(
+            spark.createDataFrame([(2, "retrier")], "id long, src string")
+        )
+    finally:
+        t._commit = orig_commit
+    assert raced["n"] == 1
+    got = {(r.id, r.src) for r in t.read(spark).collect()}
+    assert got == {(0, "base"), (1, "racer"), (2, "retrier")}
+    # losing attempt's staged files are orphans, not table rows; the
+    # lost attempt bumped no version (base=1, racer=2, retry lands 3)
+    assert snap.version == 3
+    assert t.vacuum(older_than_s=0), "the lost attempt should leave vacuumable orphans"
+    assert {(r.id, r.src) for r in t.read(spark).collect()} == got
+
+
+def test_append_with_retry_gives_up_after_max_attempts(spark, tmp_path):
+    """A persistently-losing writer surfaces CommitConflict instead of
+    spinning forever."""
+    path = str(tmp_path / "t")
+    t = ManifestTable(path)
+    t.write(spark.createDataFrame([(0,)], "id long"))
+    orig_commit = t._commit
+
+    def always_raced(version, files, operation, stats=None, schema_json=None, dvs=None):
+        ManifestTable(path).write(
+            spark.createDataFrame([(99,)], "id long"), mode="append"
+        )
+        return orig_commit(version, files, operation, stats, schema_json, dvs)
+
+    t._commit = always_raced
+    try:
+        with pytest.raises(CommitConflict, match="lost the version race 2 times"):
+            t.append_with_retry(
+                spark.createDataFrame([(1,)], "id long"), max_attempts=2
+            )
+    finally:
+        t._commit = orig_commit
+
+
+def test_merge_on_read_delete_equals_copy_on_write(spark, tmp_path):
+    """DV delete and CoW delete must produce identical visible rows —
+    the MOR path just moves the cost from write (no file rewritten) to
+    read (anti-join) — including NULL-predicate rows surviving."""
+    rows = [(i, None if i % 7 == 0 else i % 50) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, val int").repartition(4)
+    cow = ManifestTable(str(tmp_path / "cow"))
+    mor = ManifestTable(str(tmp_path / "mor"))
+    cow.write(df)
+    mor.write(df)
+    files_before = set(mor.snapshot().files)
+    cow.delete_where(spark, [("val", ">", 30)])
+    mor.delete_where(spark, [("val", ">", 30)], merge_on_read=True)
+    got_cow = {(r.id, r.val) for r in cow.read(spark).collect()}
+    got_mor = {(r.id, r.val) for r in mor.read(spark).collect()}
+    assert got_mor == got_cow
+    assert any(r[1] is None for r in got_mor), "NULL-predicate rows must survive"
+    # MOR rewrote NOTHING: the data file set is unchanged, only DVs added
+    assert set(mor.snapshot().files) == files_before
+    assert mor.snapshot().dvs, "expected deletion vectors in the snapshot"
+    assert mor.snapshot().operation == "delete-mor"
+
+
+def test_merge_on_read_deletes_stack_and_compact_clears_them(spark, tmp_path):
+    """A second MOR delete unions into the file's vector; predicate
+    reads apply vectors on the pruned scan; compact() rewrites the
+    vectors away and the table reads identically vector-free."""
+    df = spark.createDataFrame([(i, i % 100) for i in range(1000)], "id long, val int")
+    t = ManifestTable(str(tmp_path / "t"))
+    t.write(df.repartition(3))
+    t.delete_where(spark, [("val", "<", 10)], merge_on_read=True)
+    t.delete_where(spark, [("val", ">", 90)], merge_on_read=True)
+    want = {
+        (r.id, r.val) for r in df.filter("val >= 10 and val <= 90").collect()
+    }
+    assert {(r.id, r.val) for r in t.read(spark).collect()} == want
+    # predicate read applies DVs too: a deleted band returns nothing
+    assert t.read(spark, predicate=[("val", "<", 5)]).count() == 0
+    assert t.read(spark, predicate=[("val", "==", 50)]).count() == len(
+        [1 for i in range(1000) if i % 100 == 50]
+    )
+    v_mor = t.snapshot().version
+    t.compact(spark)
+    assert not t.snapshot().dvs, "compact must apply and clear the vectors"
+    assert {(r.id, r.val) for r in t.read(spark).collect()} == want
+    # time travel: the MOR snapshot still applies its vectors...
+    assert {(r.id, r.val) for r in t.read(spark, version=v_mor).collect()} == want
+    # ...and the PRE-delete snapshot still sees every row
+    assert t.read(spark, version=1).count() == 1000
+
+
+def test_merge_on_read_vectors_survive_append_and_vacuum(spark, tmp_path):
+    """Appends carry existing vectors untouched; vacuum never collects
+    a DV sidecar a retained snapshot references."""
+    t = ManifestTable(str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(i, i) for i in range(100)], "id long, val long"))
+    t.delete_where(spark, [("val", "<", 50)], merge_on_read=True)
+    t.write(
+        spark.createDataFrame([(1000 + i, i) for i in range(10)], "id long, val long"),
+        mode="append",
+    )
+    assert t.snapshot().dvs, "append dropped the deletion vectors"
+    assert t.read(spark).count() == 50 + 10
+    t.expire(keep_last=1)
+    removed = t.vacuum(older_than_s=0)
+    assert t.read(spark).count() == 60, f"vacuum broke the DV read (removed {removed})"
+    # a second fresh instance reads the same through the JSON roundtrip
+    assert ManifestTable(str(tmp_path / "t")).read(spark).count() == 60
