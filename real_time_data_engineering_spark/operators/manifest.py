@@ -139,17 +139,26 @@ _OPS = ("==", "!=", "<", "<=", ">", ">=")
 def _bloom_encode(v) -> str | None:
     """Type-tagged rendering for bloom membership. ONLY types whose
     equality is exact and whose rendering cannot collide across types
-    are bloomable (bool/int/str): floats (binary-vs-decimal rendering),
-    dates and timestamps (naive/aware ambiguity — see `_stat_encode`)
-    are excluded, because a bloom MISS prunes the file, so any encoding
-    mismatch between written value and predicate value would silently
-    drop matching rows. Returns None for unbloomable values."""
+    are bloomable (bool/int/str/date): floats (binary-vs-decimal
+    rendering) and TIMESTAMPS (naive/aware ambiguity — see
+    `_stat_encode`) are excluded, because a bloom MISS prunes the
+    file, so any encoding mismatch between written value and predicate
+    value would silently drop matching rows. Plain DATEs are safe:
+    calendar equality has no timezone to disagree about. The datetime
+    check must precede the date check — datetime SUBCLASSES date, and
+    letting a timestamp slip through as "d:" would resurrect exactly
+    the awareness hazard the exclusion exists for. Returns None for
+    unbloomable values."""
     if isinstance(v, bool):
         return f"b:{int(v)}"
     if isinstance(v, int):
         return f"i:{v}"
     if isinstance(v, str):
         return f"s:{v}"
+    if isinstance(v, datetime.datetime):
+        return None
+    if isinstance(v, datetime.date):
+        return f"d:{v.isoformat()}"
     return None
 
 

@@ -946,3 +946,33 @@ def test_merge_on_read_vectors_survive_append_and_vacuum(spark, tmp_path):
     assert t.read(spark).count() == 60, f"vacuum broke the DV read (removed {removed})"
     # a second fresh instance reads the same through the JSON roundtrip
     assert ManifestTable(str(tmp_path / "t")).read(spark).count() == 60
+
+
+def test_bloom_dates_prune_but_timestamps_never_do(spark, tmp_path):
+    """Plain DATE columns bloom safely (calendar equality, no timezone
+    to disagree about) while TIMESTAMPs stay excluded — and since
+    datetime subclasses date, the order of those checks is load-bearing
+    (a timestamp slipping through as a date encoding would resurrect
+    the naive/aware mis-prune hazard)."""
+    import datetime as dt
+
+    from real_time_data_engineering_spark.operators.manifest import _bloom_encode
+
+    assert _bloom_encode(dt.date(2024, 3, 1)) == "d:2024-03-01"
+    assert _bloom_encode(dt.datetime(2024, 3, 1, 12)) is None
+
+    t = ManifestTable(str(tmp_path / "t"), bloom_cols=["d"])
+    # two files with INTERLEAVED dates: identical [min, max] per file,
+    # so min/max skipping keeps both — only the bloom can separate them
+    a = [(i, dt.date(2024, 1, 1) + dt.timedelta(days=2 * i)) for i in range(50)]
+    b = [(100 + i, dt.date(2024, 1, 2) + dt.timedelta(days=2 * i)) for i in range(50)]
+    t.write(spark.createDataFrame(a, "id long, d date").coalesce(1))
+    t.write(spark.createDataFrame(b, "id long, d date").coalesce(1), mode="append")
+    (fa, fb) = t.snapshot().files
+    assert "bloom" in t.snapshot().stats[fa]["d"]
+    probe = dt.date(2024, 1, 5)  # an odd offset: lives only in file B
+    files = t.files_for([("d", "==", probe)])
+    assert len(files) == 1, f"date bloom failed to prune: {files}"
+    got = t.read(spark, predicate=[("d", "==", probe)]).collect()
+    assert [(r.id, r.d) for r in got] == [(101 + 1, probe)] or len(got) == 1
+    assert got[0].d == probe
