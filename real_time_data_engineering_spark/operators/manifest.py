@@ -431,10 +431,17 @@ class ManifestTable:
         rows whose (file_path, row_index) appear in a referenced DV are
         anti-joined away. Files without a DV take the plain fast path
         (no metadata columns, no join)."""
-        dv_paths = sorted({snap.dvs[f] for f in files if f in snap.dvs})
-        if not dv_paths:
+        with_dv = [f for f in files if f in snap.dvs]
+        if not with_dv:
             return self._read_files(spark, files, snap)
-        df = self._read_files(spark, files, snap).select(
+        # split the scan: only DV-bearing files pay the metadata
+        # projection + anti-join; everything else reads plain and
+        # unions back — in the common shape (a handful of files carry
+        # vectors after a selective delete) most of the table keeps the
+        # vector-free fast path
+        plain = [f for f in files if f not in snap.dvs]
+        dv_paths = sorted({snap.dvs[f] for f in with_dv})
+        df = self._read_files(spark, with_dv, snap).select(
             "*",
             F.col("_metadata.file_path").alias("_dv_fp"),
             F.col("_metadata.row_index").alias("_dv_ri"),
@@ -444,9 +451,10 @@ class ManifestTable:
         )
         # no broadcast hint: AQE broadcasts small vectors at runtime and
         # falls back to a shuffled anti-join when a vector outgrows it
-        return df.join(dv, ["_dv_fp", "_dv_ri"], "left_anti").drop(
-            "_dv_fp", "_dv_ri"
-        )
+        out = df.join(dv, ["_dv_fp", "_dv_ri"], "left_anti").drop("_dv_fp", "_dv_ri")
+        if plain:
+            out = self._read_files(spark, plain, snap).unionByName(out)
+        return out
 
     # -- write / commit -----------------------------------------------------
 
