@@ -227,6 +227,7 @@ def ivfpq_index_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Top-k over a written IVF-PQ index for an external query frame
     (``queries``: id_col + emb_col — fresh vectors, not the corpus;
@@ -235,7 +236,15 @@ def ivfpq_index_topk(
     codes scan (unprobed cells' files stay unread); scoring is the
     exact-int64 ADC LUT over codes only. Same deterministic contracts
     as `similarity.ivfpq_topk` — a written index answers exactly like
-    the in-memory composition (equivalence-tested)."""
+    the in-memory composition (equivalence-tested).
+
+    ``exclude_self`` drops candidates whose corpus id equals the query
+    id. It is OFF by default because external query ids share no id
+    space with the corpus — a fresh query whose id happens to collide
+    with a vec_id must NOT lose a legitimate neighbor. Turn it on only
+    when queries are drawn from the indexed corpus itself (the
+    `similarity.ivfpq_topk` / registry s8 convention, and what the
+    disk↔memory equivalence test asserts)."""
     cent = spark.read.parquet(os.path.join(path, _CENTROIDS))
     cb = spark.read.parquet(os.path.join(path, _CODEBOOKS))
     q = with_quantized(queries, emb_col).select(
@@ -291,9 +300,9 @@ def ivfpq_index_topk(
             lambda acc, x: acc + x,
         ).alias("dist"),
     )
-    cand = codes.join(
-        F.broadcast(routed.select("qid", "cluster")), "cluster"
-    ).filter(F.col("qid") != F.col(id_col))
+    cand = codes.join(F.broadcast(routed.select("qid", "cluster")), "cluster")
+    if exclude_self:
+        cand = cand.filter(F.col("qid") != F.col(id_col))
     # disambiguate the LUT's key columns before the 3-key equi-join
     # (both sides carry a qid otherwise — AMBIGUOUS_REFERENCE)
     lut_r = lut.select(

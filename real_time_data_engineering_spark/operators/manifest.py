@@ -163,30 +163,49 @@ def _bloom_encode(v) -> str | None:
 
 
 def _bloom_build(values, m_bits: int, k: int = 4) -> dict | None:
-    """Bloom filter over a file's column values → {"b": hex, "m", "k"},
-    or None when any value is unbloomable (the whole column opts out
-    for this file — absent bloom never prunes). md5-derived bit
-    positions: stable across processes, engines and Python hash seeds."""
+    """Bloom filter over a file's column values → {"b": hex, "m", "k",
+    "t": type tag}, or None when any value is unbloomable OR the values
+    mix type tags (the whole column opts out for this file — absent
+    bloom never prunes). The written column's tag rides in the entry so
+    the read side can refuse to prune on a CROSS-TYPE predicate: a str
+    '7' probe against an int-column bloom is a guaranteed encoding miss,
+    but Spark's exact filter would match via implicit cast — pruning on
+    that miss would be a correctness decision, which blooms must never
+    make. md5-derived bit positions: stable across processes, engines
+    and Python hash seeds."""
     bits = 0
+    tag = None
     for v in values:
         if v is None:
             continue  # equality predicates never match NULL
         enc = _bloom_encode(v)
         if enc is None:
             return None
+        t = enc[: enc.index(":")]
+        if tag is None:
+            tag = t
+        elif t != tag:
+            return None  # mixed-type column: no single tag to pin
         h = hashlib.md5(enc.encode("utf-8")).digest()
         for i in range(k):
             bits |= 1 << (int.from_bytes(h[i * 4 : (i + 1) * 4], "big") % m_bits)
-    return {"b": format(bits, "x"), "m": m_bits, "k": k}
+    if tag is None:
+        return None  # all-NULL: min/max null accounting prunes, not blooms
+    return {"b": format(bits, "x"), "m": m_bits, "k": k, "t": tag}
 
 
 def _bloom_maybe_contains(bloom: dict, value) -> bool:
     """False ONLY when the bloom proves the value absent (all-bits test
-    failed); True on any doubt — unbloomable predicate value, malformed
-    entry — so bloom pruning stays a pure optimization."""
+    failed) AND the predicate value's type tag matches the column's
+    written tag; True on any doubt — unbloomable predicate value,
+    malformed entry, missing or mismatched tag (cross-type equality may
+    still match via Spark's implicit cast) — so bloom pruning stays a
+    pure optimization, never a correctness decision."""
     enc = _bloom_encode(value)
     if enc is None or not isinstance(bloom, dict) or "b" not in bloom:
         return True
+    if bloom.get("t") != enc[: enc.index(":")]:
+        return True  # cross-type (or legacy untagged) probe: can't prove absent
     bits = int(bloom["b"], 16)
     m_bits, k = int(bloom["m"]), int(bloom["k"])
     h = hashlib.md5(enc.encode("utf-8")).digest()
@@ -320,8 +339,17 @@ class ManifestTable:
         manifest). Bloom entries ride in the per-file stats, so readers
         need no table-level config and tables written with different
         settings interoperate; false positives only cost an un-pruned
-        file — never correctness (the exact filter still runs)."""
-        self.path = path.rstrip("/")
+        file — never correctness (the exact filter still runs).
+
+        The table path is canonicalized (``os.path.realpath``) at init:
+        deletion vectors key rows on the scan's absolute
+        ``_metadata.file_path`` URI, so two handles on the same table
+        via different path identities (symlink vs real path, relative
+        path from another cwd) must resolve to ONE canonical scan URI
+        or a DV anti-join would silently miss and deleted rows
+        reappear. Physically MOVING the directory remains the
+        documented relocation caveat (`compact()` clears vectors)."""
+        self.path = os.path.realpath(path)
         self.bloom_cols = list(bloom_cols or [])
         self.bloom_bits = bloom_bits
         self.bloom_max_ndv = bloom_max_ndv
@@ -686,7 +714,10 @@ class ManifestTable:
         ``_metadata.file_path`` URI, so vectors survive only as long as
         the table directory does not MOVE — production formats key on
         a stable file id for this reason; `compact()` clears vectors
-        and restores full relocatability."""
+        and restores full relocatability. Path-identity drift short of
+        a move (symlinked or relative handles on the same directory) is
+        already neutralized by the init-time ``realpath``
+        canonicalization."""
         snap = self.snapshot()
         touched = sorted(self.files_for(predicate))
         touched_set = set(touched)

@@ -94,10 +94,30 @@ def test_ivfpq_index_equals_in_memory_composition(spark, ivfpq_path):
     got = {
         (r.qid, r.nid, r.est_dist, r.rank)
         for r in ivfpq_index_topk(
-            spark, ivfpq_path, emb.filter(pred), topk=5, n_probe=2
+            spark, ivfpq_path, emb.filter(pred), topk=5, n_probe=2, exclude_self=True
         ).collect()
     }
     assert got == want and got
+
+
+def test_ivfpq_external_query_keeps_colliding_id_neighbor(spark, ivfpq_path):
+    """External query frames share no id space with the corpus, so a
+    query whose id happens to equal a vec_id must NOT lose that corpus
+    vector as a candidate (exclude_self defaults to False). Probe with
+    corpus vectors under their own ids: every query's own code row is
+    its exact-ADC-0 match and must appear in its top-k."""
+    from real_time_data_engineering_spark.operators.ann_index import ivfpq_index_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ivfpq_index_topk(spark, ivfpq_path, queries, topk=5, n_probe=2).collect()
+    self_hits = {r.qid for r in out if r.qid == r.nid}
+    assert self_hits == {r.vec_id for r in queries.select("vec_id").collect()}
+    # and the opt-in exclusion still removes them for corpus-drawn queries
+    excl = ivfpq_index_topk(
+        spark, ivfpq_path, queries, topk=5, n_probe=2, exclude_self=True
+    ).collect()
+    assert all(r.qid != r.nid for r in excl)
 
 
 def test_ivfpq_probe_scan_is_partition_pruned(spark, ivfpq_path):

@@ -976,3 +976,64 @@ def test_bloom_dates_prune_but_timestamps_never_do(spark, tmp_path):
     got = t.read(spark, predicate=[("d", "==", probe)]).collect()
     assert [(r.id, r.d) for r in got] == [(101 + 1, probe)] or len(got) == 1
     assert got[0].d == probe
+
+
+def test_bloom_cross_type_equality_never_prunes(spark, tmp_path):
+    """ADVICE r5 (medium): a cross-typed equality probe — str '7' or
+    bool True against an int-column bloom — encodes to a different
+    type tag, so the bit test is a GUARANTEED miss; pruning on it
+    would drop rows Spark's exact filter matches via implicit cast.
+    The bloom entry now carries the written tag and refuses to prove
+    absence across tags; min/max keeps its existing TypeError guard."""
+    from real_time_data_engineering_spark.operators.manifest import (
+        _bloom_build,
+        _bloom_maybe_contains,
+        _provably_empty,
+    )
+
+    bloom = _bloom_build([1, 7, 9], 256)
+    assert bloom["t"] == "i"
+    assert _bloom_maybe_contains(bloom, 7) is True
+    assert _bloom_maybe_contains(bloom, 8) is False  # same-type miss still prunes
+    # cross-type probes: encoding mismatch must NOT prove absence
+    assert _bloom_maybe_contains(bloom, "7") is True
+    assert _bloom_maybe_contains(bloom, True) is True
+    stats = {"k": {"bloom": bloom, "min": 1, "max": 9}}
+    assert not _provably_empty(stats, [("k", "==", "7")])
+    assert not _provably_empty(stats, [("k", "==", True)])
+    # legacy untagged entries (pre-r6 manifests) degrade to maybe-contains
+    legacy = {kk: v for kk, v in bloom.items() if kk != "t"}
+    assert _bloom_maybe_contains(legacy, 8) is True
+    # mixed-type value sets refuse to bloom at all
+    assert _bloom_build([1, "x"], 256) is None
+    # end to end: files_for/delete_where on a bloomed int column keep
+    # working under a str-typed predicate value (no silent no-op)
+    t = ManifestTable(str(tmp_path / "t"), bloom_cols=["k"])
+    t.write(spark.createDataFrame([(7, "a"), (9, "b")], "k int, s string").coalesce(1))
+    assert len(t.files_for([("k", "==", "7")])) == 1
+    assert t.read(spark, predicate=[("k", "==", "7")]).count() == 1
+    t.delete_where(spark, [("k", "==", "7")])
+    assert {r.k for r in t.read(spark).collect()} == {9}
+
+
+def test_deletion_vectors_survive_symlinked_table_handles(spark, tmp_path):
+    """ADVICE r5 (low): DV rows key on the scan's absolute
+    ``_metadata.file_path`` URI. Handles on the same table through
+    different path identities (symlink vs real path) must resolve to
+    one canonical URI — realpath at init — or the anti-join misses and
+    deleted rows silently reappear."""
+    import os
+
+    real = tmp_path / "real_tbl"
+    link = tmp_path / "link_tbl"
+    df = spark.createDataFrame([(i, i % 10) for i in range(200)], "id long, val int")
+    ManifestTable(str(real)).write(df.repartition(2))
+    os.symlink(str(real), str(link))
+    # delete through the SYMLINK handle...
+    ManifestTable(str(link)).delete_where(spark, [("val", "==", 3)], merge_on_read=True)
+    # ...then read through the real path, a fresh symlink handle, and a
+    # relative path: every identity must apply the vectors
+    rel = os.path.relpath(str(link), os.getcwd())
+    for handle in (str(real), str(link), rel):
+        got = {r.id for r in ManifestTable(handle).read(spark).collect()}
+        assert got == {i for i in range(200) if i % 10 != 3}, handle
