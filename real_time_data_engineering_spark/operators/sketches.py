@@ -11,14 +11,24 @@ mathematical guarantee):
   against DuckDB (d38). The threshold compare is integer cross-
   multiplication (`cnt * k > n`), so no float enters the decision.
 * `mg_heavy_hitters` — ONE pass: per-partition Misra-Gries(k)
-  summaries (Misra & Gries 1982) via Arrow-batched `mapInPandas`,
-  merged on the driver. Mergeable-summaries property (Agarwal et al.
-  2013): summing counters and decrementing by the (k+1)-th largest
-  keeps the guarantee, so the merged sketch still (a) contains EVERY
-  token with true frequency > n/(k+1), and (b) underestimates any
-  token's count by at most n/(k+1). Driver traffic is O(partitions·k)
-  counters — never the vocabulary; at 100 TB this is the path, since
-  the exact form's full token groupBy shuffles the corpus vocabulary.
+  summaries (Misra & Gries 1982) via Arrow-batched `mapInPandas`
+  (vectorized: pandas `explode().value_counts()` per batch, then the
+  mergeable-summaries decrement — per-batch Python cost is
+  O(distinct tokens), never O(tokens)), merged on the driver.
+  Mergeable-summaries property (Agarwal et al. 2013): summing
+  counters and decrementing by the (k+1)-th largest keeps the
+  guarantee, so the merged sketch still (a) contains EVERY token with
+  true frequency > n/(k+1), and (b) underestimates any token's count
+  by at most n/(k+1). Driver traffic is O(partitions·k) counters —
+  never the vocabulary.
+
+  Honest single-node throughput note (measured, 10× replica + a
+  400 k-doc/9 M-distinct synthetic vocab): the EXACT path stays
+  slightly faster at local scale — Tungsten's map-side partial
+  hash-agg beats the Arrow+pandas transfer even at millions of
+  distinct tokens. The sketch's claim is bounded STATE: at 100 TB the
+  exact form's vocabulary-sized exchange is what spills, while MG's
+  shuffle+driver state stays O(partitions·k) regardless of vocabulary.
 
 The sketch's surviving-counter SET is deterministic for a fixed
 partitioning but not across partitionings (MG is order-sensitive), so
@@ -77,20 +87,24 @@ def mg_heavy_hitters(df: DataFrame, k: int = 200, text_col: str = "text") -> Dat
     def mg_partial(it):
         import pandas as _pd
 
+        # Vectorized partial (r5 verdict: the per-token Python loop was
+        # the one row-at-a-time interpreter path left in an operator
+        # module). Each Arrow batch's counts come from pandas
+        # explode().value_counts() (C-speed), which is itself an EXACT
+        # summary — i.e. an MG(k') sketch with zero error — so folding
+        # it into the running counters with the mergeable-summaries
+        # decrement (sum, then subtract the (k+1)-th largest and keep
+        # positives; Agarwal et al. 2013) preserves both MG guarantees
+        # exactly as the token-at-a-time decrement did. Per-batch
+        # Python work is O(distinct tokens), not O(tokens).
         counters: dict[str, int] = {}
         for pdf in it:
-            for toks in pdf["token_arr"]:
-                for t in toks:
-                    if t in counters:
-                        counters[t] += 1
-                    elif len(counters) < k:
-                        counters[t] = 1
-                    else:
-                        dead = [key for key in counters if counters[key] == 1]
-                        for key in dead:
-                            del counters[key]
-                        for key in counters:
-                            counters[key] -= 1
+            batch = pdf["token_arr"].explode().dropna().value_counts()
+            for t, c in batch.items():
+                counters[t] = counters.get(t, 0) + int(c)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {t: c - cut for t, c in counters.items() if c > cut}
         if counters:
             yield _pd.DataFrame(
                 {"token": list(counters), "c": list(counters.values())}
