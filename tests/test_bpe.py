@@ -133,3 +133,53 @@ def test_bpe_plan_stays_jvm_side(spark):
     syms = syms.select(F.expr("regexp_extract_all(word, '.', 0)").alias("syms"), "freq")
     pplan = _pair_counts(syms)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in pplan
+
+
+def test_bpe_driver_crossover_is_bit_identical_to_distributed(spark):
+    """driver_vocab_limit is a pure execution-strategy knob (the
+    k-means sample_n precedent): the collected-vocab incremental
+    trainer and the distributed per-round loop must emit the exact
+    same merge table — counts, tie-breaks and ranks."""
+    df = spark.createDataFrame([(t,) for t in TEXTS], "text string")
+    via_driver = [
+        tuple(r) for r in bpe_merge_table(df, n_merges=10).orderBy("merge_rank").collect()
+    ]
+    via_engine = [
+        tuple(r)
+        for r in bpe_merge_table(df, n_merges=10, driver_vocab_limit=None)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert via_driver == via_engine and via_driver
+    # a vocab larger than the limit falls back to the distributed loop
+    via_fallback = [
+        tuple(r)
+        for r in bpe_merge_table(df, n_merges=10, driver_vocab_limit=1)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert via_fallback == via_engine
+
+
+def test_bpe_realistic_merge_count_trains_in_seconds(spark):
+    """The r5 finding: at ~30k merges the distributed loop's ~0.5 s
+    per-round scheduling floor is a multi-hour driver-latency wall.
+    The crossover must make a 200-merge-class training interactive
+    (seconds) AND still match the independent Python model exactly."""
+    import time
+
+    texts = TEXTS * 4 + [
+        "pretokenization keeps symbols lowercase alphabetic runs only",
+        "mergeable summaries keep the guarantee through the decrement",
+        "the quick brown fox jumps over the lazy dog repeatedly",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    t0 = time.time()
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_merge_table(df, n_merges=200).orderBy("merge_rank").collect()
+    ]
+    took = time.time() - t0
+    want, _ = _model_bpe(texts, 200)
+    assert got == want
+    assert took < 30, f"200-merge training took {took:.1f}s — crossover not engaged?"
