@@ -66,8 +66,9 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # construction, accuracy property-tested instead).
 
 # The 50 queries CORRECTNESS_r03 recorded green, IN ITS ORDER —
-# re-confirmed by CORRECTNESS_r04 (same 50 keys, same order, 50/50
-# green), so the pin already freezes the r4 artifact too. Without
+# re-confirmed by CORRECTNESS_r04 AND CORRECTNESS_r05 (same 50 keys,
+# same order, 50/50 green each), so the pin freezes those artifacts
+# too; tests/test_plans.py asserts the r5 key list verbatim. Without
 # this pin, new round-4 analytics-module queries would register ahead
 # of the dedup/mixing/similarity modules (import order) and silently
 # evict previously-green rows from a budgeted artifact. Never reorder

@@ -387,6 +387,24 @@ def test_r3_green_head_keeps_its_positions():
     assert specs[: len(head)] == head
 
 
+def test_r5_artifact_key_order_is_pinned_verbatim():
+    """Append-only pin extension (r5 verdict item 4): the driver's
+    round-5 artifact went 50/50 green on exactly the _R3_GREEN_HEAD
+    keys in that order, so the committed CORRECTNESS_r05.json key list
+    IS the contract — assert it verbatim against the registry head so
+    no future registration change can silently reshuffle a budgeted
+    artifact away from its last all-green composition."""
+    import json
+    import pathlib
+
+    from real_time_data_engineering_spark import registry
+
+    artifact = pathlib.Path(__file__).resolve().parents[1] / "CORRECTNESS_r05.json"
+    r5_keys = list(json.loads(artifact.read_text()).keys())
+    assert r5_keys == list(registry._R3_GREEN_HEAD)
+    assert list(registry.all_specs())[: len(r5_keys)] == r5_keys
+
+
 def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
     """The 100 TB sketch-pruning path: Spark's runtime Bloom filter
     (on by default in the session) injects a might_contain probe into
