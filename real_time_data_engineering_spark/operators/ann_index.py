@@ -160,6 +160,7 @@ def ivf_index_topk(
 # ---------------------------------------------------------------------------
 _CODEBOOKS = "_codebooks"
 _CODES = "codes"
+_COARSE = "_quantizer"
 
 
 def write_ivfpq_index(
@@ -173,23 +174,44 @@ def write_ivfpq_index(
     sample_n: int | None = None,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    manifest_codes: bool = False,
 ) -> None:
     """Train both quantizers, encode once, bucket the CODES on disk.
 
     Layout: ``path/codes/cluster=N/*.parquet`` with (id, sub, code) —
     the only corpus-sized relation, and it's m small ints per vector —
     plus ``path/_centroids`` (coarse routing: exact int64 SUM vectors,
-    same representation as `write_ivf_index`) and ``path/_codebooks``
-    (sub, cluster, cq array<bigint>: the quantized PQ codebooks, m·k
-    rows). Zero-norm vectors are excluded at write time (cosine-domain
-    contract, same as every `with_quantized` path). ``sample_n`` bounds
-    BOTH trainings; encoding always covers the full corpus."""
+    same representation as `write_ivf_index`), ``path/_codebooks``
+    (sub, cluster, cq array<bigint> quantized + cf array<double> float
+    PQ codebooks, m·k rows) and ``path/_quantizer`` (cluster, cent_f:
+    the Lloyd-final float64 ASSIGNMENT centroids for every cell — the
+    frozen quantizer `append_to_ivfpq_index` routes new vectors
+    through, FAISS-style). Zero-norm vectors are excluded at write time
+    (cosine-domain contract, same as every `with_quantized` path).
+    ``sample_n`` bounds BOTH trainings; encoding always covers the full
+    corpus.
+
+    ``manifest_codes=True`` stores the codes as a `ManifestTable`
+    (cluster as a data column, `cluster_by=["cluster"]`, one file per
+    cell) instead of hive ``cluster=`` directories: probe pruning then
+    happens through the manifest's per-file min/max stats — the same
+    files-stay-unread guarantee as partition pruning — and the table
+    gains atomic optimistic-concurrency APPENDS (`append_with_retry`),
+    which is what `append_to_ivfpq_index` requires."""
+    from .manifest import ManifestTable
     from .similarity import pq_encode, pq_train_codes
 
     spark = emb.sparkSession
-    assign = kmeans_assign(
-        emb, k=n_cells, max_iter=km_iter, id_col=id_col, emb_col=emb_col, sample_n=sample_n
-    ).select(id_col, "cluster").localCheckpoint(eager=True)
+    assign_df, cents_f = kmeans_assign(
+        emb,
+        k=n_cells,
+        max_iter=km_iter,
+        id_col=id_col,
+        emb_col=emb_col,
+        sample_n=sample_n,
+        with_centroids=True,
+    )
+    assign = assign_df.select(id_col, "cluster").localCheckpoint(eager=True)
     base = with_quantized(emb.join(assign, id_col), emb_col)
     cent = (
         base.select("cluster", F.posexplode("emb_q").alias("pos", "v"))
@@ -204,19 +226,59 @@ def write_ivfpq_index(
     if sample_n is not None:
         codes = pq_encode(emb, C, id_col, emb_col)
     coded = codes.join(base.select(id_col, "cluster"), id_col)
-    coded.write.mode("overwrite").partitionBy("cluster").parquet(
-        os.path.join(path, _CODES)
-    )
+    if manifest_codes:
+        ManifestTable(os.path.join(path, _CODES)).write(
+            coded, mode="overwrite", cluster_by=["cluster"], n_files=n_cells
+        )
+    else:
+        coded.write.mode("overwrite").partitionBy("cluster").parquet(
+            os.path.join(path, _CODES)
+        )
     cent.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, _CENTROIDS))
     import numpy as np
 
     Cq = np.floor(C * 1_000_000.0).astype(np.int64)
     cb_rows = [
-        (j, c, [int(x) for x in Cq[j, c]]) for j in range(m) for c in range(k_codes)
+        (j, c, [int(x) for x in Cq[j, c]], [float(x) for x in C[j, c]])
+        for j in range(m)
+        for c in range(k_codes)
     ]
-    spark.createDataFrame(cb_rows, "sub int, cluster int, cq array<bigint>").coalesce(
-        1
-    ).write.mode("overwrite").parquet(os.path.join(path, _CODEBOOKS))
+    spark.createDataFrame(
+        cb_rows, "sub int, cluster int, cq array<bigint>, cf array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, _CODEBOOKS))
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in cents_f[i]]) for i in range(n_cells)],
+        "cluster int, cent_f array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, _COARSE))
+
+
+def _probed_codes(spark: SparkSession, path: str, probe_cells: list) -> DataFrame:
+    """The probed cells' code rows, files-unread for every other cell.
+
+    Hive layout: one scan with an IN-list partition filter (Spark's
+    partition pruning, plan-asserted in tests). Manifest layout
+    (`manifest_codes=True` indexes): one pruned `ManifestTable.read`
+    per probed cell — the write clustered files by cell, so the
+    manifest's per-file min/max stats prove every unprobed cell's
+    files empty and they stay unread (the stats analogue of partition
+    pruning, and what lets the codes table take atomic appends)."""
+    from functools import reduce
+
+    from .manifest import _MANIFEST_DIR, ManifestTable
+
+    codes_path = os.path.join(path, _CODES)
+    if os.path.isdir(os.path.join(codes_path, _MANIFEST_DIR)):
+        tbl = ManifestTable(codes_path)
+        if not probe_cells:
+            return tbl.read(spark).limit(0)
+        return reduce(
+            DataFrame.unionByName,
+            [
+                tbl.read(spark, predicate=[("cluster", "==", int(c))])
+                for c in probe_cells
+            ],
+        )
+    return spark.read.parquet(codes_path).filter(F.col("cluster").isin(probe_cells))
 
 
 def ivfpq_index_topk(
@@ -267,9 +329,7 @@ def ivfpq_index_topk(
         .select("qid", "q_emb", "cluster")
     )
     probe_cells = sorted({r.cluster for r in routed.select("cluster").distinct().collect()})
-    codes = spark.read.parquet(os.path.join(path, _CODES)).filter(
-        F.col("cluster").isin(probe_cells)
-    )
+    codes = _probed_codes(spark, path, probe_cells)
     # per-query LUT from the STORED codebooks: slice the quantized query
     # into subvectors, exact-int64 distance to each codebook entry
     meta = cb.agg(
@@ -328,3 +388,144 @@ def ivfpq_index_topk(
         .filter(F.col("rank") <= topk)
         .select("qid", "nid", "est_dist", "rank")
     )
+
+
+def append_to_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    new_emb: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_attempts: int = 5,
+) -> None:
+    """Incrementally add vectors to a written IVF-PQ index — NO
+    retraining (the FAISS `add()` contract): new vectors are assigned
+    through the STORED Lloyd-final float64 centroids (``_quantizer``)
+    with the exact `kmeans_assign` kernel math, PQ-encoded through the
+    STORED float codebooks (``_codebooks.cf``) via `pq_encode`, and
+    their code rows land in the codes `ManifestTable` through
+    `append_with_retry` (optimistic-concurrency append: racing daily
+    loaders rebase and retry, every row exactly once, crash leaves
+    only vacuum-able orphans). Requires an index written with
+    ``manifest_codes=True``.
+
+    The ``_centroids`` ROUTING table is refreshed by adding the
+    batch's exact per-cell int64 sums/counts to the stored ones —
+    integer addition is associative, so a base-then-append index
+    routes (and therefore answers) BIT-IDENTICALLY to one written
+    all-at-once over the union, provided training saw the same
+    vectors (equivalence-tested with `sample_n` pinning the training
+    set). The quantizers themselves stay frozen.
+
+    Documented recall caveat (the d24 incremental-probe precedent):
+    under DISTRIBUTION DRIFT the frozen coarse cells and PQ codebooks
+    stop fitting the appended vectors — cells imbalance and ADC
+    quantization error grows, so recall@k degrades even though results
+    stay deterministic. Monitor per-cell counts (`_centroids.c`) and
+    the s7-style recall probe; retrain (rewrite the index) when the
+    append volume or recall drift crosses policy — exactly the
+    re-cluster trade FAISS documents for IVF `add()` after drift.
+    Concurrent appends race on the tiny ``_centroids`` refresh (last
+    writer wins the routing-stats update; the codes commit itself is
+    conflict-safe) — serialize appenders or rebuild stats after a
+    race, as the locally-tiny table is one scan to recompute."""
+    import numpy as np
+
+    from .manifest import _MANIFEST_DIR, ManifestTable
+    from .similarity import pq_encode, with_quantized
+
+    codes_path = os.path.join(path, _CODES)
+    if not os.path.isdir(os.path.join(codes_path, _MANIFEST_DIR)):
+        raise ValueError(
+            "append_to_ivfpq_index requires a manifest-backed codes table; "
+            "write the index with write_ivfpq_index(..., manifest_codes=True)"
+        )
+    cents = np.array(
+        [
+            r.cent_f
+            for r in spark.read.parquet(os.path.join(path, _COARSE))
+            .orderBy("cluster")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    cb_rows = (
+        spark.read.parquet(os.path.join(path, _CODEBOOKS))
+        .orderBy("sub", "cluster")
+        .collect()
+    )
+    m = max(r.sub for r in cb_rows) + 1
+    k_codes = max(r.cluster for r in cb_rows) + 1
+    C = np.zeros((m, k_codes, len(cb_rows[0].cf)), dtype=np.float64)
+    for r in cb_rows:
+        C[r.sub, r.cluster] = r.cf
+
+    # zero-norm exclusion + quantized components, same as the write path
+    base_new = with_quantized(new_emb, emb_col)
+    narrow = base_new.select(
+        F.col(id_col).alias("id"), F.col(emb_col).cast("array<double>").alias("v")
+    )
+
+    def assign_fn(cents_arr):
+        Cc = cents_arr.copy()
+
+        def go(it):
+            import numpy as _np
+            import pandas as _pd
+
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                M = _np.array(list(pdf["v"]), dtype=_np.float64)
+                d2 = ((M[:, None, :] - Cc[None, :, :]) ** 2).sum(axis=2)
+                cl = d2.argmin(axis=1)  # first-min → lowest-cluster tie-break
+                yield _pd.DataFrame(
+                    {"id": pdf["id"].to_numpy(), "cluster": cl.astype("int32")}
+                )
+
+        return go
+
+    assign = (
+        narrow.mapInPandas(assign_fn(cents), "id bigint, cluster int")
+        .select(F.col("id").alias(id_col), "cluster")
+        .localCheckpoint(eager=True)
+    )
+    coded = pq_encode(new_emb, C, id_col, emb_col).join(assign, id_col)
+    n_cells_hit = assign.select("cluster").distinct().count()
+    if n_cells_hit == 0:
+        return  # nothing bloomable survived (all zero-norm): true no-op
+    ManifestTable(codes_path).append_with_retry(
+        coded,
+        max_attempts=max_attempts,
+        cluster_by=["cluster"],
+        n_files=n_cells_hit,
+    )
+    # refresh the routing stats: per-cell exact int64 sums + counts of
+    # the batch, ADDED to the stored ones (associative, so identical to
+    # the all-at-once sums); localCheckpoint before overwriting the
+    # directory the plan reads from
+    joined = base_new.join(assign, id_col)
+    batch = (
+        joined.select("cluster", F.posexplode("emb_q").alias("pos", "vq"))
+        .groupBy("cluster", "pos")
+        .agg(F.sum("vq").alias("s"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "s"))).getField("s").alias("b_s"))
+        .join(joined.groupBy("cluster").agg(F.count("*").alias("b_c")), "cluster")
+    )
+    old = spark.read.parquet(os.path.join(path, _CENTROIDS)).select(
+        "cluster", "cent_s", "c"
+    )
+    merged = (
+        old.join(batch, "cluster", "full_outer")
+        .select(
+            "cluster",
+            F.when(F.col("cent_s").isNull(), F.col("b_s"))
+            .when(F.col("b_s").isNull(), F.col("cent_s"))
+            .otherwise(F.zip_with("cent_s", "b_s", lambda a, b: a + b))
+            .alias("cent_s"),
+            (F.coalesce(F.col("c"), F.lit(0)) + F.coalesce(F.col("b_c"), F.lit(0))).alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merged.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, _CENTROIDS))
