@@ -434,3 +434,88 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def _windowspec_args(plan: str):
+    """Yield the top-level argument lists of every windowspecdefinition
+    in a physical-plan string (balanced-paren scan — the frame spec
+    nests parens, so a regex can't split the args)."""
+    i = 0
+    key = "windowspecdefinition("
+    while True:
+        j = plan.find(key, i)
+        if j < 0:
+            return
+        k = j + len(key)
+        depth, args, cur = 1, [], []
+        while k < len(plan) and depth:
+            ch = plan[k]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            if ch == "," and depth == 1:
+                args.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+            k += 1
+        args.append("".join(cur).strip())
+        yield args
+        i = k
+
+
+def _has_partitionless_window(plan: str) -> bool:
+    """True when any window spec carries no partition columns: its
+    first argument is already the ordering (ASC/DESC) or the frame
+    itself — the 'Moving all data to a single partition' shape."""
+    for args in _windowspec_args(plan):
+        first = args[0]
+        if (
+            first.startswith("specifiedwindowframe")
+            or " ASC" in first
+            or " DESC" in first
+        ):
+            return True
+    return False
+
+
+def test_no_registered_query_plans_an_unsanctioned_global_window(spark):
+    """Blanket gate (r5 verdict item 6, the BNLJ-gate precedent): a
+    partition-less Window moves ALL rows to one partition — the one
+    window shape that cannot scale out — so every registered query's
+    plan may contain one only if the query is on the sanctioned list
+    below, each entry carrying a one-line justification for why its
+    global-window input is BOUNDED (already aggregated to a small,
+    data-independent row count) rather than corpus-sized."""
+    GLOBAL_WINDOW_BOUNDED_OK = {
+        # per-day aggregates: input is one row per calendar day (~2.4k
+        # rows at any corpus size); q29 is the measured 100x stitched twin
+        "q5_running_revenue": "cumulative sum over one row per day",
+        "q9_daily_anomaly": "z-score over one row per day",
+        "q28_trailing_window": "trailing frame over one row per day",
+        "q29_running_revenue_stitched": "per-shard windows; the global pass sees one summary row per shard (the 100x twin itself)",
+        "q32_gap_fill_interpolation": "ffill/interp over one row per calendar day",
+        "q4_priority_share": "percent-of-total over 5 priority rows",
+        "q43_spend_deciles": "exact NTILE is the documented exact twin; q48 is the shipped sketch path",
+        "q46_ks_drift": "CDF over pre-aggregated counts, bounded by the cent-value domain",
+        "q47_chi_square_independence": "contingency cells: |event types| x |buckets| rows",
+        "d26_corpus_bigrams": "rank over the LIMIT-50 survivors only",
+        "d31_zipf_fit": "OLS over <=100 quantized log-rank rows",
+    }
+    offenders = {}
+    for name, spec in all_specs().items():
+        plan = spec.spark(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        if _has_partitionless_window(plan):
+            offenders[name] = True
+    unsanctioned = sorted(set(offenders) - set(GLOBAL_WINDOW_BOUNDED_OK))
+    assert not unsanctioned, (
+        f"global (partition-less) windows outside the sanctioned bounded list: "
+        f"{unsanctioned} — partition the window or justify it here"
+    )
+    # the sanctioned list must not rot: entries that no longer plan a
+    # global window should be pruned (keeps the list <= today's sites)
+    stale = sorted(set(GLOBAL_WINDOW_BOUNDED_OK) - set(offenders))
+    assert not stale, f"sanctioned entries no longer plan a global window: {stale}"
