@@ -437,6 +437,32 @@ def main() -> None:
     from real_time_data_engineering_spark.testing.taxi_datagen import generate_raw_trips
 
     raw = generate_raw_trips(spark, n_valid=10_000)
+
+    # ingestion phase (VERDICT r5 #8): the reference's results.csv
+    # attributes generate→ingest wall time as its own column
+    # (pipelines/comparison/results.csv:3-8, Kafka→bronze); the
+    # broker-less analogue is the S6/S7 path — land the 10k raw trips
+    # as files, then the checkpointed file-source availableNow stream
+    # appends them to bronze. Timed once, reported as ingestion_s.
+    from real_time_data_engineering_spark.streaming.ingest import read_file_stream
+
+    sampler.label = "ingestion_10k"
+    sampler.window_peak_mb()
+    with tempfile.TemporaryDirectory() as ing:
+        t_ing = time.time()
+        raw.write.mode("overwrite").parquet(f"{ing}/landing")
+        q = (
+            read_file_stream(spark, f"{ing}/landing", raw.schema)
+            .writeStream.format("parquet")
+            .option("path", f"{ing}/bronze")
+            .option("checkpointLocation", f"{ing}/_chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        ingestion_s = round(time.time() - t_ing, 3)
+    query_peak_mb["ingestion_10k"] = round(sampler.window_peak_mb(), 1)
+
     check_summary: dict[str, str] = {}
 
     def e2e_once(with_checks: bool = False) -> float:
@@ -489,10 +515,16 @@ def main() -> None:
             "SPARK",
             "pyspark-native-engine",
             round(startup, 3),
-            0.0,
+            ingestion_s,
             e2e_s,
             check_summary.get("checks_sec", 0.0),
-            round(startup + e2e_s + float(check_summary.get("checks_sec", 0.0)), 3),
+            round(
+                startup
+                + ingestion_s
+                + e2e_s
+                + float(check_summary.get("checks_sec", 0.0)),
+                3,
+            ),
             10_000,
             round(10_000 / e2e_s, 1) if e2e_s else "",
             peak_mb,
@@ -523,6 +555,7 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "startup_sec": round(startup, 3),
+        "ingestion_sec": ingestion_s,
         "extra_queries": extra_times,
         "percentiles": percentiles,
         "query_peak_mb": query_peak_mb,
@@ -558,7 +591,18 @@ def main() -> None:
             "true residency"
         ),
     }
-    report_path = repo / os.environ.get("SPARK_GRAFT_BENCH_REPORT", "BENCH_local.json")
+    # The COMMITTED artifact (BENCH_local.json) is the zero-degraded
+    # full-protocol run (`make round-artifacts` raises the budget env).
+    # A run at the DEFAULT budget — the driver's per-round invocation —
+    # degrades its tail, so it writes a sibling, git-ignored path
+    # instead of clobbering the committed full-resolution report
+    # (VERDICT r5 #7); SPARK_GRAFT_BENCH_REPORT still overrides both.
+    default_report = (
+        "BENCH_local.json"
+        if os.environ.get("SPARK_GRAFT_BENCH_BUDGET")
+        else "BENCH_local_driver.json"
+    )
+    report_path = repo / os.environ.get("SPARK_GRAFT_BENCH_REPORT", default_report)
     with open(report_path, "w") as f:
         json.dump(full_report, f, indent=1, sort_keys=True)
         f.write("\n")
