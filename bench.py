@@ -114,6 +114,8 @@ EXTRA = [
     "s8_ivfpq_topk",
     "d38_heavy_hitter_tokens",
     "d39_epoch_shuffle",
+    "s9_semdedup",
+    "d40_bm25_retrieval",
 ]
 
 # Queries whose lineage persists an exploded working relation DISK_ONLY

@@ -1056,3 +1056,76 @@ def ivfpq_topk(
         .filter(F.col("rank") <= topk)
         .select("qid", "nid", "est_dist", "rank")
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    k: int = 10,
+    max_iter: int = 10,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embedding space with the deterministic Lloyd quantizer, then look
+    for semantic duplicates ONLY within clusters — the paper's trick
+    for making embedding dedup sub-quadratic (pair work is Σ|cell|²,
+    never N², and each cell's pair join is bucketed by the cluster
+    key, so no cross-cell traffic exists at any scale).
+
+    Deterministic contract: a vector is a semantic duplicate iff a
+    LOWER-id cluster-mate has quantized cosine ≥ ``threshold``;
+    ``dup_of`` is the smallest such id (the kept representative —
+    min-id election, the d16 keeper convention). Cosine is the exact
+    integer-quantized form (`dot_q`/`cosine_q`), so the verdict is
+    engine-reproducible; zero-norm vectors are excluded with the usual
+    `with_quantized` cosine-domain contract.
+
+    Returns (id_col, cluster, is_dup, dup_of)."""
+    assign = kmeans_assign(
+        emb, k=k, max_iter=max_iter, id_col=id_col, emb_col=emb_col
+    ).select(id_col, "cluster")
+    base = (
+        with_quantized(emb, emb_col)
+        .join(assign, id_col)
+        .select(id_col, "cluster", "emb_q", "norm_q")
+        .localCheckpoint(eager=True)  # consumed 3x below (d15 policy)
+    )
+    a = base.select(
+        "cluster",
+        F.col(id_col).alias("a_id"),
+        F.col("emb_q").alias("a_emb"),
+        F.col("norm_q").alias("a_norm"),
+    )
+    b = base.select(
+        "cluster",
+        F.col(id_col).alias("b_id"),
+        F.col("emb_q").alias("b_emb"),
+        F.col("norm_q").alias("b_norm"),
+    )
+    close = (
+        a.join(b, "cluster")
+        .filter(F.col("b_id") < F.col("a_id"))
+        .select(
+            "a_id",
+            "b_id",
+            cosine_q(
+                dot_q(F.col("a_emb"), F.col("b_emb")),
+                F.col("a_norm"),
+                F.col("b_norm"),
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(threshold))
+    )
+    dups = close.groupBy("a_id").agg(F.min("b_id").alias("dup_of"))
+    return (
+        base.select(id_col, "cluster")
+        .join(dups, F.col(id_col) == F.col("a_id"), "left")
+        .select(
+            id_col,
+            "cluster",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+        )
+    )

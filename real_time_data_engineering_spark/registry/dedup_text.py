@@ -2011,3 +2011,152 @@ def d38_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     return exact_heavy_hitters(docs, k=_HH_K)
+
+
+# ---------------------------------------------------------------------------
+# d40 — BM25 retrieval (Robertson & Zaragoza; the Okapi BM25 every
+# search/RAG stack ranks with, and the classic lexical baseline the
+# embedding path s1/s7 is measured against): top-10 documents per
+# query term-set, k1=1.2, b=0.75. Parity discipline is d28's: idf's ln
+# runs on an identical-by-construction double ((N - df + 0.5)/(df +
+# 0.5) + 1 from small ints) and is quantized to DECIMAL(18,6) at the
+# source; the tf saturation factor is one identical chain of IEEE ops
+# (2.2 == 1.2 + 1.0 exactly; 0.25 == 1 - 0.75 exactly) quantized to
+# DECIMAL(18,9); their product sums as exact decimal (order-free), and
+# ranking orders by the decimal score itself. Scale: one token-keyed
+# shuffle for df (query-vocab-sized), tf restricted to query terms by
+# a broadcast 9-row join, doc lengths one groupBy; N and avgdl are the
+# sanctioned O(1) driver scalars (d24 pattern — a 1-row join would
+# plan BNLJ).
+# ---------------------------------------------------------------------------
+_BM25_QUERY_TERMS = (
+    (1, "hash"), (1, "join"), (1, "merge"),
+    (2, "stream"), (2, "window"), (2, "batch"),
+    (3, "vector"), (3, "scan"), (3, "filter"),
+)
+_BM25_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERY_TERMS)
+
+_D40_ORACLE = f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+), dl AS MATERIALIZED (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1
+), stats AS MATERIALIZED (
+  SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM dl
+), q(query_id, term) AS (VALUES {_BM25_VALUES}),
+tf AS MATERIALIZED (
+  SELECT q.query_id, q.term, t.doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok t JOIN q ON q.term = t.term GROUP BY 1, 2, 3
+), dfq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
+), idf AS (
+  SELECT d.term,
+         CAST(round(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0), 6)
+              AS DECIMAL(18,6)) AS idf_q
+  FROM dfq d CROSS JOIN stats s
+), parts AS (
+  SELECT f.query_id, f.doc_id,
+         i.idf_q * CAST(round((CAST(f.tf AS DOUBLE) * 2.2)
+             / (CAST(f.tf AS DOUBLE)
+                + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE) / s.avgdl))), 9)
+           AS DECIMAL(18,9)) AS p
+  FROM tf f
+  JOIN dl d ON d.doc_id = f.doc_id
+  JOIN idf i ON i.term = f.term
+  CROSS JOIN stats s
+), agg AS (
+  SELECT query_id, doc_id, SUM(p) AS score_x,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+  FROM parts GROUP BY 1, 2
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_terms_matched,
+       CAST(score_x AS DOUBLE) AS bm25, rank
+FROM (
+  SELECT query_id, doc_id, n_terms_matched, score_x,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY score_x DESC, doc_id ASC
+         ) AS BIGINT) AS rank
+  FROM agg) WHERE rank <= 10
+"""
+
+
+@register(
+    "d40_bm25_retrieval",
+    _D40_ORACLE,
+    doc="Okapi BM25 top-10 per query term-set (k1=1.2, b=0.75) — the "
+    "lexical retrieval baseline beside the s1/s7 embedding path. "
+    "Quantized-ln idf (d28 convention) x quantized tf-saturation, "
+    "summed and RANKED as exact decimals; N/avgdl are sanctioned O(1) "
+    "driver scalars.",
+)
+def d40_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 docs per query by BM25 over [a-z]+ tokenization."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("term"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl")).localCheckpoint(eager=True)
+    # O(1) driver scalars (d24 pattern): corpus size + average doc length
+    n_docs = float(docs.count())
+    srow = dl.agg(F.sum("dl").alias("s"), F.count("*").alias("c")).first()
+    avgdl = float(srow["s"]) / float(srow["c"])
+    q = spark.createDataFrame(list(_BM25_QUERY_TERMS), "query_id bigint, term string")
+    tf = (
+        tok.join(F.broadcast(q), "term")
+        .groupBy("query_id", "term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfq = (
+        tok.join(F.broadcast(q.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    idf = dfq.select(
+        "term",
+        F.round(
+            F.log(
+                (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("idf_q"),
+    )
+    tf_sat = F.round(
+        (F.col("tf").cast("double") * F.lit(2.2))
+        / (
+            F.col("tf").cast("double")
+            + F.lit(1.2)
+            * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / F.lit(avgdl)))
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    parts = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(idf), "term")
+        .select("query_id", "doc_id", (F.col("idf_q") * tf_sat).alias("p"))
+    )
+    agg = parts.groupBy("query_id", "doc_id").agg(
+        F.sum("p").alias("score_x"), F.count("*").alias("n_terms_matched")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_x"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "doc_id",
+            "n_terms_matched",
+            F.col("score_x").cast("double").alias("bm25"),
+            "rank",
+        )
+    )

@@ -518,3 +518,69 @@ def s8_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_iter=5,
         km_iter=10,
     )
+
+
+# ---------------------------------------------------------------------------
+# s9 — SemDeDup (Abbas et al. 2023): semantic deduplication made
+# sub-quadratic by comparing embeddings only WITHIN k-means clusters —
+# the embedding-space sibling of d19's LSH-then-rerank ladder and the
+# operator the paper runs over LAION/web corpora before training.
+# Oracle = the already-verified unrolled-Lloyd chain (s4/s5/s8) feeding
+# the d7-style exact quantized-cosine pair check, restricted to
+# same-cluster pairs, with min-id representative election (d16's keeper
+# convention). Everything is exact-int/IEEE-identical end to end.
+# ---------------------------------------------------------------------------
+_S9_ORACLE = (
+    _kmeans_cte(k=10, iters=10)
+    + """, sq AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding,
+           e -> CAST(floor(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT)) AS emb
+  FROM embeddings
+), snorm AS MATERIALIZED (
+  SELECT v.vec_id, CAST(SUM(u.e * u.e) AS BIGINT) AS norm_q
+  FROM sq v, unnest(v.emb) AS u(e)
+  GROUP BY 1
+  HAVING SUM(u.e * u.e) > 0
+), su AS MATERIALIZED (
+  SELECT q.vec_id, k.cluster, unnest(q.emb) AS v, generate_subscripts(q.emb, 1) AS i
+  FROM sq q
+  JOIN kasg k ON k.vec_id = q.vec_id
+  JOIN snorm n ON n.vec_id = q.vec_id
+), sdots AS MATERIALIZED (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+  FROM su a JOIN su b ON a.cluster = b.cluster AND a.i = b.i AND b.vec_id < a.vec_id
+  GROUP BY 1, 2
+), sclose AS (
+  SELECT d.a_id, d.b_id
+  FROM sdots d
+  JOIN snorm na ON na.vec_id = d.a_id
+  JOIN snorm nb ON nb.vec_id = d.b_id
+  WHERE CAST(d.dot AS DOUBLE)
+        / (sqrt(CAST(na.norm_q AS DOUBLE)) * sqrt(CAST(nb.norm_q AS DOUBLE))) >= 0.35
+), sdup AS (
+  SELECT a_id, MIN(b_id) AS dup_of FROM sclose GROUP BY 1
+)
+SELECT k.vec_id, CAST(k.cluster AS INTEGER) AS cluster,
+       (d.dup_of IS NOT NULL) AS is_dup, d.dup_of
+FROM kasg k
+JOIN snorm n ON n.vec_id = k.vec_id
+LEFT JOIN sdup d ON d.a_id = k.vec_id
+"""
+)
+
+
+@register(
+    "s9_semdedup",
+    _S9_ORACLE,
+    doc="SemDeDup semantic dedup: k-means-bucketed within-cluster exact "
+    "quantized-cosine pairs (threshold 0.35), min-id representative "
+    "election — the sub-quadratic embedding-dedup ladder the paper "
+    "runs before training. Oracle composes the unrolled-Lloyd chain "
+    "with the d7 pair check restricted to same-cluster pairs.",
+)
+def s9_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per vector: cluster, is-semantic-duplicate verdict, and the
+    kept representative (smallest lower-id cluster-mate above the
+    cosine threshold)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semdedup(emb, k=10, max_iter=10, threshold=0.35)

@@ -25,6 +25,7 @@ _KERNEL_QUERIES = [
     "s5_ivf_topk_kmeans",
     "s6_pq_topk",  # per-subspace Lloyd + encode kernels
     "s8_ivfpq_topk",  # composes the kmeans + PQ kernels
+    "s9_semdedup",  # kmeans kernels feeding the within-cluster pair join
     "m1_media_features",  # multimodal Arrow kernels
     "m2_media_resize",
     "q18_sessionization",  # applyInPandasWithState

@@ -348,15 +348,19 @@ def test_weighted_reservoir_priority_matches_python_model(spark, weights):
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-_bloomable = st.one_of(
-    st.integers(min_value=-(2**62), max_value=2**62),
-    st.text(max_size=40),
-    st.booleans(),
+# one strategy PER TYPE: a parquet column is single-typed, and since
+# the r6 cross-type fix a mixed-tag value set refuses to bloom at all
+# (returns None), so the false-negative property quantifies over
+# single-typed lists — the only shape _stats_for can ever produce.
+_bloomable_lists = st.one_of(
+    st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=300),
+    st.lists(st.text(max_size=40), min_size=1, max_size=300),
+    st.lists(st.booleans(), min_size=1, max_size=300),
 )
 
 
 @given(
-    values=st.lists(_bloomable, min_size=1, max_size=300),
+    values=_bloomable_lists,
     probe_idx=st.integers(min_value=0, max_value=10_000),
 )
 @settings(max_examples=200, deadline=None)
@@ -382,6 +386,10 @@ def test_bloom_never_false_negative(values, probe_idx):
         assert _bloom_maybe_contains(bloom, v), f"false negative on {v!r}"
     # a probe of an arbitrary value never errors and returns a bool
     assert _bloom_maybe_contains(bloom, probe_idx) in (True, False)
+    # a probe whose TYPE TAG differs from the column's can never prove
+    # absence (cross-type equality may match via implicit cast)
+    cross = "7" if not isinstance(values[0], str) else 7
+    assert _bloom_maybe_contains(bloom, cross) is True
 
 
 @given(st.one_of(st.floats(allow_nan=False), st.binary(max_size=8)))
