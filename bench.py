@@ -116,6 +116,7 @@ EXTRA = [
     "d39_epoch_shuffle",
     "s9_semdedup",
     "d40_bm25_retrieval",
+    "s10_hybrid_rrf",
 ]
 
 # Queries whose lineage persists an exploded working relation DISK_ONLY

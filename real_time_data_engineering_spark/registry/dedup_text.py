@@ -2095,59 +2095,18 @@ FROM (
 )
 def d40_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 docs per query by BM25 over [a-z]+ tokenization."""
+    from ..operators.retrieval import (
+        bm25_literal_queries,
+        bm25_scores,
+        corpus_stats,
+        tokens_df,
+    )
+
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
-    tok = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
-        ).alias("term"),
-    )
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl")).localCheckpoint(eager=True)
-    # O(1) driver scalars (d24 pattern): corpus size + average doc length
-    n_docs = float(docs.count())
-    srow = dl.agg(F.sum("dl").alias("s"), F.count("*").alias("c")).first()
-    avgdl = float(srow["s"]) / float(srow["c"])
-    q = spark.createDataFrame(list(_BM25_QUERY_TERMS), "query_id bigint, term string")
-    tf = (
-        tok.join(F.broadcast(q), "term")
-        .groupBy("query_id", "term", "doc_id")
-        .agg(F.count("*").alias("tf"))
-    )
-    dfq = (
-        tok.join(F.broadcast(q.select("term").distinct()), "term")
-        .groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("df"))
-    )
-    idf = dfq.select(
-        "term",
-        F.round(
-            F.log(
-                (F.lit(n_docs) - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-                + F.lit(1.0)
-            ),
-            6,
-        )
-        .cast("decimal(18,6)")
-        .alias("idf_q"),
-    )
-    tf_sat = F.round(
-        (F.col("tf").cast("double") * F.lit(2.2))
-        / (
-            F.col("tf").cast("double")
-            + F.lit(1.2)
-            * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / F.lit(avgdl)))
-        ),
-        9,
-    ).cast("decimal(18,9)")
-    parts = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(idf), "term")
-        .select("query_id", "doc_id", (F.col("idf_q") * tf_sat).alias("p"))
-    )
-    agg = parts.groupBy("query_id", "doc_id").agg(
-        F.sum("p").alias("score_x"), F.count("*").alias("n_terms_matched")
-    )
+    tok = tokens_df(docs)
+    n_docs, avgdl, dl = corpus_stats(docs, tok)
+    q = bm25_literal_queries(spark, _BM25_QUERY_TERMS)
+    agg = bm25_scores(tok, q, n_docs, avgdl, dl)
     w = Window.partitionBy("query_id").orderBy(F.desc("score_x"), F.asc("doc_id"))
     return (
         agg.withColumn("rank", F.row_number().over(w).cast("long"))

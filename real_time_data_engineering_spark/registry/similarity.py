@@ -584,3 +584,153 @@ def s9_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine threshold)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.semdedup(emb, k=10, max_iter=10, threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# s10 — hybrid retrieval: BM25 (lexical) + exact cosine (dense) fused
+# with reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
+# standard RAG retrieval stack (every production search today runs
+# lexical+dense hybrid). Queries are DOCUMENTS (doc_id/vec_id share the
+# corpus id space): the dense list is the query vector's exact top-20
+# cosine neighbors (s1 logic), the lexical list is BM25 over the query
+# document's distinct terms (d40's scorer, self-excluded), and fusion
+# is the exact-integer reciprocal floor(1e9/(60+rank)) sum — Spark
+# `div` == DuckDB `//` on positive operands, so the fused ranking is
+# engine-identical with no float anywhere.
+# ---------------------------------------------------------------------------
+_S10_N_QUERIES = 5
+_S10_ORACLE = f"""
+WITH hqv AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding,
+           e -> CAST(floor(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT)) AS emb
+  FROM embeddings
+), hnorms AS MATERIALIZED (
+  SELECT v.vec_id, CAST(SUM(u.e * u.e) AS BIGINT) AS norm_q
+  FROM hqv v, unnest(v.emb) AS u(e)
+  GROUP BY 1
+  HAVING SUM(u.e * u.e) > 0
+), hqu AS (
+  SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) AS i
+  FROM hqv WHERE vec_id < {_S10_N_QUERIES}
+), hvu AS (
+  SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) AS i FROM hqv
+), hdots AS MATERIALIZED (
+  SELECT q.vec_id AS qid, x.vec_id AS nid, CAST(SUM(q.v * x.v) AS BIGINT) AS dot
+  FROM hqu q JOIN hvu x ON q.i = x.i AND q.vec_id <> x.vec_id
+  GROUP BY 1, 2
+), hranked AS (
+  SELECT qid, nid,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+             CAST(d.dot AS DOUBLE) / (sqrt(CAST(nq.norm_q AS DOUBLE)) * sqrt(CAST(nv.norm_q AS DOUBLE))) DESC,
+             nid ASC) AS BIGINT) AS rank
+  FROM hdots d
+  JOIN hnorms nq ON nq.vec_id = d.qid
+  JOIN hnorms nv ON nv.vec_id = d.nid
+), htok AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+), hdl AS MATERIALIZED (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM htok GROUP BY 1
+), hstats AS MATERIALIZED (
+  SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM hdl
+), hq AS MATERIALIZED (
+  SELECT DISTINCT doc_id AS query_id, term FROM htok WHERE doc_id < {_S10_N_QUERIES}
+), htf AS MATERIALIZED (
+  SELECT q.query_id, q.term, t.doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM htok t JOIN hq q ON q.term = t.term AND t.doc_id <> q.query_id
+  GROUP BY 1, 2, 3
+), hdfq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM htok
+  WHERE term IN (SELECT DISTINCT term FROM hq) GROUP BY 1
+), hidf AS (
+  SELECT d.term,
+         CAST(round(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0), 6)
+              AS DECIMAL(18,6)) AS idf_q
+  FROM hdfq d CROSS JOIN hstats s
+), hparts AS (
+  SELECT f.query_id, f.doc_id,
+         i.idf_q * CAST(round((CAST(f.tf AS DOUBLE) * 2.2)
+             / (CAST(f.tf AS DOUBLE)
+                + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE) / s.avgdl))), 9)
+           AS DECIMAL(18,9)) AS p
+  FROM htf f
+  JOIN hdl d ON d.doc_id = f.doc_id
+  JOIN hidf i ON i.term = f.term
+  CROSS JOIN hstats s
+), hbagg AS (
+  SELECT query_id, doc_id, SUM(p) AS score_x FROM hparts GROUP BY 1, 2
+), hblist AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY score_x DESC, doc_id ASC
+           ) AS BIGINT) AS rank
+    FROM hbagg) WHERE rank <= 20
+), hpl AS (
+  SELECT qid AS query_id, nid AS doc_id,
+         CAST(1000000000 // (60 + rank) AS BIGINT) AS p
+  FROM hranked WHERE rank <= 20
+  UNION ALL
+  SELECT query_id, doc_id, CAST(1000000000 // (60 + rank) AS BIGINT) AS p
+  FROM hblist
+), hfused AS (
+  SELECT query_id, doc_id, CAST(SUM(p) AS BIGINT) AS rrf_score,
+         CAST(COUNT(*) AS BIGINT) AS n_lists
+  FROM hpl GROUP BY 1, 2
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf_score, n_lists, rank
+FROM (
+  SELECT query_id, doc_id, rrf_score, n_lists,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC
+         ) AS BIGINT) AS rank
+  FROM hfused) WHERE rank <= 10
+"""
+
+
+@register(
+    "s10_hybrid_rrf",
+    _S10_ORACLE,
+    doc="Hybrid lexical+dense retrieval: BM25 over the query document's "
+    "terms fused with its exact cosine top-20 by reciprocal-rank "
+    "fusion (integer floor(1e9/(60+rank)) — no float in the fused "
+    "ranking). The production RAG retrieval stack; oracle composes "
+    "the verified s1 cosine chain with the d40 BM25 scorer.",
+)
+def s10_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 per query document after RRF-fusing its BM25 and cosine
+    top-20 lists (documents and embeddings share the id space)."""
+    from pyspark.sql import Window
+
+    from ..operators.retrieval import bm25_scores, corpus_stats, rrf_fuse, tokens_df
+    from ..sources.readers import ensure_min_partitions
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    dense = S.cosine_topk(emb, F.col("vec_id") < _S10_N_QUERIES, k=20).select(
+        F.col("qid").alias("query_id"), F.col("nid").alias("doc_id"), "rank"
+    )
+    tok = tokens_df(docs)
+    n_docs, avgdl, dl = corpus_stats(docs, tok)
+    qterms = (
+        tok.filter(F.col("doc_id") < _S10_N_QUERIES)
+        .select(F.col("doc_id").alias("query_id"), "term")
+        .distinct()
+        .localCheckpoint(eager=True)  # tiny; consumed by tf AND df joins
+    )
+    lex_scores = bm25_scores(tok, qterms, n_docs, avgdl, dl, exclude_self=True)
+    wl = Window.partitionBy("query_id").orderBy(F.desc("score_x"), F.asc("doc_id"))
+    lex = (
+        lex_scores.withColumn("rank", F.row_number().over(wl).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("query_id", "doc_id", "rank")
+    )
+    fused = rrf_fuse([dense, lex])
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "rrf_score", "n_lists", "rank")
+    )

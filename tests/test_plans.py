@@ -342,6 +342,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "s5_ivf_topk_kmeans",
         "s7_ann_recall",  # composes s1 + s3, inheriting their fan-out
         "s8_ivfpq_topk",  # IVF routing reuses s3/s5's broadcast fan-out
+        "s10_hybrid_rrf",  # dense list is s1's broadcast query fan-out
     }
     for name, spec in all_specs().items():
         plan = spec.spark(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
