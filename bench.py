@@ -590,8 +590,12 @@ def main() -> None:
             "includes ONE deliberate warn-severity exemplar (passenger_count "
             "soft bound, checks/taxi_suite.py), so 25/26 PASS + WARN=1 is the "
             "healthy steady state; process-tree RSS double-counts pages shared "
-            "between the python driver and the JVM, so suite peak overstates "
-            "true residency"
+            "between the python driver and the JVM — and the sessionization "
+            "window's forked pyspark.daemon workers each report their "
+            "copy-on-write share of the parent, multiplying it further — so "
+            "suite peak overstates true residency (samples above the "
+            "machine's physical RAM are definitionally double-counted; "
+            "per-query windows on batch queries are the meaningful numbers)"
         ),
     }
     # The COMMITTED artifact (BENCH_local.json) is the zero-degraded
