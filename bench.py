@@ -117,6 +117,7 @@ EXTRA = [
     "s9_semdedup",
     "d40_bm25_retrieval",
     "s10_hybrid_rrf",
+    "d41_countmin_freq",
 ]
 
 # Queries whose lineage persists an exploded working relation DISK_ONLY

@@ -2119,3 +2119,139 @@ def d40_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d41 — Count-Min sketch (Cormode & Muthukrishnan 2005): the mergeable
+# point-frequency sketch beside d38's Misra-Gries heavy-hitter set and
+# q21's HLL cardinality. The d×w counter table is built COUNTER-KEYED —
+# each token occurrence explodes into d (row, bucket) cells and the one
+# shuffle carries at most d·w = 4096 groups (map-side combine collapses
+# every partition to that), never the vocabulary — which is the entire
+# 100 TB point: frequency estimates without a vocab-sized exchange.
+# Unlike MG (whose surviving-counter SET is partition-order-sensitive,
+# hence property-tested), CM counters are plain SUMS — deterministic
+# under any partitioning — so this sketch is fully VALUE-ORACLED: the
+# bucket hash is the repo's md5-nibble u16 idiom (d25/d33), identical
+# on both engines, and the one-sided guarantee (estimate ≥ true count)
+# is visible in the checked `overestimate` column.
+# ---------------------------------------------------------------------------
+_CM_D, _CM_W = 4, 1024
+
+_CM_U16_SQL = (
+    "((strpos('0123456789abcdef', substr({m}, 1, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substr({m}, 2, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substr({m}, 3, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr({m}, 4, 1)) - 1))"
+)
+
+_D41_ORACLE = f"""
+WITH tok AS MATERIALIZED (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+), hs AS (SELECT i FROM (VALUES (0), (1), (2), (3)) AS t(i)),
+qt(term) AS (VALUES {", ".join(f"('{t}')" for _, t in _BM25_QUERY_TERMS)}),
+ob AS (
+  SELECT h.i,
+         {_CM_U16_SQL.format(m="md5('cm' || CAST(h.i AS VARCHAR) || ':' || o.term)")} % {_CM_W} AS bucket
+  FROM tok o CROSS JOIN hs h
+), counters AS MATERIALIZED (
+  SELECT i, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM ob GROUP BY 1, 2
+), qb AS (
+  SELECT q.term, h.i,
+         {_CM_U16_SQL.format(m="md5('cm' || CAST(h.i AS VARCHAR) || ':' || q.term)")} % {_CM_W} AS bucket
+  FROM (SELECT DISTINCT term FROM qt) q CROSS JOIN hs h
+), est AS (
+  SELECT qb.term, CAST(MIN(c.c) AS BIGINT) AS cm_est
+  FROM qb JOIN counters c ON c.i = qb.i AND c.bucket = qb.bucket
+  GROUP BY 1
+), truec AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM tok
+  WHERE term IN (SELECT term FROM qt) GROUP BY 1
+)
+SELECT e.term, CAST(COALESCE(t.true_cnt, 0) AS BIGINT) AS true_cnt, e.cm_est,
+       CAST(e.cm_est - COALESCE(t.true_cnt, 0) AS BIGINT) AS overestimate
+FROM est e LEFT JOIN truec t ON t.term = e.term
+"""
+
+
+def _cm_bucket(col, i: int):
+    """u16 of md5('cm{i}:' || value) mod W — the d25/d33 md5-nibble
+    idiom, engine-identical by construction."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cm{i}:"), col)), 1, 4), 16, 10
+        ).cast("long")
+        % _CM_W
+    )
+
+
+@register(
+    "d41_countmin_freq",
+    _D41_ORACLE,
+    doc=f"Count-Min sketch ({_CM_D}x{_CM_W} counters) + point-frequency "
+    "estimates for the query-term census: counter-keyed build (the one "
+    "shuffle carries <=4096 groups, never the vocabulary), min-over-"
+    "rows estimate, one-sided overestimate column >= 0 by the CM "
+    "guarantee. Counters are plain sums, so the whole sketch is "
+    "value-oracled — the deterministic sibling of d38's MG sketch.",
+)
+def d41_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CM-sketch point estimates vs true counts for the fixed query
+    terms: (term, true_cnt, cm_est, overestimate >= 0)."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("term")
+    )
+    cells = tok.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _cm_bucket(F.col("term"), i).alias("bucket"),
+                    )
+                    for i in range(_CM_D)
+                ]
+            )
+        ).alias("x")
+    ).select("x.i", "x.bucket")
+    counters = cells.groupBy("i", "bucket").agg(F.count("*").alias("c"))
+    terms = spark.createDataFrame(
+        sorted({(t,) for _, t in _BM25_QUERY_TERMS}), "term string"
+    )
+    qb = terms.select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _cm_bucket(F.col("term"), i).alias("bucket"),
+                    )
+                    for i in range(_CM_D)
+                ]
+            )
+        ).alias("x"),
+    ).select("term", "x.i", "x.bucket")
+    est = (
+        F.broadcast(qb)
+        .join(counters, ["i", "bucket"])
+        .groupBy("term")
+        .agg(F.min("c").cast("long").alias("cm_est"))
+    )
+    truec = (
+        tok.join(F.broadcast(terms), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("true_cnt"))
+    )
+    return est.join(truec, "term", "left").select(
+        "term",
+        F.coalesce(F.col("true_cnt"), F.lit(0)).cast("long").alias("true_cnt"),
+        "cm_est",
+        (F.col("cm_est") - F.coalesce(F.col("true_cnt"), F.lit(0)))
+        .cast("long")
+        .alias("overestimate"),
+    )
