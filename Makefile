@@ -10,9 +10,12 @@
 ROUND ?= r05
 SF_DIR ?= /root/testdata/sf0.1
 
-.PHONY: round-artifacts sweep funnel bench test
+.PHONY: round-artifacts sweep funnel bench replica test
 
-round-artifacts: sweep funnel bench
+round-artifacts: sweep funnel bench replica
+
+replica:  # 10x-replica value evidence (builds /tmp/replica10 if absent)
+	python -m real_time_data_engineering_spark.checks.replica 2>/dev/null | tee REPLICA_$(ROUND).txt
 
 sweep:
 	python -m real_time_data_engineering_spark.checks.sweep $(SF_DIR) 2>/dev/null | tee SWEEP_$(ROUND).txt

@@ -118,6 +118,9 @@ EXTRA = [
     "d40_bm25_retrieval",
     "s10_hybrid_rrf",
     "d41_countmin_freq",
+    "s11_hybrid_rrf_ann",
+    "d42_bm25_index",
+    "d43_countmin_union",
 ]
 
 # Queries whose lineage persists an exploded working relation DISK_ONLY

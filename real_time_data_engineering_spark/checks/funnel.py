@@ -24,7 +24,9 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> int:
 
     spark = get_spark(app_name="funnel_audit")
     t0 = time.time()
-    run = curate_corpus(spark, sf_dir)
+    # the artifact runs the FULL ladder including the opt-in SemDeDup
+    # stage (r6 verdict #7) so the committed funnel shows all 7 gates
+    run = curate_corpus(spark, sf_dir, semantic_dedup=True)
     counts = run.audit_counts()
     for stage, n in counts.items():
         print(f"{stage:16s} {n:>9d}", flush=True)
@@ -35,6 +37,7 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> int:
         "raw",
         "exact_unique",
         "neardup_keep",
+        "semantic_keep",
         "quality_pass",
         "decontaminated",
         "sampled",

@@ -161,6 +161,37 @@ def ivf_index_topk(
 _CODEBOOKS = "_codebooks"
 _CODES = "codes"
 _COARSE = "_quantizer"
+_CENT_DELTAS = "_centroid_deltas"
+
+
+def _routing_stats(spark: SparkSession, path: str) -> DataFrame:
+    """The index's routing relation (cluster, cent_s, c): the base
+    ``_centroids`` written at index-build time plus every append's
+    delta rows, re-aggregated. Deltas live in a `ManifestTable`
+    (``_centroid_deltas``) that appends commit through the SAME
+    optimistic-concurrency CAS as the codes table — so concurrent
+    appenders each land their routing delta exactly once and no
+    read-modify-write race can lose an update (the sums are
+    associative; aggregation order is irrelevant). Indexes that were
+    never appended to skip the aggregation entirely."""
+    from .manifest import _MANIFEST_DIR, ManifestTable
+
+    base = spark.read.parquet(os.path.join(path, _CENTROIDS))
+    deltas_path = os.path.join(path, _CENT_DELTAS)
+    if not os.path.isdir(os.path.join(deltas_path, _MANIFEST_DIR)):
+        return base
+    rows = base.unionByName(ManifestTable(deltas_path).read(spark).select(base.columns))
+    # tiny relation: n_cells · (1 + #appends) rows — reassemble the
+    # element-wise sums positionally, exactly like the write path built
+    # them, so base+appends routes bit-identically to all-at-once
+    return (
+        rows.select("cluster", F.posexplode("cent_s").alias("pos", "v"))
+        .groupBy("cluster", "pos")
+        .agg(F.sum("v").alias("s"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "s"))).getField("s").alias("cent_s"))
+        .join(rows.groupBy("cluster").agg(F.sum("c").alias("c")), "cluster")
+    )
 
 
 def write_ivfpq_index(
@@ -257,26 +288,21 @@ def _probed_codes(spark: SparkSession, path: str, probe_cells: list) -> DataFram
 
     Hive layout: one scan with an IN-list partition filter (Spark's
     partition pruning, plan-asserted in tests). Manifest layout
-    (`manifest_codes=True` indexes): one pruned `ManifestTable.read`
-    per probed cell — the write clustered files by cell, so the
-    manifest's per-file min/max stats prove every unprobed cell's
-    files empty and they stay unread (the stats analogue of partition
-    pruning, and what lets the codes table take atomic appends)."""
-    from functools import reduce
-
+    (`manifest_codes=True` indexes): ONE scan too — the probed cells'
+    file sets are unioned through the manifest's per-file min/max stats
+    first (a file survives if its stats admit ANY probed cell), then a
+    single DV-applying read with an IN-list row filter covers them all.
+    The write clustered files by cell, so every unprobed cell's files
+    are provably empty and stay unread (the stats analogue of partition
+    pruning, and what lets the codes table take atomic appends) — and
+    unlike a per-cell read+union, realistic n_probe · many-query probe
+    sets cost one job, not |cells| jobs."""
     from .manifest import _MANIFEST_DIR, ManifestTable
 
     codes_path = os.path.join(path, _CODES)
     if os.path.isdir(os.path.join(codes_path, _MANIFEST_DIR)):
-        tbl = ManifestTable(codes_path)
-        if not probe_cells:
-            return tbl.read(spark).limit(0)
-        return reduce(
-            DataFrame.unionByName,
-            [
-                tbl.read(spark, predicate=[("cluster", "==", int(c))])
-                for c in probe_cells
-            ],
+        return ManifestTable(codes_path).read_any_of(
+            spark, "cluster", [int(c) for c in probe_cells]
         )
     return spark.read.parquet(codes_path).filter(F.col("cluster").isin(probe_cells))
 
@@ -307,7 +333,7 @@ def ivfpq_index_topk(
     when queries are drawn from the indexed corpus itself (the
     `similarity.ivfpq_topk` / registry s8 convention, and what the
     disk↔memory equivalence test asserts)."""
-    cent = spark.read.parquet(os.path.join(path, _CENTROIDS))
+    cent = _routing_stats(spark, path)
     cb = spark.read.parquet(os.path.join(path, _CODEBOOKS))
     q = with_quantized(queries, emb_col).select(
         F.col(id_col).alias("qid"),
@@ -425,10 +451,13 @@ def append_to_ivfpq_index(
     the s7-style recall probe; retrain (rewrite the index) when the
     append volume or recall drift crosses policy — exactly the
     re-cluster trade FAISS documents for IVF `add()` after drift.
-    Concurrent appends race on the tiny ``_centroids`` refresh (last
-    writer wins the routing-stats update; the codes commit itself is
-    conflict-safe) — serialize appenders or rebuild stats after a
-    race, as the locally-tiny table is one scan to recompute."""
+    Concurrent appends are SAFE end to end: the codes land through the
+    manifest CAS, and the routing stats land as append-only DELTA rows
+    (``_centroid_deltas``, a `ManifestTable` committed through the
+    same `append_with_retry` CAS) that readers re-aggregate — integer
+    sums are associative, so no writer can lose another's update and
+    base+appends routes bit-identically to all-at-once regardless of
+    interleaving."""
     import numpy as np
 
     from .manifest import _MANIFEST_DIR, ManifestTable
@@ -500,32 +529,21 @@ def append_to_ivfpq_index(
         cluster_by=["cluster"],
         n_files=n_cells_hit,
     )
-    # refresh the routing stats: per-cell exact int64 sums + counts of
-    # the batch, ADDED to the stored ones (associative, so identical to
-    # the all-at-once sums); localCheckpoint before overwriting the
-    # directory the plan reads from
+    # routing stats: per-cell exact int64 sums + counts of the batch,
+    # committed as APPEND-ONLY delta rows through the manifest CAS (the
+    # exact conflict rule the codes append uses) — readers re-aggregate
+    # via `_routing_stats`, so a concurrent appender can never lose
+    # another's update and the result is identical to the all-at-once
+    # sums under any interleaving
     joined = base_new.join(assign, id_col)
     batch = (
         joined.select("cluster", F.posexplode("emb_q").alias("pos", "vq"))
         .groupBy("cluster", "pos")
         .agg(F.sum("vq").alias("s"))
         .groupBy("cluster")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "s"))).getField("s").alias("b_s"))
-        .join(joined.groupBy("cluster").agg(F.count("*").alias("b_c")), "cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "s"))).getField("s").alias("cent_s"))
+        .join(joined.groupBy("cluster").agg(F.count("*").alias("c")), "cluster")
     )
-    old = spark.read.parquet(os.path.join(path, _CENTROIDS)).select(
-        "cluster", "cent_s", "c"
+    ManifestTable(os.path.join(path, _CENT_DELTAS)).append_with_retry(
+        batch.coalesce(1), max_attempts=max_attempts
     )
-    merged = (
-        old.join(batch, "cluster", "full_outer")
-        .select(
-            "cluster",
-            F.when(F.col("cent_s").isNull(), F.col("b_s"))
-            .when(F.col("b_s").isNull(), F.col("cent_s"))
-            .otherwise(F.zip_with("cent_s", "b_s", lambda a, b: a + b))
-            .alias("cent_s"),
-            (F.coalesce(F.col("c"), F.lit(0)) + F.coalesce(F.col("b_c"), F.lit(0))).alias("c"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    merged.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, _CENTROIDS))

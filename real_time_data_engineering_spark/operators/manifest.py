@@ -341,19 +341,43 @@ class ManifestTable:
         settings interoperate; false positives only cost an un-pruned
         file — never correctness (the exact filter still runs).
 
-        The table path is canonicalized (``os.path.realpath``) at init:
-        deletion vectors key rows on the scan's absolute
-        ``_metadata.file_path`` URI, so two handles on the same table
-        via different path identities (symlink vs real path, relative
-        path from another cwd) must resolve to ONE canonical scan URI
-        or a DV anti-join would silently miss and deleted rows
-        reappear. Physically MOVING the directory remains the
-        documented relocation caveat (`compact()` clears vectors)."""
+        The table path is canonicalized (``os.path.realpath``) at init,
+        and deletion vectors key rows on the TABLE-RELATIVE file path
+        (scheme + this directory stripped from the scan's
+        ``_metadata.file_path`` before both write and anti-join — see
+        `_dv_key_col`), so DV identity survives any path-identity drift:
+        symlinked or relative handles, AND physically moving the table
+        directory (the stable-file-id property production formats get
+        from their metadata layer). Migration note for tables whose DVs
+        were written by versions that stored ABSOLUTE scan URIs: reads
+        normalize the stored rows through the same stripper, which
+        recovers them as long as the directory has not moved since —
+        run `compact()` (it applies and clears vectors) before moving
+        such a table or re-pointing a symlinked handle recorded under
+        a different realpath."""
         self.path = os.path.realpath(path)
         self.bloom_cols = list(bloom_cols or [])
         self.bloom_bits = bloom_bits
         self.bloom_max_ndv = bloom_max_ndv
         os.makedirs(os.path.join(self.path, _MANIFEST_DIR), exist_ok=True)
+
+    def _dv_key_col(self, fp: Column) -> Column:
+        """Normalize a file-path value to the TABLE-RELATIVE form DV
+        rows key on: strip an optional URI scheme plus this table's
+        canonical directory (``file:///root/t/data-x/p.parquet`` and
+        ``/root/t/data-x/p.parquet`` both become ``data-x/p.parquet``).
+        Applied identically to the scan's ``_metadata.file_path`` at
+        write AND read, and to stored DV rows (which recovers
+        legacy absolute-URI vectors on an unmoved table), so the
+        anti-join key is relocation-proof by construction."""
+        import re as _re
+
+        pat = (
+            "^([a-zA-Z][a-zA-Z0-9+.-]*:)?/*"
+            + _re.escape(self.path.lstrip("/"))
+            + "/"
+        )
+        return F.regexp_replace(fp, pat, "")
 
     # -- snapshot resolution ------------------------------------------------
 
@@ -438,6 +462,45 @@ class ManifestTable:
             df = df.filter(_predicate_column(predicate))
         return df
 
+    def read_any_of(
+        self,
+        spark: SparkSession,
+        col: str,
+        values: list,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Point-lookup scan for ``col ∈ values`` — the DISJUNCTIVE form
+        of `read`'s conjunctive predicate, in ONE job: a file is opened
+        iff its stats (min/max, bloom when present) admit AT LEAST ONE
+        of the values; a single DV-applying scan over the surviving
+        files takes an IN-list row filter on top. This is the probe
+        shape index readers need (IVF-PQ probed cells, a BM25 query
+        vocabulary against clustered postings): per-value `read()`
+        calls would each plan a separate scan+job, multiplying job
+        overhead by |values| for the same bytes."""
+        snap = self.snapshot(version)
+        if not snap.files:
+            raise ValueError(f"{self.path} has no committed snapshot to read")
+        vals = list(values)
+        empty_schema = lambda: self._read_files(  # noqa: E731
+            spark, [snap.files[0]], snap
+        ).filter(F.lit(False))
+        if not vals:
+            return empty_schema()
+        files = [
+            f
+            for f in snap.files
+            if any(
+                not _provably_empty(snap.stats.get(f, {}), [(col, "==", v)])
+                for v in vals
+            )
+        ]
+        if not files:
+            return empty_schema()
+        return self._read_files_applying_dvs(spark, files, snap).filter(
+            F.col(col).isin(vals)
+        )
+
     def _read_files(self, spark: SparkSession, files: list[str], snap: Snapshot) -> DataFrame:
         """Scan table-relative files under the snapshot's schema
         contract: the manifest-tracked union schema when present (files
@@ -471,11 +534,14 @@ class ManifestTable:
         dv_paths = sorted({snap.dvs[f] for f in with_dv})
         df = self._read_files(spark, with_dv, snap).select(
             "*",
-            F.col("_metadata.file_path").alias("_dv_fp"),
+            self._dv_key_col(F.col("_metadata.file_path")).alias("_dv_fp"),
             F.col("_metadata.row_index").alias("_dv_ri"),
         )
+        # stored rows pass through the same normalizer: new DVs are
+        # already relative (no-op), legacy absolute-URI DVs recover
         dv = spark.read.parquet(*[os.path.join(self.path, d) for d in dv_paths]).select(
-            F.col("file_path").alias("_dv_fp"), F.col("row_index").alias("_dv_ri")
+            self._dv_key_col(F.col("file_path")).alias("_dv_fp"),
+            F.col("row_index").alias("_dv_ri"),
         )
         # no broadcast hint: AQE broadcasts small vectors at runtime and
         # falls back to a shuffled anti-join when a vector outgrows it
@@ -710,14 +776,16 @@ class ManifestTable:
         Older snapshots still see the deleted rows (time travel) until
         expire/vacuum.
 
-        Caveat (documented trade): DV rows key on the scan's absolute
-        ``_metadata.file_path`` URI, so vectors survive only as long as
-        the table directory does not MOVE — production formats key on
-        a stable file id for this reason; `compact()` clears vectors
-        and restores full relocatability. Path-identity drift short of
-        a move (symlinked or relative handles on the same directory) is
-        already neutralized by the init-time ``realpath``
-        canonicalization."""
+        DV rows key on the TABLE-RELATIVE file path (`_dv_key_col`
+        strips scheme + table directory from the scan's
+        ``_metadata.file_path`` symmetrically at write and read), so
+        vectors survive symlinked/relative handles AND a physical move
+        of the table directory — the stable-file-id property production
+        formats build into their metadata layer. Legacy vectors written
+        as absolute URIs are recovered by the read-side normalizer as
+        long as the directory has not moved since; `compact()` applies
+        and clears them (the migration step before moving such a
+        table)."""
         snap = self.snapshot()
         touched = sorted(self.files_for(predicate))
         touched_set = set(touched)
@@ -736,7 +804,7 @@ class ManifestTable:
             # DV file per snapshot.
             scan = self._read_files(spark, touched, snap).select(
                 "*",
-                F.col("_metadata.file_path").alias("file_path"),
+                self._dv_key_col(F.col("_metadata.file_path")).alias("file_path"),
                 F.col("_metadata.row_index").alias("row_index"),
             )
             old_paths = sorted({snap.dvs[f] for f in touched if f in snap.dvs})
@@ -744,7 +812,10 @@ class ManifestTable:
             if old_paths:
                 old = spark.read.parquet(
                     *[os.path.join(self.path, d) for d in old_paths]
-                ).select("file_path", "row_index")
+                ).select(
+                    self._dv_key_col(F.col("file_path")).alias("file_path"),
+                    "row_index",
+                )
                 scan = scan.join(old, ["file_path", "row_index"], "left_anti")
             new_dv = scan.filter(
                 F.coalesce(_predicate_column(predicate), F.lit(False))

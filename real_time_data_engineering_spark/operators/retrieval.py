@@ -87,6 +87,23 @@ def bm25_scores(
         .groupBy("term")
         .agg(F.countDistinct("doc_id").alias("df"))
     )
+    return _bm25_from_parts(tf, dfq, dl, n_docs, avgdl, k1, b)
+
+
+def _bm25_from_parts(
+    tf: DataFrame,
+    dfq: DataFrame,
+    dl: DataFrame,
+    n_docs: float,
+    avgdl: float,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """The BM25 scoring core over pre-aggregated parts — shared by the
+    tokenize-per-call path (`bm25_scores`) and the persisted-index path
+    (`lexical_index_bm25`), so both produce bit-identical exact-decimal
+    scores by construction. ``tf``: (query_id, term, doc_id, tf);
+    ``dfq``: (term, df); ``dl``: (doc_id, dl)."""
     idf = dfq.select(
         "term",
         F.round(
@@ -149,3 +166,133 @@ def bm25_literal_queries(
 ) -> DataFrame:
     """A literal (query_id, term) table (d40's fixed query census)."""
     return spark.createDataFrame(list(query_terms), "query_id bigint, term string")
+
+
+# ---------------------------------------------------------------------------
+# Persistent lexical index: the durable form of the BM25 pipeline (a
+# Lucene-style inverted index as lakehouse tables). `bm25_scores`
+# re-tokenizes the corpus per query batch — right for ad-hoc use, wrong
+# at 100 TB, where tokenization is a write-time cost paid once and
+# query work must be bounded by the query vocabulary. Three
+# ManifestTables under one root:
+#
+# * ``postings`` — (term, doc_id, tf), THE corpus-sized relation,
+#   cluster_by=["term"] so per-file min/max stats prune query-term
+#   probes to a handful of files (`read_any_of`, one scan/job).
+# * ``doclen``  — (doc_id, dl), joined only against candidate docs.
+# * ``_stats``  — append-only (n_docs, sum_dl) DELTA rows; N and avgdl
+#   are associative sums over it (the `_centroid_deltas` pattern), so
+#   concurrent shard appends can never lose an update.
+#
+# Appends are per-shard `append_with_retry` commits (optimistic CAS):
+# tokenize ONLY the new shard, land its postings/doclen/stats. Because
+# df, dl, N and sum_dl are all associative over DISJOINT doc shards,
+# base+append scores are BIT-IDENTICAL to an all-at-once build
+# (equivalence-tested). Appending the same doc_id twice would
+# double-count it — run the d1-class exact dedup upstream, the same
+# new-rows-only contract as `append_to_ivfpq_index`.
+# ---------------------------------------------------------------------------
+_POSTINGS = "postings"
+_DOCLEN = "doclen"
+_LEX_STATS = "_stats"
+
+
+def _lex_parts(docs: DataFrame, text_col: str):
+    """(postings, doclen, stats_delta) for one corpus shard."""
+    tok = tokens_df(docs, text_col)
+    postings = tok.groupBy("term", "doc_id").agg(F.count("*").cast("long").alias("tf"))
+    doclen = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
+    )
+    return postings, doclen, stats
+
+
+def write_lexical_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    n_files: int | None = None,
+) -> None:
+    """Tokenize once, persist the inverted index (overwrite)."""
+    import os
+
+    from .manifest import ManifestTable
+
+    postings, doclen, stats = _lex_parts(docs, text_col)
+    ManifestTable(os.path.join(path, _POSTINGS)).write(
+        postings, mode="overwrite", cluster_by=["term"], n_files=n_files
+    )
+    ManifestTable(os.path.join(path, _DOCLEN)).write(doclen, mode="overwrite")
+    ManifestTable(os.path.join(path, _LEX_STATS)).write(stats.coalesce(1), mode="overwrite")
+
+
+def append_to_lexical_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    max_attempts: int = 5,
+    n_files: int | None = None,
+) -> None:
+    """Add a NEW-docs shard: tokenize the shard only, CAS-append its
+    postings, doc lengths and stats delta. All three relations are
+    associative over disjoint doc shards, so scoring after any append
+    sequence equals the all-at-once build bit for bit."""
+    import os
+
+    from .manifest import ManifestTable
+
+    postings, doclen, stats = _lex_parts(docs, text_col)
+    ManifestTable(os.path.join(path, _POSTINGS)).append_with_retry(
+        postings, max_attempts=max_attempts, cluster_by=["term"], n_files=n_files
+    )
+    ManifestTable(os.path.join(path, _DOCLEN)).append_with_retry(
+        doclen, max_attempts=max_attempts
+    )
+    ManifestTable(os.path.join(path, _LEX_STATS)).append_with_retry(
+        stats.coalesce(1), max_attempts=max_attempts
+    )
+
+
+def lexical_index_bm25(
+    spark: SparkSession,
+    path: str,
+    qterms: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """BM25 scores served from a persisted index — NO corpus
+    tokenization at query time. The postings probe is one
+    `read_any_of` scan opening only the files whose stats admit a
+    query term; df comes from the probed postings (one row per
+    (term, doc) by construction); N/avgdl are the summed `_stats`
+    deltas fetched as sanctioned O(1) driver scalars (d24 pattern).
+    Scores are bit-identical to `bm25_scores` over the same corpus
+    (shared `_bm25_from_parts` core, equivalence-tested)."""
+    import os
+
+    from .manifest import ManifestTable
+
+    row = (
+        ManifestTable(os.path.join(path, _LEX_STATS))
+        .read(spark)
+        .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
+        .first()
+    )
+    n_docs = float(row["n"])
+    avgdl = float(row["s"]) / float(row["n"])
+    # the query vocabulary is bounded by contract (a literal census or
+    # a handful of query documents) — driver-side is the probe plan
+    terms = sorted(r.term for r in qterms.select("term").distinct().collect())
+    probed = ManifestTable(os.path.join(path, _POSTINGS)).read_any_of(
+        spark, "term", terms
+    )
+    tf = probed.join(F.broadcast(qterms), "term")
+    if exclude_self:
+        tf = tf.filter(F.col("doc_id") != F.col("query_id"))
+    tf = tf.select("query_id", "term", "doc_id", "tf")
+    dfq = probed.groupBy("term").agg(F.count("*").alias("df"))
+    dl = ManifestTable(os.path.join(path, _DOCLEN)).read(spark)
+    return _bm25_from_parts(tf, dfq, dl, n_docs, avgdl, k1, b)

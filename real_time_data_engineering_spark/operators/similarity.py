@@ -1065,6 +1065,8 @@ def semdedup(
     threshold: float = 0.35,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    target_cell_rows: int | None = None,
+    sample_n: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster the
@@ -1073,6 +1075,18 @@ def semdedup(
     for making embedding dedup sub-quadratic (pair work is Σ|cell|²,
     never N², and each cell's pair join is bucketed by the cluster
     key, so no cross-cell traffic exists at any scale).
+
+    THE scale knob is the cluster count: with k FIXED, cells grow ∝N
+    and pair work grows ∝N²/k — quadratic again. The paper scales k
+    with corpus size (k=110 000 on LAION-440M ≈ 4 000 rows/cell);
+    ``target_cell_rows`` applies that convention automatically:
+    k = ceil(N / target_cell_rows) (one O(1) count — the sanctioned
+    d24 driver-scalar pattern), which pins per-cell pair work to
+    ~target² and makes total work ~N·target, LINEAR in the corpus.
+    Explicit ``k`` (the default, oracle-pinned in the registry) wins
+    when ``target_cell_rows`` is None. ``sample_n`` bounds the Lloyd
+    training scan exactly as in `kmeans_assign` (assignment still
+    covers the full corpus).
 
     Deterministic contract: a vector is a semantic duplicate iff a
     LOWER-id cluster-mate has quantized cosine ≥ ``threshold``;
@@ -1083,8 +1097,11 @@ def semdedup(
     `with_quantized` cosine-domain contract.
 
     Returns (id_col, cluster, is_dup, dup_of)."""
+    if target_cell_rows is not None:
+        n = emb.count()  # O(1) driver scalar (d24 precedent)
+        k = max(1, -(-n // int(target_cell_rows)))
     assign = kmeans_assign(
-        emb, k=k, max_iter=max_iter, id_col=id_col, emb_col=emb_col
+        emb, k=k, max_iter=max_iter, id_col=id_col, emb_col=emb_col, sample_n=sample_n
     ).select(id_col, "cluster")
     base = (
         with_quantized(emb, emb_col)

@@ -127,3 +127,121 @@ def mg_heavy_hitters(df: DataFrame, k: int = 200, text_col: str = "text") -> Dat
     spark = df.sparkSession
     rows = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))
     return spark.createDataFrame(rows or [], "token string, est_freq bigint")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) as a PERSISTED,
+# MERGEABLE artifact. The d×w counter grid is a table of plain SUMS,
+# so the sketch union is element-wise addition — store per-shard/epoch
+# sketches as append-only delta rows in a `ManifestTable` and any read
+# re-aggregates them: point estimates then serve WITHOUT touching the
+# corpus, shard loaders append concurrently through the manifest CAS
+# (the `_centroid_deltas` / lexical-`_stats` pattern), and
+# union(base, appends) ≡ the all-at-once sketch by associativity
+# (equivalence-tested). State is ≤ d·w rows per delta — metadata-sized
+# at any corpus scale.
+# ---------------------------------------------------------------------------
+_CM_TABLE = "counters"
+
+
+def cm_bucket(col, i: int, w: int):
+    """Row-``i`` bucket of a value: u16 of md5('cm{i}:' || value) mod w
+    — the repo's md5-nibble idiom (d25/d33), engine-identical by
+    construction (the d41 oracle spells the same arithmetic)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"cm{i}:"), col)), 1, 4), 16, 10).cast(
+            "long"
+        )
+        % w
+    )
+
+
+def cm_sketch(values: DataFrame, d: int = 4, w: int = 1024, value_col: str = "term") -> DataFrame:
+    """Build the (i, bucket, c) counter table over a value stream —
+    counter-keyed: each occurrence explodes into d cells and the one
+    shuffle carries at most d·w groups (map-side combine collapses
+    every partition to that), never the value domain."""
+    cells = values.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        cm_bucket(F.col(value_col), i, w).alias("bucket"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("x")
+    ).select("x.i", "x.bucket")
+    return cells.groupBy("i", "bucket").agg(F.count("*").cast("long").alias("c"))
+
+
+def write_cm_sketch(counters: DataFrame, path: str) -> None:
+    """Persist a sketch (overwrite): one ManifestTable of counter rows."""
+    import os
+
+    from .manifest import ManifestTable
+
+    ManifestTable(os.path.join(path, _CM_TABLE)).write(
+        counters.coalesce(1), mode="overwrite"
+    )
+
+
+def append_cm_sketch(counters: DataFrame, path: str, max_attempts: int = 5) -> None:
+    """Union another shard/epoch's sketch in: CAS-append its counter
+    rows as a delta. Element-wise addition happens at read time, so
+    concurrent appenders can never lose each other's cells."""
+    import os
+
+    from .manifest import ManifestTable
+
+    ManifestTable(os.path.join(path, _CM_TABLE)).append_with_retry(
+        counters.coalesce(1), max_attempts=max_attempts
+    )
+
+
+def read_cm_sketch(spark, path: str) -> DataFrame:
+    """The merged sketch: all delta rows element-wise summed back to
+    one (i, bucket, c) grid — ≤ d·w · #deltas input rows, metadata-
+    sized at any corpus scale."""
+    import os
+
+    from .manifest import ManifestTable
+
+    return (
+        ManifestTable(os.path.join(path, _CM_TABLE))
+        .read(spark)
+        .groupBy("i", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+
+
+def cm_point_estimates(
+    counters: DataFrame, terms: DataFrame, d: int = 4, w: int = 1024, value_col: str = "term"
+) -> DataFrame:
+    """Canonical CM point estimates for a bounded query set: per value,
+    MIN over its d cells with empty cells counting 0 (LEFT join +
+    coalesce — the Cormode-Muthukrishnan min over ALL rows, so a value
+    the corpus never hashed anywhere estimates 0). One-sided guarantee:
+    estimate ≥ true count, overestimate ≤ εN with prob 1-δ for
+    w=⌈e/ε⌉, d=⌈ln 1/δ⌉."""
+    qb = terms.select(
+        value_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        cm_bucket(F.col(value_col), i, w).alias("bucket"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("x"),
+    ).select(value_col, "x.i", "x.bucket")
+    return (
+        qb.join(F.broadcast(counters), ["i", "bucket"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("cm_est"))
+    )

@@ -49,6 +49,7 @@ class CurationRun:
     raw: DataFrame
     exact_unique: DataFrame
     neardup_keep: DataFrame
+    semantic_keep: DataFrame  # == neardup_keep when the stage is off
     quality_pass: DataFrame
     decontaminated: DataFrame
     sampled: DataFrame
@@ -61,6 +62,7 @@ class CurationRun:
             "raw": self.raw.count(),
             "exact_unique": self.exact_unique.count(),
             "neardup_keep": self.neardup_keep.count(),
+            "semantic_keep": self.semantic_keep.count(),
             "quality_pass": self.quality_pass.count(),
             "decontaminated": self.decontaminated.count(),
             "sampled": self.sampled.count(),
@@ -98,8 +100,23 @@ def curate_corpus(
     n_shards: int = 8,
     eval_mod: int = EVAL_MOD,
     contamination_threshold: float = 0.5,
+    semantic_dedup: bool = False,
+    semantic_threshold: float = 0.35,
+    semantic_target_cell_rows: int = 100,
 ) -> CurationRun:
-    """Run the full curation ladder over ``sf_dir``'s documents table."""
+    """Run the full curation ladder over ``sf_dir``'s documents table.
+
+    ``semantic_dedup=True`` inserts the SemDeDup stage (s9's kernel,
+    `operators/similarity.semdedup`) between near-dup keeper selection
+    and the quality gates — the pipeline position the SemDeDup paper
+    uses (lexical near-dups are gone, so the embedding pass catches
+    only the semantic rewrites the n-gram rungs cannot). The cluster
+    count auto-scales (k = ceil(N/``semantic_target_cell_rows``), the
+    paper's k∝N convention) so the stage's pair work stays linear in
+    the surviving corpus. Docs without an embedding (or with a
+    zero-norm one) pass through unjudged — absence of evidence keeps a
+    doc. OFF by default: the stage requires the embeddings table and
+    the registered d35 pins the 6-stage composition."""
     raw = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
 
     # 1. exact dedup FIRST (collapses identical copies before any
@@ -136,15 +153,40 @@ def curate_corpus(
         eager=True
     )
 
+    # 2b. OPT-IN semantic dedup (SemDeDup's pipeline position: after
+    #     lexical near-dup, before quality gates): drop docs whose
+    #     embedding has a LOWER-id semantic twin among the survivors;
+    #     docs the embeddings table can't judge pass through
+    if semantic_dedup:
+        from ..operators.similarity import semdedup
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        survivors_emb = emb.join(
+            neardup_keep.select(F.col("doc_id").alias("vec_id")), "vec_id"
+        )
+        sem = semdedup(
+            survivors_emb,
+            threshold=semantic_threshold,
+            target_cell_rows=semantic_target_cell_rows,
+        )
+        sem_dups = sem.filter(F.col("is_dup")).select(
+            F.col("vec_id").alias("doc_id")
+        )
+        semantic_keep = neardup_keep.join(
+            sem_dups, "doc_id", "left_anti"
+        ).localCheckpoint(eager=True)  # two gate consumers, like neardup_keep
+    else:
+        semantic_keep = neardup_keep
+
     # 3. quality gates: Gopher rule set + repetition flag
-    gopher = gopher_quality_rules(neardup_keep).select("doc_id", "passes_gopher")
-    rep = repetition_stats(neardup_keep).select("doc_id", "is_repetitive")
+    gopher = gopher_quality_rules(semantic_keep).select("doc_id", "passes_gopher")
+    rep = repetition_stats(semantic_keep).select("doc_id", "is_repetitive")
     # two consumers (contamination probe + the train-only filter)
     quality_pass = (
-        neardup_keep.join(gopher, "doc_id")
+        semantic_keep.join(gopher, "doc_id")
         .join(rep, "doc_id", "left")
         .filter(F.col("passes_gopher") & ~F.coalesce("is_repetitive", F.lit(False)))
-        .select(*neardup_keep.columns)
+        .select(*semantic_keep.columns)
         .localCheckpoint(eager=True)
     )
 
@@ -205,6 +247,7 @@ def curate_corpus(
         raw=raw,
         exact_unique=exact,
         neardup_keep=neardup_keep,
+        semantic_keep=semantic_keep,
         quality_pass=quality_pass,
         decontaminated=decontaminated,
         sampled=sampled,

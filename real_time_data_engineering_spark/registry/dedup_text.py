@@ -2162,8 +2162,8 @@ ob AS (
          {_CM_U16_SQL.format(m="md5('cm' || CAST(h.i AS VARCHAR) || ':' || q.term)")} % {_CM_W} AS bucket
   FROM (SELECT DISTINCT term FROM qt) q CROSS JOIN hs h
 ), est AS (
-  SELECT qb.term, CAST(MIN(c.c) AS BIGINT) AS cm_est
-  FROM qb JOIN counters c ON c.i = qb.i AND c.bucket = qb.bucket
+  SELECT qb.term, CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS cm_est
+  FROM qb LEFT JOIN counters c ON c.i = qb.i AND c.bucket = qb.bucket
   GROUP BY 1
 ), truec AS (
   SELECT term, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM tok
@@ -2176,14 +2176,12 @@ FROM est e LEFT JOIN truec t ON t.term = e.term
 
 
 def _cm_bucket(col, i: int):
-    """u16 of md5('cm{i}:' || value) mod W — the d25/d33 md5-nibble
-    idiom, engine-identical by construction."""
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"cm{i}:"), col)), 1, 4), 16, 10
-        ).cast("long")
-        % _CM_W
-    )
+    """u16 of md5('cm{i}:' || value) mod W — the shared
+    `operators.sketches.cm_bucket` kernel (d25/d33 md5-nibble idiom),
+    engine-identical by construction."""
+    from ..operators.sketches import cm_bucket
+
+    return cm_bucket(col, i, _CM_W)
 
 
 @register(
@@ -2198,50 +2196,30 @@ def _cm_bucket(col, i: int):
 )
 def d41_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CM-sketch point estimates vs true counts for the fixed query
-    terms: (term, true_cnt, cm_est, overestimate >= 0)."""
+    terms: (term, true_cnt, cm_est, overestimate >= 0). Estimates use
+    the canonical LEFT-join/coalesce-0 min over ALL d rows (an empty
+    cell is a zero counter, so a term the corpus never hashed into some
+    row estimates 0)."""
+    from ..operators.sketches import cm_point_estimates, cm_sketch
+
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     tok = docs.select(
         F.explode(
             F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
         ).alias("term")
     )
-    cells = tok.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("i"),
-                        _cm_bucket(F.col("term"), i).alias("bucket"),
-                    )
-                    for i in range(_CM_D)
-                ]
-            )
-        ).alias("x")
-    ).select("x.i", "x.bucket")
-    counters = cells.groupBy("i", "bucket").agg(F.count("*").alias("c"))
+    counters = cm_sketch(tok, d=_CM_D, w=_CM_W)
     terms = spark.createDataFrame(
         sorted({(t,) for _, t in _BM25_QUERY_TERMS}), "term string"
     )
-    qb = terms.select(
-        "term",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("i"),
-                        _cm_bucket(F.col("term"), i).alias("bucket"),
-                    )
-                    for i in range(_CM_D)
-                ]
-            )
-        ).alias("x"),
-    ).select("term", "x.i", "x.bucket")
-    est = (
-        F.broadcast(qb)
-        .join(counters, ["i", "bucket"])
-        .groupBy("term")
-        .agg(F.min("c").cast("long").alias("cm_est"))
-    )
+    est = cm_point_estimates(counters, terms, d=_CM_D, w=_CM_W)
+    return _cm_vs_truth(tok, terms, est)
+
+
+def _cm_vs_truth(tok: DataFrame, terms: DataFrame, est: DataFrame) -> DataFrame:
+    """(term, true_cnt, cm_est, overestimate) — the shared d41/d43
+    reconciliation shape: exact counts for the query census joined to
+    the sketch estimates, with the one-sided error made visible."""
     truec = (
         tok.join(F.broadcast(terms), "term")
         .groupBy("term")
@@ -2254,4 +2232,115 @@ def d41_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cm_est") - F.coalesce(F.col("true_cnt"), F.lit(0)))
         .cast("long")
         .alias("overestimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d43 — d41's sketch as PERSISTED, MERGEABLE state (r6 verdict #4):
+# build one CM sketch per disjoint corpus shard, land each as an
+# append-only counter delta in a ManifestTable (concurrent shard
+# loaders commit through the manifest CAS), and serve point estimates
+# from the element-wise SUM of the deltas — the corpus is never
+# touched at estimate time. Counter addition is associative, so
+# union(shard sketches) ≡ the whole-corpus sketch EXACTLY, which is
+# why this stays fully value-oracled: the oracle is d41's (the union
+# is bit-equal to the all-at-once build it verifies).
+# ---------------------------------------------------------------------------
+@register(
+    "d43_countmin_union",
+    _D41_ORACLE,
+    doc="Count-Min sketch union: per-shard sketches persisted as "
+    "CAS-appended counter deltas (ManifestTable), element-wise summed "
+    "at read — point estimates without touching the corpus. "
+    "Associativity makes union(shards) bit-equal to the all-at-once "
+    "sketch, so d41's full value oracle applies; base+append "
+    "equivalence is additionally pinned in tests/test_stat_ops.py.",
+)
+def d43_countmin_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d41's estimates served from a two-shard persisted sketch union:
+    (term, true_cnt, cm_est, overestimate >= 0)."""
+    import tempfile
+
+    from ..operators.sketches import (
+        append_cm_sketch,
+        cm_point_estimates,
+        cm_sketch,
+        read_cm_sketch,
+        write_cm_sketch,
+    )
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+
+    def shard_tok(pred):
+        return docs.filter(pred).select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("term")
+        )
+
+    path = tempfile.mkdtemp(prefix="d43_cm_")
+    write_cm_sketch(cm_sketch(shard_tok(F.col("doc_id") % 2 == 0), _CM_D, _CM_W), path)
+    append_cm_sketch(cm_sketch(shard_tok(F.col("doc_id") % 2 == 1), _CM_D, _CM_W), path)
+    counters = read_cm_sketch(spark, path)
+    terms = spark.createDataFrame(
+        sorted({(t,) for _, t in _BM25_QUERY_TERMS}), "term string"
+    )
+    est = cm_point_estimates(counters, terms, d=_CM_D, w=_CM_W)
+    tok = docs.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("term")
+    )
+    return _cm_vs_truth(tok, terms, est)
+
+
+# ---------------------------------------------------------------------------
+# d42 — d40's BM25 census served from the PERSISTED inverted index
+# (write once, probe by query vocabulary): postings/doclen/_stats
+# ManifestTables, term-clustered files so the query probe opens only
+# the files whose stats admit a query term (`read_any_of`, one scan),
+# N/avgdl summed from append-only stats deltas. Because the index path
+# shares `_bm25_from_parts` with the tokenize-per-call path, scores
+# are bit-identical and the oracle IS d40's oracle — the incremental
+# build (base+appends ≡ all-at-once) is equivalence-tested in
+# tests/test_retrieval_index.py, the d24/append_to_ivfpq precedent.
+# ---------------------------------------------------------------------------
+@register(
+    "d42_bm25_index",
+    _D40_ORACLE,
+    doc="BM25 top-10 per query served from the persisted lexical index "
+    "(term-clustered postings + doclen + appendable stats deltas) — "
+    "query-time work bounded by the query vocabulary, no corpus "
+    "re-tokenization. Bit-identical to d40 (shared scoring core), so "
+    "it reuses d40's value oracle.",
+)
+def d42_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 docs per query by BM25, scored off the inverted index."""
+    import tempfile
+
+    from ..operators.retrieval import (
+        bm25_literal_queries,
+        lexical_index_bm25,
+        write_lexical_index,
+    )
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    # at scale the index is written once and appended per shard; the
+    # registered query rebuilds per call so the oracle sees one
+    # self-contained artifact (the s11 convention)
+    path = tempfile.mkdtemp(prefix="d42_lexidx_")
+    write_lexical_index(docs, path, n_files=8)
+    q = bm25_literal_queries(spark, _BM25_QUERY_TERMS)
+    agg = lexical_index_bm25(spark, path, q)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_x"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "doc_id",
+            "n_terms_matched",
+            F.col("score_x").cast("double").alias("bm25"),
+            "rank",
+        )
     )

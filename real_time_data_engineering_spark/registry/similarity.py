@@ -94,8 +94,11 @@ def s2_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 # provides (vec_id, label, emb) — s3 uses the raw label column as the
 # cell, s5 feeds the kmeans-trained cluster in as the label. Split in
 # two so s8 can reuse the ROUTING half (through `cand`) with ADC
-# scoring over PQ codes instead of the exact-cosine rerank.
-_IVF_ROUTE_BODY = f"""), norms AS (
+# scoring over PQ codes instead of the exact-cosine rerank; the query
+# count is a parameter so s11 can run the same chain over its 5
+# query documents.
+def _ivf_route_body(n_queries: int) -> str:
+    return f"""), norms AS (
   SELECT v.vec_id, CAST(SUM(u.e * u.e) AS BIGINT) AS norm_q
   FROM qv v, unnest(v.emb) AS u(e)
   GROUP BY 1
@@ -113,7 +116,7 @@ _IVF_ROUTE_BODY = f"""), norms AS (
   FROM u qq
   JOIN cent ct ON ct.pos = qq.i
   JOIN cellc cc ON cc.cell = ct.cell
-  WHERE qq.vec_id < {_N_QUERIES}
+  WHERE qq.vec_id < {n_queries}
   GROUP BY 1, 2
 ), routed AS (
   SELECT qid, cell FROM (
@@ -127,6 +130,9 @@ _IVF_ROUTE_BODY = f"""), norms AS (
   JOIN norms n ON n.vec_id = v.vec_id
   WHERE v.vec_id <> r.qid
 )"""
+
+
+_IVF_ROUTE_BODY = _ivf_route_body(_N_QUERIES)
 
 _IVF_SCORE_TAIL = """, dots AS (
   SELECT cd.qid, cd.nid, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
@@ -469,23 +475,34 @@ def s7_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # routing body (s3/s5), with ADC scoring restricted to routed-cell
 # candidates. Everything is exact-int deterministic end to end.
 # ---------------------------------------------------------------------------
-_S8_ORACLE = (
-    _kmeans_cte(k=10, iters=10)
-    + ", "
-    + _pq_chain(k=16, iters=5, m=8, sub_dim=8, n_queries=_N_QUERIES)
-    + """, qv AS MATERIALIZED (
+def _s8_chain(n_queries: int) -> str:
+    """The full IVF-PQ oracle chain (Lloyd cells + PQ codebooks + IVF
+    routing + ADC scoring), ending at the CTE ``s8scored``
+    (qid, nid, est_dist) — wrapped directly by `_S8_ORACLE`'s top-5
+    read, and composed by s11 into the hybrid-fusion oracle."""
+    return (
+        _kmeans_cte(k=10, iters=10)
+        + ", "
+        + _pq_chain(k=16, iters=5, m=8, sub_dim=8, n_queries=n_queries)
+        + """, qv AS MATERIALIZED (
   SELECT e.vec_id, ka.cluster AS label, list_transform(e.embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS emb
   FROM embeddings e JOIN kasg ka ON ka.vec_id = e.vec_id
 """
-    + _IVF_ROUTE_BODY
-    + """, s8scored AS (
+        + _ivf_route_body(n_queries)
+        + """, s8scored AS (
   SELECT cd.qid, cd.nid, CAST(SUM(l.dist) AS BIGINT) AS est_dist
   FROM cand cd
   JOIN pkasg g ON g.vec_id = cd.nid
   JOIN lut l ON l.qid = cd.qid AND l.sub = g.sub AND l.cluster = g.cluster
   GROUP BY 1, 2
-)
+)"""
+    )
+
+
+_S8_ORACLE = (
+    _s8_chain(_N_QUERIES)
+    + """
 SELECT qid, nid, est_dist, rank FROM (
   SELECT qid, nid, est_dist,
          CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY est_dist ASC, nid ASC) AS BIGINT) AS rank
@@ -581,7 +598,12 @@ LEFT JOIN sdup d ON d.a_id = k.vec_id
 def s9_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per vector: cluster, is-semantic-duplicate verdict, and the
     kept representative (smallest lower-id cluster-mate above the
-    cosine threshold)."""
+    cosine threshold). k=10 is PINNED here because the unrolled-Lloyd
+    oracle must train the same quantizer; production calls pass
+    ``target_cell_rows`` instead, which derives k = ceil(N/target) so
+    pair work stays ~N·target (linear) — the SemDeDup-paper k∝N
+    convention, equivalence- and scale-tested in
+    tests/test_fuzzy_ops.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.semdedup(emb, k=10, max_iter=10, threshold=0.35)
 
@@ -599,34 +621,12 @@ def s9_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engine-identical with no float anywhere.
 # ---------------------------------------------------------------------------
 _S10_N_QUERIES = 5
-_S10_ORACLE = f"""
-WITH hqv AS MATERIALIZED (
-  SELECT vec_id, list_transform(embedding,
-           e -> CAST(floor(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT)) AS emb
-  FROM embeddings
-), hnorms AS MATERIALIZED (
-  SELECT v.vec_id, CAST(SUM(u.e * u.e) AS BIGINT) AS norm_q
-  FROM hqv v, unnest(v.emb) AS u(e)
-  GROUP BY 1
-  HAVING SUM(u.e * u.e) > 0
-), hqu AS (
-  SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) AS i
-  FROM hqv WHERE vec_id < {_S10_N_QUERIES}
-), hvu AS (
-  SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) AS i FROM hqv
-), hdots AS MATERIALIZED (
-  SELECT q.vec_id AS qid, x.vec_id AS nid, CAST(SUM(q.v * x.v) AS BIGINT) AS dot
-  FROM hqu q JOIN hvu x ON q.i = x.i AND q.vec_id <> x.vec_id
-  GROUP BY 1, 2
-), hranked AS (
-  SELECT qid, nid,
-         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
-             CAST(d.dot AS DOUBLE) / (sqrt(CAST(nq.norm_q AS DOUBLE)) * sqrt(CAST(nv.norm_q AS DOUBLE))) DESC,
-             nid ASC) AS BIGINT) AS rank
-  FROM hdots d
-  JOIN hnorms nq ON nq.vec_id = d.qid
-  JOIN hnorms nv ON nv.vec_id = d.nid
-), htok AS MATERIALIZED (
+
+# The lexical half (BM25 over the query documents' distinct terms,
+# ranked top-20 per query) and the integer-RRF fusion tail are shared
+# verbatim between s10 (exact dense list) and s11 (ANN dense list from
+# the persisted IVF-PQ index) — only the dense rank list differs.
+_LEX_CTES = f""", htok AS MATERIALIZED (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
   FROM documents
 ), hdl AS MATERIALIZED (
@@ -668,10 +668,17 @@ WITH hqv AS MATERIALIZED (
                PARTITION BY query_id ORDER BY score_x DESC, doc_id ASC
            ) AS BIGINT) AS rank
     FROM hbagg) WHERE rank <= 20
-), hpl AS (
+)"""
+
+
+def _rrf_tail(dense_ranked: str) -> str:
+    """Fusion tail: RRF-fuse a (qid, nid, rank) dense rank list (passed
+    as a SQL snippet, top-20-bounded here) with `hblist`, exact integer
+    reciprocal, top-10 per query."""
+    return f""", hpl AS (
   SELECT qid AS query_id, nid AS doc_id,
          CAST(1000000000 // (60 + rank) AS BIGINT) AS p
-  FROM hranked WHERE rank <= 20
+  FROM ({dense_ranked}) dns WHERE rank <= 20
   UNION ALL
   SELECT query_id, doc_id, CAST(1000000000 // (60 + rank) AS BIGINT) AS p
   FROM hblist
@@ -690,6 +697,37 @@ FROM (
 """
 
 
+_S10_ORACLE = f"""
+WITH hqv AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding,
+           e -> CAST(floor(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT)) AS emb
+  FROM embeddings
+), hnorms AS MATERIALIZED (
+  SELECT v.vec_id, CAST(SUM(u.e * u.e) AS BIGINT) AS norm_q
+  FROM hqv v, unnest(v.emb) AS u(e)
+  GROUP BY 1
+  HAVING SUM(u.e * u.e) > 0
+), hqu AS (
+  SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) AS i
+  FROM hqv WHERE vec_id < {_S10_N_QUERIES}
+), hvu AS (
+  SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) AS i FROM hqv
+), hdots AS MATERIALIZED (
+  SELECT q.vec_id AS qid, x.vec_id AS nid, CAST(SUM(q.v * x.v) AS BIGINT) AS dot
+  FROM hqu q JOIN hvu x ON q.i = x.i AND q.vec_id <> x.vec_id
+  GROUP BY 1, 2
+), hranked AS (
+  SELECT qid, nid,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+             CAST(d.dot AS DOUBLE) / (sqrt(CAST(nq.norm_q AS DOUBLE)) * sqrt(CAST(nv.norm_q AS DOUBLE))) DESC,
+             nid ASC) AS BIGINT) AS rank
+  FROM hdots d
+  JOIN hnorms nq ON nq.vec_id = d.qid
+  JOIN hnorms nv ON nv.vec_id = d.nid
+)
+""" + _LEX_CTES + _rrf_tail("SELECT qid, nid, rank FROM hranked")
+
+
 @register(
     "s10_hybrid_rrf",
     _S10_ORACLE,
@@ -702,9 +740,6 @@ FROM (
 def s10_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 per query document after RRF-fusing its BM25 and cosine
     top-20 lists (documents and embeddings share the id space)."""
-    from pyspark.sql import Window
-
-    from ..operators.retrieval import bm25_scores, corpus_stats, rrf_fuse, tokens_df
     from ..sources.readers import ensure_min_partitions
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -712,25 +747,103 @@ def s10_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = S.cosine_topk(emb, F.col("vec_id") < _S10_N_QUERIES, k=20).select(
         F.col("qid").alias("query_id"), F.col("nid").alias("doc_id"), "rank"
     )
+    return _fuse_with_lexical(spark, docs, dense, _S10_N_QUERIES)
+
+
+def _lexical_top20(spark: SparkSession, docs: DataFrame, n_queries: int) -> DataFrame:
+    """The shared lexical list: BM25 over each query document's
+    distinct terms (self excluded), top-20 per query."""
+    from pyspark.sql import Window
+
+    from ..operators.retrieval import bm25_scores, corpus_stats, tokens_df
+
     tok = tokens_df(docs)
     n_docs, avgdl, dl = corpus_stats(docs, tok)
     qterms = (
-        tok.filter(F.col("doc_id") < _S10_N_QUERIES)
+        tok.filter(F.col("doc_id") < n_queries)
         .select(F.col("doc_id").alias("query_id"), "term")
         .distinct()
         .localCheckpoint(eager=True)  # tiny; consumed by tf AND df joins
     )
     lex_scores = bm25_scores(tok, qterms, n_docs, avgdl, dl, exclude_self=True)
     wl = Window.partitionBy("query_id").orderBy(F.desc("score_x"), F.asc("doc_id"))
-    lex = (
+    return (
         lex_scores.withColumn("rank", F.row_number().over(wl).cast("long"))
         .filter(F.col("rank") <= 20)
         .select("query_id", "doc_id", "rank")
     )
-    fused = rrf_fuse([dense, lex])
+
+
+def _fuse_with_lexical(
+    spark: SparkSession, docs: DataFrame, dense: DataFrame, n_queries: int
+) -> DataFrame:
+    """RRF-fuse a (query_id, doc_id, rank) dense list with the shared
+    BM25 lexical top-20, exact integer reciprocal, top-10 per query."""
+    from pyspark.sql import Window
+
+    from ..operators.retrieval import rrf_fuse
+
+    fused = rrf_fuse([dense, _lexical_top20(spark, docs, n_queries)])
     wf = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
     return (
         fused.withColumn("rank", F.row_number().over(wf).cast("long"))
         .filter(F.col("rank") <= 10)
         .select("query_id", "doc_id", "rrf_score", "n_lists", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# s11 — the 100 TB form of s10: identical RRF fusion, but the DENSE
+# list comes from the PERSISTED IVF-PQ index (`operators/ann_index`) —
+# routed through stored centroids, scored over PQ codes only, unprobed
+# cells' files unread — instead of s1's exact brute-force fan-out.
+# This is the production hybrid-retrieval plan: the lexical side's
+# corpus work is bounded by the broadcast query vocabulary, the dense
+# side's by |probed cells|, and fusion is metadata-sized. The index is
+# deterministic end to end (disk ≡ in-memory ≡ the s8 oracle chain,
+# equivalence-tested in tests/test_ann_index.py), so the whole hybrid
+# stays VALUE-oracled: the SQL composes the verified s8 chain (dense),
+# the d40 BM25 scorer (lexical) and the integer-RRF tail.
+# Recall-vs-exact is measured against s10 (the s7 precedent) in
+# tests/test_fuzzy_ops.py.
+# ---------------------------------------------------------------------------
+_S11_ORACLE = (
+    _s8_chain(_S10_N_QUERIES)
+    + _LEX_CTES
+    + _rrf_tail(
+        """SELECT qid, nid,
+       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY est_dist ASC, nid ASC) AS BIGINT) AS rank
+     FROM s8scored"""
+    )
+)
+
+
+@register(
+    "s11_hybrid_rrf_ann",
+    _S11_ORACLE,
+    doc="ANN-backed hybrid retrieval: BM25 lexical top-20 fused (integer "
+    "RRF) with the dense top-20 served by the PERSISTED IVF-PQ index — "
+    "probes read only routed cells' code files, no raw-vector scan. "
+    "Oracle composes the verified s8 IVF-PQ chain with the d40 BM25 "
+    "scorer; value-checkable because the index is deterministic.",
+)
+def s11_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 per query document after RRF-fusing BM25 with the IVF-PQ
+    index's ADC top-20 (documents and embeddings share the id space)."""
+    import tempfile
+
+    from ..operators.ann_index import ivfpq_index_topk, write_ivfpq_index
+    from ..sources.readers import ensure_min_partitions
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    # build the persistent index (at scale this happens ONCE at write
+    # time; the registered query rebuilds per call so the oracle sees
+    # one self-contained, parameter-pinned artifact — s8's convention)
+    path = tempfile.mkdtemp(prefix="s11_ivfpq_")
+    write_ivfpq_index(emb, path, n_cells=10, m=8, k_codes=16, pq_iter=5, km_iter=10)
+    queries = emb.filter(F.col("vec_id") < _S10_N_QUERIES)
+    dense = ivfpq_index_topk(
+        spark, path, queries, topk=20, n_probe=2, exclude_self=True
+    ).select(F.col("qid").alias("query_id"), F.col("nid").alias("doc_id"), "rank")
+    return _fuse_with_lexical(spark, docs, dense, _S10_N_QUERIES)

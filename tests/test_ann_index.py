@@ -218,3 +218,58 @@ def test_ivfpq_manifest_codes_probe_reads_only_probed_cells(spark, tmp_path):
     assert got.select("cluster").distinct().collect() == [
         got.sparkSession.createDataFrame([(0,)], "cluster int").collect()[0]
     ]
+
+
+def test_ivfpq_two_appends_routing_stats_lose_nothing(spark, tmp_path):
+    """ADVICE r6 #3: routing stats must survive MULTIPLE appends with no
+    lost update. Each append commits its per-cell sums as append-only
+    delta rows through the manifest CAS (never a read-modify-write of
+    `_centroids`), so after two appends the re-aggregated routing
+    relation — and therefore every query answer — is bit-identical to
+    an index written all-at-once over the union. A racing writer can at
+    worst retry its own CAS; it can never erase another's delta."""
+    from real_time_data_engineering_spark.operators.ann_index import (
+        _routing_stats,
+        append_to_ivfpq_index,
+        ivfpq_index_topk,
+        write_ivfpq_index,
+    )
+    from real_time_data_engineering_spark.operators.manifest import ManifestTable
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n_base = 200
+    base = emb.filter(F.col("vec_id") < n_base)
+    mid = emb.filter((F.col("vec_id") >= n_base) & (F.col("vec_id") < 350))
+    late = emb.filter(F.col("vec_id") >= 350)
+    full_path, inc_path = str(tmp_path / "full"), str(tmp_path / "inc")
+    write_ivfpq_index(
+        emb, full_path, n_cells=10, m=8, k_codes=16, sample_n=n_base, manifest_codes=True
+    )
+    write_ivfpq_index(
+        base, inc_path, n_cells=10, m=8, k_codes=16, sample_n=n_base, manifest_codes=True
+    )
+    append_to_ivfpq_index(spark, inc_path, mid)
+    append_to_ivfpq_index(spark, inc_path, late)
+    # both appends' deltas are separate CAS commits on the deltas table
+    deltas = ManifestTable(str(tmp_path / "inc" / "_centroid_deltas"))
+    assert deltas.snapshot().version == 2
+    # re-aggregated routing stats == the all-at-once index's stats
+    want = {
+        (r.cluster, tuple(r.cent_s), r.c)
+        for r in _routing_stats(spark, full_path).collect()
+    }
+    got = {
+        (r.cluster, tuple(r.cent_s), r.c)
+        for r in _routing_stats(spark, inc_path).collect()
+    }
+    assert got == want and got
+    queries = emb.filter(F.col("vec_id") % 53 == 0)
+    want_q = {
+        tuple(r)
+        for r in ivfpq_index_topk(spark, full_path, queries, topk=5, n_probe=2).collect()
+    }
+    got_q = {
+        tuple(r)
+        for r in ivfpq_index_topk(spark, inc_path, queries, topk=5, n_probe=2).collect()
+    }
+    assert got_q == want_q and got_q

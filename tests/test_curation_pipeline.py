@@ -79,3 +79,51 @@ def test_curation_stages_cross_check_the_verified_operators(spark):
     # shard accounting reconciles with the final table
     acc = {r.shard: (r.n_docs, r.total_tokens) for r in run.shard_accounting.collect()}
     assert sum(n for n, _ in acc.values()) == len(final_ids)
+
+
+def test_semantic_stage_cross_checks_the_s9_kernel(spark):
+    """r6 verdict #7: the opt-in SemDeDup stage must drop EXACTLY the
+    docs the s9 kernel flags among the near-dup survivors (auto-k
+    path), keep docs the embeddings table cannot judge, and leave the
+    funnel monotone. With the stage off, the ladder is bit-identical
+    to the 6-stage composition d35 pins."""
+    from real_time_data_engineering_spark.operators.similarity import semdedup
+
+    base = curate_corpus(spark, SF_DIR)
+    run = curate_corpus(spark, SF_DIR, semantic_dedup=True)
+    counts = run.audit_counts()
+    order = [
+        "raw",
+        "exact_unique",
+        "neardup_keep",
+        "semantic_keep",
+        "quality_pass",
+        "decontaminated",
+        "sampled",
+    ]
+    for a, b in zip(order, order[1:]):
+        assert counts[a] >= counts[b], (a, b, counts)
+    assert counts["sharded"] > 0
+
+    # cross-check: stage drop set == the kernel's is_dup set over the
+    # near-dup survivors' embeddings (same auto-k, same threshold)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    surv = emb.join(
+        run.neardup_keep.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    )
+    flagged = {
+        r.vec_id
+        for r in semdedup(surv, target_cell_rows=100).filter("is_dup").collect()
+    }
+    kept_before = {r.doc_id for r in run.neardup_keep.select("doc_id").collect()}
+    kept_after = {r.doc_id for r in run.semantic_keep.select("doc_id").collect()}
+    assert kept_before - kept_after == flagged
+    # docs without an embedding pass through unjudged
+    no_emb = kept_before - {r.vec_id for r in surv.select("vec_id").collect()}
+    assert no_emb <= kept_after
+
+    # stage off == the 6-stage composition (d35's pinned behavior)
+    assert base.semantic_keep is base.neardup_keep
+    a = sorted(map(tuple, base.sharded.collect()))
+    b = sorted(map(tuple, curate_corpus(spark, SF_DIR).sharded.collect()))
+    assert a == b

@@ -533,3 +533,52 @@ def test_ivfpq_recovers_planted_duplicates(spark, embeddings):
     n_q = embeddings.count()
     hits = sum(1 for qid, nids in by_q.items() if qid + 100000 in nids)
     assert hits / n_q >= 0.85, f"planted-twin recall@3 through IVF-PQ {hits}/{n_q}"
+
+
+def test_semdedup_target_cell_rows_derives_k(spark, embeddings):
+    """r6 verdict #1: `target_cell_rows` must derive k = ceil(N/target)
+    (the SemDeDup-paper k∝N convention) and produce EXACTLY the output
+    of an explicit-k call with that k — the auto-scale path changes no
+    math, only the knob's origin. With the derived k scaling ∝N, cells
+    stay ~target rows and pair work stays ~N·target (linear), instead
+    of the fixed-k N²/k blowup the r6 verdict measured on the 10×
+    replica."""
+    n = embeddings.count()
+    target = 40
+    k_expected = -(-n // target)
+    assert k_expected > 10  # genuinely more clusters than the pinned registry k
+    auto = {
+        tuple(r)
+        for r in S.semdedup(embeddings, target_cell_rows=target).collect()
+    }
+    explicit = {
+        tuple(r)
+        for r in S.semdedup(embeddings, k=k_expected).collect()
+    }
+    assert auto == explicit and auto
+    clusters = {r[1] for r in auto}
+    assert len(clusters) > 10  # k actually scaled with N
+
+
+def test_hybrid_ann_recall_against_exact_hybrid(spark):
+    """r6 verdict #2 (the s7 precedent): s11 — RRF fusion whose dense
+    list is served by the PERSISTED IVF-PQ index — must substantially
+    agree with s10's exact-dense fusion. The lexical list is shared, so
+    every divergence is the ANN trade (2/10 cells probed + ADC
+    quantization); recall@10 quantifies it. Exactness of s11's own
+    answers is separately value-oracled (its registry row)."""
+    from real_time_data_engineering_spark.registry import get
+
+    exact = get("s10_hybrid_rrf").spark(spark, SF_DIR).select("query_id", "doc_id").collect()
+    ann = get("s11_hybrid_rrf_ann").spark(spark, SF_DIR).select("query_id", "doc_id").collect()
+    sa, sb = {}, {}
+    for r in exact:
+        sa.setdefault(r.query_id, set()).add(r.doc_id)
+    for r in ann:
+        sb.setdefault(r.query_id, set()).add(r.doc_id)
+    assert set(sa) == set(sb) and len(sa) == 5  # same 5 query docs
+    assert all(len(v) == 10 for v in sb.values())  # full top-10 lists
+    recall = {q: len(sa[q] & sb[q]) / len(sa[q]) for q in sa}
+    mean = sum(recall.values()) / len(recall)
+    # measured 0.62 at sf0.001; the floor leaves ANN-noise headroom
+    assert mean >= 0.4, f"ANN-backed hybrid diverged too far: {recall}"

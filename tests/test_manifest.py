@@ -1037,3 +1037,33 @@ def test_deletion_vectors_survive_symlinked_table_handles(spark, tmp_path):
     for handle in (str(real), str(link), rel):
         got = {r.id for r in ManifestTable(handle).read(spark).collect()}
         assert got == {i for i in range(200) if i % 10 != 3}, handle
+
+
+def test_deletion_vectors_survive_a_table_directory_move(spark, tmp_path):
+    """ADVICE r6 #1: DV rows key on TABLE-RELATIVE paths, so physically
+    moving the table directory keeps every vector effective — the
+    stable-file-id property production formats get from their metadata
+    layer. (Legacy absolute-URI vectors are recovered by the read-side
+    normalizer on an unmoved table; `compact()` is the documented
+    migration before moving those.)"""
+    import shutil
+
+    src = str(tmp_path / "orig")
+    dst = str(tmp_path / "relocated")
+    t = ManifestTable(src)
+    t.write(
+        spark.createDataFrame([(i, i % 10) for i in range(200)], "id long, val int")
+        .repartition(3)
+    )
+    t.delete_where(spark, [("val", "==", 3)], merge_on_read=True)
+    assert t.snapshot().dvs
+    want = {(r.id, r.val) for r in t.read(spark).collect()}
+    assert len(want) == 180
+    shutil.move(src, dst)
+    moved = ManifestTable(dst)
+    assert moved.snapshot().dvs, "move must not drop the DV mapping"
+    got = {(r.id, r.val) for r in moved.read(spark).collect()}
+    assert got == want, "deleted rows reappeared after the directory move"
+    # and further MOR deletes at the new location stack correctly
+    moved.delete_where(spark, [("val", "==", 7)], merge_on_read=True)
+    assert moved.read(spark).count() == 160

@@ -343,6 +343,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "s7_ann_recall",  # composes s1 + s3, inheriting their fan-out
         "s8_ivfpq_topk",  # IVF routing reuses s3/s5's broadcast fan-out
         "s10_hybrid_rrf",  # dense list is s1's broadcast query fan-out
+        "s11_hybrid_rrf_ann",  # dense list routes via the persisted IVF-PQ index (s8's fan-out)
     }
     for name, spec in all_specs().items():
         plan = spec.spark(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
@@ -389,21 +390,23 @@ def test_r3_green_head_keeps_its_positions():
 
 
 def test_r5_artifact_key_order_is_pinned_verbatim():
-    """Append-only pin extension (r5 verdict item 4): the driver's
-    round-5 artifact went 50/50 green on exactly the _R3_GREEN_HEAD
-    keys in that order, so the committed CORRECTNESS_r05.json key list
-    IS the contract — assert it verbatim against the registry head so
-    no future registration change can silently reshuffle a budgeted
+    """Append-only pin extension (r5 verdict item 4, extended to r6 per
+    the r6 verdict item 5): the driver's round-5 AND round-6 artifacts
+    each went 50/50 green on exactly the _R3_GREEN_HEAD keys in that
+    order, so the committed CORRECTNESS_r0{5,6}.json key lists ARE the
+    contract — assert them verbatim against the registry head so no
+    future registration change can silently reshuffle a budgeted
     artifact away from its last all-green composition."""
     import json
     import pathlib
 
     from real_time_data_engineering_spark import registry
 
-    artifact = pathlib.Path(__file__).resolve().parents[1] / "CORRECTNESS_r05.json"
-    r5_keys = list(json.loads(artifact.read_text()).keys())
-    assert r5_keys == list(registry._R3_GREEN_HEAD)
-    assert list(registry.all_specs())[: len(r5_keys)] == r5_keys
+    root = pathlib.Path(__file__).resolve().parents[1]
+    for artifact in ("CORRECTNESS_r05.json", "CORRECTNESS_r06.json"):
+        keys = list(json.loads((root / artifact).read_text()).keys())
+        assert keys == list(registry._R3_GREEN_HEAD), artifact
+        assert list(registry.all_specs())[: len(keys)] == keys, artifact
 
 
 def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
