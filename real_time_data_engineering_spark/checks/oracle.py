@@ -108,6 +108,9 @@ class OracleDiffer:
         # oracle's wall clock is not a graded number, residency is.
         self.con.execute("SET memory_limit = '12GB'")
         self.con.execute("SET max_temp_directory_size = '60GB'")
+        # long oracles (replica-scale unrolled chains) otherwise print
+        # progress bars into captured artifacts
+        self.con.execute("SET enable_progress_bar = false")
         for t in TABLE_NAMES:
             path = os.path.join(sf_dir, f"{t}.parquet")
             if os.path.isdir(path):
