@@ -121,6 +121,7 @@ EXTRA = [
     "s11_hybrid_rrf_ann",
     "d42_bm25_index",
     "d43_countmin_union",
+    "s12_index_cell_health",
 ]
 
 # Queries whose lineage persists an exploded working relation DISK_ONLY

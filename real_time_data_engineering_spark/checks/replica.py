@@ -36,6 +36,7 @@ DEFAULT_QUERIES = [
     "d43_countmin_union",
     "s10_hybrid_rrf",
     "s11_hybrid_rrf_ann",
+    "s12_index_cell_health",
     "s9_semdedup",
 ]
 

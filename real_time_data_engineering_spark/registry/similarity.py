@@ -847,3 +847,57 @@ def s11_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, queries, topk=20, n_probe=2, exclude_self=True
     ).select(F.col("qid").alias("query_id"), F.col("nid").alias("doc_id"), "rank")
     return _fuse_with_lexical(spark, docs, dense, _S10_N_QUERIES)
+
+
+# ---------------------------------------------------------------------------
+# s12 — IVF index cell-health census: the maintenance signal the
+# append path documents ("monitor per-cell counts; retrain when drift
+# crosses policy" — operators/ann_index.append_to_ivfpq_index, the
+# FAISS re-cluster trade). Per trained cell: member count, share of
+# the corpus, and the overfull flag (n·k > 2·N — integer
+# cross-multiplication, no float in the decision) that says routing
+# has gone lopsided enough that probes stop pruning. Deterministic
+# end to end (the s4 Lloyd contract), so the census is fully
+# value-oracled by the unrolled-Lloyd chain; N arrives as the
+# sanctioned O(1) driver scalar (a 1-row join would plan the banned
+# BNLJ). At scale this runs off the persisted index's routing stats
+# (`_routing_stats` — same (cluster, c) relation) without touching
+# vectors at all.
+# ---------------------------------------------------------------------------
+_S12_ORACLE = (
+    _kmeans_cte(k=10, iters=10)
+    + """, s12cc AS (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors FROM kasg GROUP BY 1
+), s12tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM kasg
+)
+SELECT c.cluster, c.n_vectors,
+       CAST(c.n_vectors AS DOUBLE) / CAST(t.n AS DOUBLE) AS share,
+       (c.n_vectors * 10 > 2 * t.n) AS overfull
+FROM s12cc c CROSS JOIN s12tot t
+"""
+)
+
+
+@register(
+    "s12_index_cell_health",
+    _S12_ORACLE,
+    doc="IVF cell-balance census over the trained coarse quantizer "
+    "(k=10): per-cell count, corpus share, and the integer-exact "
+    "overfull flag (n*k > 2*N) — the drift signal that schedules an "
+    "index retrain after appends (the FAISS re-cluster policy). "
+    "Oracle = the unrolled-Lloyd chain + counts; N is the sanctioned "
+    "O(1) driver scalar.",
+)
+def s12_index_cell_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per trained cell: (cluster, n_vectors, share, overfull)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = S.kmeans_assign(emb, k=10, max_iter=10).select("vec_id", "cluster")
+    counts = assign.groupBy("cluster").agg(F.count("*").alias("n_vectors"))
+    n = assign.count()  # O(1) driver scalar (d24 precedent)
+    return counts.select(
+        "cluster",
+        "n_vectors",
+        (F.col("n_vectors").cast("double") / F.lit(float(n))).alias("share"),
+        (F.col("n_vectors") * F.lit(10) > F.lit(2 * n)).alias("overfull"),
+    )
