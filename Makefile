@@ -10,12 +10,18 @@
 ROUND ?= r05
 SF_DIR ?= /root/testdata/sf0.1
 
+# Every artifact target pipes through tee — without pipefail a red
+# check's non-zero exit is swallowed by tee's 0 and round-artifacts
+# would happily commit a FAIL-bearing artifact.
+SHELL := /bin/bash
+.SHELLFLAGS := -o pipefail -ec
+
 .PHONY: round-artifacts sweep funnel bench replica test
 
 round-artifacts: sweep funnel bench replica
 
 replica:  # 10x-replica value evidence (builds /tmp/replica10 if absent)
-	python -m real_time_data_engineering_spark.checks.replica 2>/dev/null | tee REPLICA_$(ROUND).txt
+	SPARK_GRAFT_SF_DIR=$(SF_DIR) python -m real_time_data_engineering_spark.checks.replica 2>/dev/null | tee REPLICA_$(ROUND).txt
 
 sweep:
 	python -m real_time_data_engineering_spark.checks.sweep $(SF_DIR) 2>/dev/null | tee SWEEP_$(ROUND).txt

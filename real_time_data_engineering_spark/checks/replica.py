@@ -108,9 +108,10 @@ def main(queries: list[str]) -> int:
         except Exception as exc:  # oracle-side resource blowups stay visible
             ok, note = False, f"[error] {exc}"
             res = None
-        status = "GREEN" if ok else ("rows_only" if res and res.oracle_rows == -1 else "FAIL")
-        if res and res.oracle_rows == -1:
-            status, ok = "rows_only", True
+        if res is not None and res.oracle_rows == -1:
+            status = "rows_only"  # no oracle registered: executes-and-counts only
+        else:
+            status = "GREEN" if ok else "FAIL"
         bad += 0 if ok else 1
         rows = res.spark_rows if res else -1
         print(f"{name:28s} {status:9s} rows={rows:>8d} {time.time() - t0:6.1f}s {note}", flush=True)

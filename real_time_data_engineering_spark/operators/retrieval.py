@@ -180,9 +180,12 @@ def bm25_literal_queries(
 #   cluster_by=["term"] so per-file min/max stats prune query-term
 #   probes to a handful of files (`read_any_of`, one scan/job).
 # * ``doclen``  — (doc_id, dl), joined only against candidate docs.
-# * ``_stats``  — append-only (n_docs, sum_dl) DELTA rows; N and avgdl
-#   are associative sums over it (the `_centroid_deltas` pattern), so
-#   concurrent shard appends can never lose an update.
+# * ``_stats``  — append-only (n_docs, sum_dl, n_dl) DELTA rows; N,
+#   avgdl's numerator and denominator are associative sums over it
+#   (the `_centroid_deltas` pattern), so concurrent shard appends can
+#   never lose an update. n_docs counts ALL docs, n_dl only docs with
+#   tokens — `corpus_stats`' exact split, so token-less docs don't
+#   break the bit-identical contract.
 #
 # Appends are per-shard `append_with_retry` commits (optimistic CAS):
 # tokenize ONLY the new shard, land its postings/doclen/stats. Because
@@ -198,13 +201,26 @@ _LEX_STATS = "_stats"
 
 
 def _lex_parts(docs: DataFrame, text_col: str):
-    """(postings, doclen, stats_delta) for one corpus shard."""
+    """(postings, doclen, stats_delta) for one corpus shard.
+
+    The stats delta carries THREE associative sums, matching
+    `corpus_stats`' exact definitions so the index path stays
+    bit-identical to the per-call path even when some docs tokenize to
+    NOTHING (empty/NULL text, no ``[a-z]+`` runs): ``n_docs`` counts
+    ALL shard docs (idf's N — `corpus_stats` uses docs.count()), while
+    ``n_dl`` counts only docs with ≥1 token (avgdl's denominator —
+    `corpus_stats` divides by the doclen row count)."""
     tok = tokens_df(docs, text_col)
     postings = tok.groupBy("term", "doc_id").agg(F.count("*").cast("long").alias("tf"))
     doclen = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
-    stats = doclen.agg(
-        F.count("*").cast("long").alias("n_docs"),
+    spark = docs.sparkSession
+    dl_row = doclen.agg(
+        F.count("*").cast("long").alias("n_dl"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
+    ).first()
+    stats = spark.createDataFrame(
+        [(int(docs.count()), int(dl_row["sum_dl"]), int(dl_row["n_dl"]))],
+        "n_docs bigint, sum_dl bigint, n_dl bigint",
     )
     return postings, doclen, stats
 
@@ -278,11 +294,17 @@ def lexical_index_bm25(
     row = (
         ManifestTable(os.path.join(path, _LEX_STATS))
         .read(spark)
-        .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
+        .agg(
+            F.sum("n_docs").alias("n"),
+            F.sum("sum_dl").alias("s"),
+            F.sum("n_dl").alias("d"),
+        )
         .first()
     )
+    # exactly corpus_stats' definitions: N = ALL docs (idf), avgdl =
+    # token sum over docs WITH tokens (the doclen row count)
     n_docs = float(row["n"])
-    avgdl = float(row["s"]) / float(row["n"])
+    avgdl = float(row["s"]) / float(row["d"])
     # the query vocabulary is bounded by contract (a literal census or
     # a handful of query documents) — driver-side is the probe plan
     terms = sorted(r.term for r in qterms.select("term").distinct().collect())

@@ -45,6 +45,29 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 
 
+def work_dir(kind: str, sf_dir: str) -> str:
+    """Stable per-(query, corpus) scratch directory for registered
+    queries whose semantics include PERSISTING an index/sketch (s11,
+    d42, d43): one reused path per (kind, corpus), overwritten in
+    place, bounds scratch disk to a single artifact per query per
+    corpus — a fresh mkdtemp per call would leak one corpus-sized
+    directory per bench iteration / sweep / driver run. Single-writer
+    by convention (the bench, driver and sweep all run queries
+    sequentially); the ManifestTable commits inside are CAS-protected
+    regardless."""
+    import hashlib
+    import os
+    import tempfile
+
+    p = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_work",
+        f"{kind}_{hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:8]}",
+    )
+    os.makedirs(p, exist_ok=True)
+    return p
+
+
 def register(name: str, oracle: str | None, doc: str = ""):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         _REGISTRY[name] = QuerySpec(name=name, spark=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))

@@ -2259,15 +2259,18 @@ def _cm_vs_truth(tok: DataFrame, terms: DataFrame, est: DataFrame) -> DataFrame:
 def d43_countmin_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """d41's estimates served from a two-shard persisted sketch union:
     (term, true_cnt, cm_est, overestimate >= 0)."""
-    import tempfile
+    import os
 
+    from ..operators.manifest import ManifestTable
     from ..operators.sketches import (
+        _CM_TABLE,
         append_cm_sketch,
         cm_point_estimates,
         cm_sketch,
         read_cm_sketch,
         write_cm_sketch,
     )
+    from . import work_dir
 
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
 
@@ -2278,9 +2281,13 @@ def d43_countmin_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("term")
         )
 
-    path = tempfile.mkdtemp(prefix="d43_cm_")
+    # reused per-corpus path; expire+vacuum bound scratch to one sketch
+    path = work_dir("d43_cm", sf_dir)
     write_cm_sketch(cm_sketch(shard_tok(F.col("doc_id") % 2 == 0), _CM_D, _CM_W), path)
     append_cm_sketch(cm_sketch(shard_tok(F.col("doc_id") % 2 == 1), _CM_D, _CM_W), path)
+    t = ManifestTable(os.path.join(path, _CM_TABLE))
+    t.expire(keep_last=1)
+    t.vacuum(older_than_s=0.0)
     counters = read_cm_sketch(spark, path)
     terms = spark.createDataFrame(
         sorted({(t,) for _, t in _BM25_QUERY_TERMS}), "term string"
@@ -2316,20 +2323,29 @@ def d43_countmin_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d42_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 docs per query by BM25, scored off the inverted index."""
-    import tempfile
+    import os
 
+    from ..operators.manifest import ManifestTable
     from ..operators.retrieval import (
         bm25_literal_queries,
         lexical_index_bm25,
         write_lexical_index,
     )
+    from . import work_dir
 
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     # at scale the index is written once and appended per shard; the
     # registered query rebuilds per call so the oracle sees one
-    # self-contained artifact (the s11 convention)
-    path = tempfile.mkdtemp(prefix="d42_lexidx_")
+    # self-contained artifact (the s11 convention). The path is reused
+    # per corpus; expire+vacuum below drop the previous call's
+    # manifest versions and data files so scratch disk stays bounded
+    # at one index.
+    path = work_dir("d42_lexidx", sf_dir)
     write_lexical_index(docs, path, n_files=8)
+    for part in ("postings", "doclen", "_stats"):
+        t = ManifestTable(os.path.join(path, part))
+        t.expire(keep_last=1)
+        t.vacuum(older_than_s=0.0)
     q = bm25_literal_queries(spark, _BM25_QUERY_TERMS)
     agg = lexical_index_bm25(spark, path, q)
     w = Window.partitionBy("query_id").orderBy(F.desc("score_x"), F.asc("doc_id"))

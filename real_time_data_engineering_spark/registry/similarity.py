@@ -830,17 +830,18 @@ _S11_ORACLE = (
 def s11_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 per query document after RRF-fusing BM25 with the IVF-PQ
     index's ADC top-20 (documents and embeddings share the id space)."""
-    import tempfile
-
     from ..operators.ann_index import ivfpq_index_topk, write_ivfpq_index
     from ..sources.readers import ensure_min_partitions
+    from . import work_dir
 
     emb = load_table(spark, sf_dir, "embeddings")
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     # build the persistent index (at scale this happens ONCE at write
     # time; the registered query rebuilds per call so the oracle sees
-    # one self-contained, parameter-pinned artifact — s8's convention)
-    path = tempfile.mkdtemp(prefix="s11_ivfpq_")
+    # one self-contained, parameter-pinned artifact — s8's convention).
+    # The hive-layout writes are all mode=overwrite, so reusing one
+    # per-corpus path leaks nothing across calls.
+    path = work_dir("s11_ivfpq", sf_dir)
     write_ivfpq_index(emb, path, n_cells=10, m=8, k_codes=16, pq_iter=5, km_iter=10)
     queries = emb.filter(F.col("vec_id") < _S10_N_QUERIES)
     dense = ivfpq_index_topk(
@@ -894,7 +895,9 @@ def s12_index_cell_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     assign = S.kmeans_assign(emb, k=10, max_iter=10).select("vec_id", "cluster")
     counts = assign.groupBy("cluster").agg(F.count("*").alias("n_vectors"))
-    n = assign.count()  # O(1) driver scalar (d24 precedent)
+    # kmeans_assign assigns EVERY input row, so N is the cheap parquet
+    # metadata count — never a second pass through the assignment kernel
+    n = emb.count()  # O(1) driver scalar (d24 precedent)
     return counts.select(
         "cluster",
         "n_vectors",

@@ -113,3 +113,30 @@ def test_postings_probe_is_file_pruned(spark, documents, tmp_path):
     # absent term: probe returns nothing, never errors
     assert tbl.read_any_of(spark, "term", ["zzzznotaterm"]).count() == 0
     assert tbl.read_any_of(spark, "term", []).count() == 0
+
+
+def test_index_bm25_survives_tokenless_docs(spark, documents, tmp_path):
+    """Regression (r7 self-review): a doc that tokenizes to NOTHING
+    (digits-only / empty text) counts toward idf's N but not avgdl's
+    denominator — `corpus_stats`' exact split. The persisted index
+    must reproduce the direct path bit-for-bit on such a corpus, base
+    or appended."""
+    extra = spark.createDataFrame(
+        [
+            (900_000_001, "12345 67890 --- !!!", "xx", "synthetic", 19),
+            (900_000_002, "", "xx", "synthetic", 0),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    docs = documents.select("doc_id", "text", "lang", "source", "n_chars").unionByName(
+        extra
+    )
+    path = str(tmp_path / "lex")
+    write_lexical_index(docs.filter(F.col("doc_id") < 900_000_000), path, n_files=4)
+    append_to_lexical_index(docs.filter(F.col("doc_id") >= 900_000_000), path)
+    q = bm25_literal_queries(spark, QUERY_TERMS)
+    got = _score_set(lexical_index_bm25(spark, path, q))
+    tok = tokens_df(docs)
+    n_docs, avgdl, dl = corpus_stats(docs, tok)
+    want = _score_set(bm25_scores(tok, q, n_docs, avgdl, dl))
+    assert got == want and got
