@@ -122,6 +122,8 @@ EXTRA = [
     "d42_bm25_index",
     "d43_countmin_union",
     "s12_index_cell_health",
+    "d44_index_decontam",
+    "d45_incremental_dedup",
 ]
 
 # Queries whose lineage persists an exploded working relation DISK_ONLY

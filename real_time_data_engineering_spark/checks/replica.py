@@ -38,6 +38,8 @@ DEFAULT_QUERIES = [
     "s11_hybrid_rrf_ann",
     "s12_index_cell_health",
     "s9_semdedup",
+    "d44_index_decontam",
+    "d45_incremental_dedup",
 ]
 
 _SHIFTS = {

@@ -772,3 +772,120 @@ def connected_components_star(
     return labels.join(sizes, "label").select(
         "node", F.col("label").alias("cluster_id"), "cluster_size"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental exact dedup — persisted fingerprint REGISTRY.
+#
+# The 100 TB shape of rung 1: once a corpus is ingested, "is this new
+# document a duplicate of ANYTHING we have ever kept?" must not re-read
+# the corpus text. The registry persists one ~50-byte row per distinct
+# fingerprint as a ManifestTable of APPEND-ONLY DELTA rows
+# (fingerprint, keeper, n): keeper is MIN-associative and n is
+# SUM-associative, so per-shard appends commute — base + any append
+# sequence reads identically to the all-at-once build (the
+# `_centroid_deltas` pattern, cf. `append_to_lexical_index`), and a
+# CAS-append race can never lose an update. `cluster_by=["fingerprint"]`
+# range-lays the files so `read_any_of` point probes ("seen before?")
+# open only the files whose stats admit the key.
+#
+# Reference analogue: the reference's W1 keep-one dedup is a per-batch
+# window (flink/sql/06-silver.sql:42-58); the registry is its
+# cross-ingestion generalization.
+# ---------------------------------------------------------------------------
+
+_FP_TABLE = "_fingerprints"
+
+
+def fingerprint_deltas(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One shard's delta rows: (fingerprint, keeper, n). One shuffle
+    keyed on the fingerprint; map-side combine collapses each partition
+    to its distinct fingerprints before the exchange."""
+    return (
+        df.select(F.col(id_col).alias("keeper"), fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("keeper").alias("keeper"), F.count("*").cast("long").alias("n"))
+    )
+
+
+def write_fingerprint_registry(
+    df: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id",
+    n_files: int | None = None,
+) -> None:
+    """Persist the base corpus's registry (overwrite)."""
+    import os
+
+    from .manifest import ManifestTable
+
+    ManifestTable(os.path.join(path, _FP_TABLE)).write(
+        fingerprint_deltas(df, text_col, id_col),
+        mode="overwrite", cluster_by=["fingerprint"], n_files=n_files,
+    )
+
+
+def append_fingerprint_registry(
+    df: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id",
+    max_attempts: int = 5, n_files: int | None = None,
+) -> None:
+    """CAS-append one ingested shard's fingerprint deltas."""
+    import os
+
+    from .manifest import ManifestTable
+
+    ManifestTable(os.path.join(path, _FP_TABLE)).append_with_retry(
+        fingerprint_deltas(df, text_col, id_col),
+        max_attempts=max_attempts, cluster_by=["fingerprint"], n_files=n_files,
+    )
+
+
+def read_fingerprint_registry(spark, path: str) -> DataFrame:
+    """The merged registry: delta rows re-aggregated to one
+    (fingerprint, keeper, n_copies) row per distinct fingerprint.
+    MIN/SUM over deltas — associative, so any append order reads the
+    same."""
+    import os
+
+    from .manifest import ManifestTable
+
+    return (
+        ManifestTable(os.path.join(path, _FP_TABLE))
+        .read(spark)
+        .groupBy("fingerprint")
+        .agg(F.min("keeper").alias("keeper"), F.sum("n").cast("long").alias("n_copies"))
+    )
+
+
+def incremental_exact_dedup(
+    shard: DataFrame, registry: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Classify a NEW shard against the persisted registry without
+    touching corpus text: per shard doc —
+
+    * ``dup_of_corpus`` — fingerprint already registered; keeper is the
+      registry's (first-ingested-wins: the corpus keeper stands even if
+      the shard doc's id is smaller — incremental semantics, not a
+      global re-rank).
+    * ``new``          — first occurrence anywhere; keeps itself.
+    * ``dup_in_shard`` — unseen by the corpus but a smaller-id shard
+      doc has the same content; keeps the shard minimum.
+
+    Work: one fingerprint projection over the SHARD only + two joins
+    keyed on the fingerprint (registry side is (fp, keeper) — tiny
+    relative to text). Deterministic: ties break on min id at every
+    level."""
+    fp = shard.select(F.col(id_col).alias("doc_id"), fingerprint(text_col).alias("fingerprint"))
+    smin = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("_shard_keeper"))
+    reg = registry.select("fingerprint", F.col("keeper").alias("_corpus_keeper"))
+    return (
+        fp.join(smin, "fingerprint")
+        .join(reg, "fingerprint", "left")
+        .select(
+            "doc_id",
+            "fingerprint",
+            F.when(F.col("_corpus_keeper").isNotNull(), F.lit("dup_of_corpus"))
+            .when(F.col("doc_id") == F.col("_shard_keeper"), F.lit("new"))
+            .otherwise(F.lit("dup_in_shard"))
+            .alias("status"),
+            F.coalesce("_corpus_keeper", "_shard_keeper").alias("keeper_id"),
+        )
+    )

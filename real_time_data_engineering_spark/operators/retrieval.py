@@ -318,3 +318,112 @@ def lexical_index_bm25(
     dfq = probed.groupBy("term").agg(F.count("*").alias("df"))
     dl = ManifestTable(os.path.join(path, _DOCLEN)).read(spark)
     return _bm25_from_parts(tf, dfq, dl, n_docs, avgdl, k1, b)
+
+
+# ---------------------------------------------------------------------------
+# Index-served phrase decontamination (two-phase candidate → verify).
+#
+# The benchmark-contamination question at 100 TB — "which training docs
+# contain this eval phrase VERBATIM?" — must not re-tokenize the
+# corpus per benchmark refresh. Classic two-phase answer over the
+# persisted lexical index:
+#
+#   1. CANDIDATES from the postings table: a doc can contain the
+#      phrase only if it contains every phrase term, so one stats-
+#      pruned `read_any_of` probe over the phrases' (bounded) term
+#      vocabulary + a conjunctive count yields a guaranteed superset.
+#   2. VERIFY exact adjacency on candidates only: space-joined token
+#      containment of ' phrase ' in ' tok1 tok2 ... ' — the tokenizer
+#      is the index's own (`tokens_df`), so phase 1's superset claim is
+#      airtight and the final set EQUALS ground truth (what the value
+#      oracle recomputes corpus-wide).
+#
+# Candidate quality is part of the output (n_candidates vs
+# n_contaminated): a one-term phrase degenerates to that term's df —
+# visible, not hidden.
+# ---------------------------------------------------------------------------
+
+
+def index_phrase_candidates(spark: SparkSession, path: str, phrases) -> DataFrame:
+    """(phrase_id, doc_id) candidate pairs: docs whose postings contain
+    EVERY distinct term of the phrase. ``phrases`` is a bounded literal
+    list of (phrase_id, phrase) — the benchmark census contract, so the
+    term vocabulary is a sanctioned driver-side constant (d24 pattern).
+    A phrase with a term the corpus never saw yields no candidates (the
+    conjunction is unsatisfiable) — correct, not an error."""
+    import os
+
+    from .manifest import ManifestTable
+
+    pt = sorted({(pid, t) for pid, ph in phrases for t in ph.split()})
+    terms = sorted({t for _, t in pt})
+    post = (
+        ManifestTable(os.path.join(path, _POSTINGS))
+        .read_any_of(spark, "term", terms)
+        .select("term", "doc_id")
+    )
+    pterms = spark.createDataFrame(pt, "phrase_id bigint, term string")
+    nterms = spark.createDataFrame(
+        sorted((pid, sum(1 for p, _ in pt if p == pid)) for pid in {p for p, _ in pt}),
+        "phrase_id bigint, n_terms bigint",
+    )
+    return (
+        post.join(F.broadcast(pterms), "term")
+        # postings are distinct (term, doc) pairs by construction, so a
+        # plain count is the distinct matched-term count
+        .groupBy("phrase_id", "doc_id")
+        .agg(F.count("*").alias("_hit"))
+        .join(F.broadcast(nterms), "phrase_id")
+        .filter(F.col("_hit") == F.col("n_terms"))
+        .select("phrase_id", "doc_id")
+    )
+
+
+def phrase_decontaminate(
+    spark: SparkSession, path: str, docs: DataFrame, phrases, text_col: str = "text"
+) -> DataFrame:
+    """Per phrase: candidate count, verified contamination count, and
+    an order-canonical md5 over the contaminated doc-id set. The verify
+    join broadcasts the candidate side (bounded by the phrase-census
+    contract), so corpus text is only ever *scanned* — never shuffled —
+    and the normalization expression runs on join survivors only."""
+    cand = index_phrase_candidates(spark, path, phrases).localCheckpoint(eager=True)
+    phr = spark.createDataFrame(sorted(phrases), "phrase_id bigint, phrase string")
+    hits = (
+        docs.select("doc_id", text_col)
+        .join(F.broadcast(cand), "doc_id")
+        .join(F.broadcast(phr), "phrase_id")
+        .filter(
+            F.concat(
+                F.lit(" "),
+                F.array_join(
+                    F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)"), " "
+                ),
+                F.lit(" "),
+            ).contains(F.concat(F.lit(" "), F.col("phrase"), F.lit(" ")))
+        )
+        .select("phrase_id", "doc_id")
+    )
+    cagg = cand.groupBy("phrase_id").agg(F.count("*").cast("long").alias("n_candidates"))
+    xagg = hits.groupBy("phrase_id").agg(
+        F.count("*").cast("long").alias("n_contaminated"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+                ),
+            )
+        ).alias("docs_fp"),
+    )
+    return (
+        phr.join(cagg, "phrase_id", "left")
+        .join(xagg, "phrase_id", "left")
+        .select(
+            "phrase_id",
+            "phrase",
+            F.coalesce("n_candidates", F.lit(0).cast("long")).alias("n_candidates"),
+            F.coalesce("n_contaminated", F.lit(0).cast("long")).alias("n_contaminated"),
+            F.coalesce("docs_fp", F.md5(F.lit(""))).alias("docs_fp"),
+        )
+    )

@@ -2360,3 +2360,185 @@ def d42_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d44 — benchmark-phrase decontamination served from the PERSISTED
+# inverted index (two-phase candidate → verify). Complements d14 (the
+# n-gram-overlap decontam, which tokenizes the full corpus per call):
+# here the corpus is probed through d42's postings index — candidates
+# are docs whose postings contain every phrase term (one stats-pruned
+# `read_any_of` scan over the phrases' bounded vocabulary), and exact
+# adjacency is verified only on the candidate rows. The phrase census
+# includes a one-term-degenerate phrase ("table table" — candidates =
+# that term's df), rare multi-term phrases, and a phrase with an
+# out-of-vocabulary term ("pipeline") exercising the empty-probe path.
+# The oracle recomputes ground truth corpus-wide — the two-phase Spark
+# plan must land on EXACTLY that set (candidates are a superset by the
+# tokenizer-containment argument; the verify filter closes it).
+# ---------------------------------------------------------------------------
+_D44_PHRASES = (
+    (1, "table table"),
+    (2, "scan query"),
+    (3, "fast merge batch"),
+    (4, "window spark order"),
+    (5, "data pipeline"),
+)
+
+_D44_VALUES = ", ".join(f"({i}, '{p}')" for i, p in _D44_PHRASES)
+
+_D44_ORACLE = f"""
+WITH phrases(phrase_id, phrase) AS (VALUES {_D44_VALUES}),
+pterms AS (
+  SELECT DISTINCT phrase_id, term FROM (
+    SELECT phrase_id, unnest(string_split(phrase, ' ')) AS term FROM phrases
+  )
+),
+nt AS (SELECT phrase_id, CAST(COUNT(*) AS BIGINT) AS n_terms FROM pterms GROUP BY 1),
+tok AS MATERIALIZED (
+  SELECT doc_id,
+         ' ' || array_to_string(regexp_extract_all(lower(text), '[a-z]+'), ' ') || ' ' AS norm
+  FROM documents
+),
+dterm AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term FROM documents
+  )
+),
+cand AS (
+  SELECT p.phrase_id, d.doc_id
+  FROM pterms p
+  JOIN dterm d ON d.term = p.term
+  JOIN nt ON nt.phrase_id = p.phrase_id
+  GROUP BY p.phrase_id, d.doc_id, nt.n_terms
+  HAVING COUNT(*) = nt.n_terms
+),
+cagg AS (SELECT phrase_id, CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand GROUP BY 1),
+contam AS (
+  SELECT c.phrase_id, c.doc_id
+  FROM cand c
+  JOIN tok t ON t.doc_id = c.doc_id
+  JOIN phrases ph ON ph.phrase_id = c.phrase_id
+  WHERE contains(t.norm, ' ' || ph.phrase || ' ')
+),
+xagg AS (
+  SELECT phrase_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated,
+         md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS docs_fp
+  FROM contam GROUP BY 1
+)
+SELECT CAST(ph.phrase_id AS BIGINT) AS phrase_id, ph.phrase,
+       COALESCE(c.n_candidates, 0) AS n_candidates,
+       COALESCE(x.n_contaminated, 0) AS n_contaminated,
+       COALESCE(x.docs_fp, md5('')) AS docs_fp
+FROM phrases ph
+LEFT JOIN cagg c ON c.phrase_id = ph.phrase_id
+LEFT JOIN xagg x ON x.phrase_id = ph.phrase_id
+"""
+
+
+@register(
+    "d44_index_decontam",
+    _D44_ORACLE,
+    doc="Benchmark-phrase decontamination answered from the persisted "
+    "postings index: conjunctive term probe (stats-pruned, one scan) "
+    "for candidates, exact space-joined-token containment verified on "
+    "candidates only — per phrase: candidate count, contaminated count "
+    "and an order-canonical md5 of the contaminated doc-id set.",
+)
+def d44_index_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per benchmark phrase: index-probe candidates -> verified docs."""
+    import os
+
+    from ..operators.manifest import ManifestTable
+    from ..operators.retrieval import phrase_decontaminate, write_lexical_index
+    from . import work_dir
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    # write-once at scale; rebuilt per call for oracle self-containment
+    # (the d42 convention), scratch bounded by expire+vacuum
+    path = work_dir("d44_lexidx", sf_dir)
+    write_lexical_index(docs, path, n_files=8)
+    for part in ("postings", "doclen", "_stats"):
+        t = ManifestTable(os.path.join(path, part))
+        t.expire(keep_last=1)
+        t.vacuum(older_than_s=0.0)
+    return phrase_decontaminate(spark, path, docs, _D44_PHRASES)
+
+
+# ---------------------------------------------------------------------------
+# d45 — incremental exact dedup against the PERSISTED fingerprint
+# registry (rung 1 of the ladder as lakehouse state). Base corpus =
+# doc_id%4 != 3; the incoming shard = the %4==3 docs PLUS a re-crawl of
+# the %4==0 docs under shifted ids (guaranteed cross-ingestion dups,
+# the d1 doubling idiom). The shard classifies against the registry
+# (fingerprint-keyed join, corpus text never re-read): dup_of_corpus
+# keeps the REGISTRY keeper (first-ingested-wins — even when the shard
+# id is smaller), first-anywhere docs are 'new', and intra-shard
+# repeats are 'dup_in_shard' keeping the shard minimum. Registry rows
+# are MIN/SUM-associative deltas, so concurrent shard appends commute
+# (base+appends ≡ all-at-once — equivalence-tested).
+# ---------------------------------------------------------------------------
+_D45_ORACLE = """
+WITH fp AS (
+  SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+         doc_id % 4 AS slot
+  FROM documents
+),
+base AS (SELECT doc_id, fingerprint FROM fp WHERE slot <> 3),
+shard AS (
+  SELECT doc_id, fingerprint FROM fp WHERE slot = 3
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, fingerprint FROM fp WHERE slot = 0
+),
+reg AS (SELECT fingerprint, MIN(doc_id) AS ckeeper FROM base GROUP BY 1),
+smin AS (SELECT fingerprint, MIN(doc_id) AS skeeper FROM shard GROUP BY 1)
+SELECT s.doc_id, s.fingerprint,
+       CASE WHEN r.ckeeper IS NOT NULL THEN 'dup_of_corpus'
+            WHEN s.doc_id = m.skeeper THEN 'new'
+            ELSE 'dup_in_shard' END AS status,
+       COALESCE(r.ckeeper, m.skeeper) AS keeper_id
+FROM shard s
+LEFT JOIN reg r ON r.fingerprint = s.fingerprint
+JOIN smin m ON m.fingerprint = s.fingerprint
+"""
+
+
+@register(
+    "d45_incremental_dedup",
+    _D45_ORACLE,
+    doc="Incremental exact dedup: a new shard (fresh docs + a re-crawl "
+    "of known docs under new ids) classified against the persisted "
+    "fingerprint registry — dup_of_corpus / new / dup_in_shard with "
+    "deterministic keepers; only shard text is fingerprinted, the "
+    "corpus contributes its ~50-byte-per-doc registry rows.",
+)
+def d45_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify one shard against the persisted fingerprint registry."""
+    import os
+
+    from ..operators.dedup import (
+        _FP_TABLE,
+        incremental_exact_dedup,
+        read_fingerprint_registry,
+        write_fingerprint_registry,
+    )
+    from ..operators.manifest import ManifestTable
+    from . import work_dir
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    base = docs.filter(F.col("doc_id") % 4 != 3)
+    shard = docs.filter(F.col("doc_id") % 4 == 3).unionByName(
+        docs.filter(F.col("doc_id") % 4 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(2_000_000)
+        )
+    )
+    # write-once at scale (appends per ingested shard); rebuilt per
+    # call for oracle self-containment, scratch bounded (d42 convention)
+    path = work_dir("d45_fpreg", sf_dir)
+    write_fingerprint_registry(base, path, n_files=4)
+    t = ManifestTable(os.path.join(path, _FP_TABLE))
+    t.expire(keep_last=1)
+    t.vacuum(older_than_s=0.0)
+    return incremental_exact_dedup(shard, read_fingerprint_registry(spark, path))

@@ -773,3 +773,52 @@ def test_streaming_drift_monitor_equals_batch_ks(spark, tmp_path):
     # intermediate verdicts ran on partial data: monotone sample growth
     assert min(r.n_a for r in log) <= last.n_a
     assert half > 0
+
+
+def test_streaming_cm_sketch_appends_equal_batch(spark, tmp_path):
+    """A Count-Min sketch maintained by per-micro-batch appends
+    (foreachBatch over an availableNow file stream) must equal the
+    all-at-once batch sketch EXACTLY: counter cells are sums, so
+    micro-batch partials merge associatively — the d43 shard-union
+    contract driven from a stream, with bounded state (d*w counters)
+    regardless of how many batches arrive."""
+    from real_time_data_engineering_spark.operators import sketches as sk
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.repartition(4).write.parquet(src)
+
+    def toks(df):
+        return df.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("term")
+        )
+
+    sketch_dir = str(tmp_path / "sketch")
+    seen = {"batches": 0}
+
+    def commit(batch_df, batch_id):
+        counters = sk.cm_sketch(toks(batch_df), d=4, w=256)
+        if seen["batches"] == 0:
+            sk.write_cm_sketch(counters, sketch_dir)
+        else:
+            sk.append_cm_sketch(counters, sketch_dir)
+        seen["batches"] += 1
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(commit)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert seen["batches"] > 1  # the associativity claim needs >1 merge
+    got = {
+        (r.i, r.bucket, r.c) for r in sk.read_cm_sketch(spark, sketch_dir).collect()
+    }
+    want = {(r.i, r.bucket, r.c) for r in sk.cm_sketch(toks(docs), d=4, w=256).collect()}
+    assert got == want and got
