@@ -124,6 +124,7 @@ EXTRA = [
     "s12_index_cell_health",
     "d44_index_decontam",
     "d45_incremental_dedup",
+    "q49_gdpr_delete_mor",
 ]
 
 # Queries whose lineage persists an exploded working relation DISK_ONLY

@@ -40,6 +40,7 @@ DEFAULT_QUERIES = [
     "s9_semdedup",
     "d44_index_decontam",
     "d45_incremental_dedup",
+    "q49_gdpr_delete_mor",
 ]
 
 _SHIFTS = {

@@ -1980,3 +1980,78 @@ def q47_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chi2",
         F.when(F.col("dof") == 24, F.col("chi2") > F.lit(36.415)).alias("dependent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q49 — GDPR-style erasure through MERGE-ON-READ deletion vectors, as a
+# value-oracled registered query (the manifest DV path was previously
+# test-only). The documents table lands as a ManifestTable, then two
+# stacked MOR deletes hit it — a lang erasure (touches every file) and
+# an id-range retention purge (stats-scoped to the few doc_id-clustered
+# files that admit it; overlapping rows exercise the DV union). No data
+# file is rewritten: each delete stages one (file_path, row_index)
+# sidecar and readers anti-join it away. The query returns the
+# per-source accounting BOTH ways — the live post-delete counts AND the
+# time-traveled pre-delete counts from the original snapshot — so the
+# oracle value-checks the whole chain: write, stats blast-radius,
+# stacked-DV read, time travel.
+# ---------------------------------------------------------------------------
+_Q49_ORACLE = """
+WITH v0 AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_v0 FROM documents GROUP BY 1
+),
+live AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_live,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars_live
+  FROM documents
+  WHERE NOT (lang = 'zh') AND NOT (doc_id < 100)
+  GROUP BY 1
+)
+SELECT v0.source, v0.n_docs_v0,
+       COALESCE(l.n_docs_live, 0) AS n_docs_live,
+       COALESCE(l.n_chars_live, 0) AS n_chars_live
+FROM v0 LEFT JOIN live l ON l.source = v0.source
+"""
+
+
+@register(
+    "q49_gdpr_delete_mor",
+    _Q49_ORACLE,
+    doc="Merge-on-read erasure chain value-checked end to end: manifest "
+    "write, two stacked deletion-vector deletes (full-table lang "
+    "erasure + stats-scoped id purge, overlapping rows), DV-applying "
+    "live read, and a time-traveled read of the pre-delete snapshot.",
+)
+def q49_gdpr_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source doc accounting before and after two MOR deletes."""
+    import os
+
+    from ..operators.manifest import ManifestTable
+    from . import work_dir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    path = os.path.join(work_dir("q49_dvdocs", sf_dir), "docs")
+    t = ManifestTable(path)
+    s0 = t.write(docs, mode="overwrite", cluster_by=["doc_id"], n_files=8)
+    t.delete_where(spark, [("lang", "==", "zh")], merge_on_read=True)
+    t.delete_where(spark, [("doc_id", "<", 100)], merge_on_read=True)
+    # keep exactly this call's 3 snapshots (time travel to s0 must
+    # survive), drop prior calls' versions + files — scratch stays
+    # bounded at one table (the d42 convention)
+    t.expire(keep_last=3)
+    t.vacuum(older_than_s=0.0)
+    live = t.read(spark).groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs_live"),
+        F.sum("n_chars").cast("long").alias("n_chars_live"),
+    )
+    orig = t.read(spark, version=s0.version).groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs_v0")
+    )
+    return orig.join(live, "source", "left").select(
+        "source",
+        "n_docs_v0",
+        F.coalesce("n_docs_live", F.lit(0).cast("long")).alias("n_docs_live"),
+        F.coalesce("n_chars_live", F.lit(0).cast("long")).alias("n_chars_live"),
+    )
