@@ -125,6 +125,7 @@ EXTRA = [
     "d44_index_decontam",
     "d45_incremental_dedup",
     "q49_gdpr_delete_mor",
+    "s13_hybrid_ann_recall",
 ]
 
 # Queries whose lineage persists an exploded working relation DISK_ONLY

@@ -41,6 +41,7 @@ DEFAULT_QUERIES = [
     "d44_index_decontam",
     "d45_incremental_dedup",
     "q49_gdpr_delete_mor",
+    "s13_hybrid_ann_recall",
 ]
 
 _SHIFTS = {

@@ -671,34 +671,49 @@ _LEX_CTES = f""", htok AS MATERIALIZED (
 )"""
 
 
-def _rrf_tail(dense_ranked: str) -> str:
-    """Fusion tail: RRF-fuse a (qid, nid, rank) dense rank list (passed
-    as a SQL snippet, top-20-bounded here) with `hblist`, exact integer
-    reciprocal, top-10 per query."""
-    return f""", hpl AS (
+def _rrf_fused_ctes(dense_ranked: str, pre: str) -> str:
+    """The fusion as composable CTEs under a name prefix: RRF-fuse a
+    (qid, nid, rank) dense rank list (passed as a SQL snippet,
+    top-20-bounded here) with `hblist`, exact integer reciprocal,
+    ending at ``{pre}top`` — (query_id, doc_id, rrf_score, n_lists,
+    rank). Prefixing lets one oracle fuse TWO dense lists against the
+    same lexical list (s13's recall comparison)."""
+    return f""", {pre}pl AS (
   SELECT qid AS query_id, nid AS doc_id,
          CAST(1000000000 // (60 + rank) AS BIGINT) AS p
   FROM ({dense_ranked}) dns WHERE rank <= 20
   UNION ALL
   SELECT query_id, doc_id, CAST(1000000000 // (60 + rank) AS BIGINT) AS p
   FROM hblist
-), hfused AS (
+), {pre}fused AS (
   SELECT query_id, doc_id, CAST(SUM(p) AS BIGINT) AS rrf_score,
          CAST(COUNT(*) AS BIGINT) AS n_lists
-  FROM hpl GROUP BY 1, 2
-)
-SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf_score, n_lists, rank
-FROM (
+  FROM {pre}pl GROUP BY 1, 2
+), {pre}top AS (
   SELECT query_id, doc_id, rrf_score, n_lists,
          CAST(ROW_NUMBER() OVER (
              PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC
          ) AS BIGINT) AS rank
-  FROM hfused) WHERE rank <= 10
+  FROM {pre}fused
+)"""
+
+
+def _rrf_tail(dense_ranked: str) -> str:
+    """Fusion tail: the fused CTEs plus the top-10 read (s10/s11's
+    final relation)."""
+    return (
+        _rrf_fused_ctes(dense_ranked, "h")
+        + """
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rrf_score, n_lists, rank
+FROM htop WHERE rank <= 10
 """
+    )
 
 
-_S10_ORACLE = f"""
-WITH hqv AS MATERIALIZED (
+# The exact-cosine dense chain (the s1 kernel as SQL), ending at
+# ``hranked`` (qid, nid, rank) — shared by s10's oracle and s13's
+# recall comparison. No leading WITH so it composes after other chains.
+_S1_DENSE_CTES = f"""hqv AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding,
            e -> CAST(floor(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT)) AS emb
   FROM embeddings
@@ -724,8 +739,15 @@ WITH hqv AS MATERIALIZED (
   FROM hdots d
   JOIN hnorms nq ON nq.vec_id = d.qid
   JOIN hnorms nv ON nv.vec_id = d.nid
+)"""
+
+_S10_ORACLE = (
+    "WITH "
+    + _S1_DENSE_CTES
+    + "\n"
+    + _LEX_CTES
+    + _rrf_tail("SELECT qid, nid, rank FROM hranked")
 )
-""" + _LEX_CTES + _rrf_tail("SELECT qid, nid, rank FROM hranked")
 
 
 @register(
@@ -774,22 +796,27 @@ def _lexical_top20(spark: SparkSession, docs: DataFrame, n_queries: int) -> Data
     )
 
 
-def _fuse_with_lexical(
-    spark: SparkSession, docs: DataFrame, dense: DataFrame, n_queries: int
-) -> DataFrame:
-    """RRF-fuse a (query_id, doc_id, rank) dense list with the shared
-    BM25 lexical top-20, exact integer reciprocal, top-10 per query."""
+def _fuse_lists(dense: DataFrame, lex: DataFrame) -> DataFrame:
+    """RRF-fuse a (query_id, doc_id, rank) dense list with a lexical
+    rank list, exact integer reciprocal, top-10 per query."""
     from pyspark.sql import Window
 
     from ..operators.retrieval import rrf_fuse
 
-    fused = rrf_fuse([dense, _lexical_top20(spark, docs, n_queries)])
+    fused = rrf_fuse([dense, lex])
     wf = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
     return (
         fused.withColumn("rank", F.row_number().over(wf).cast("long"))
         .filter(F.col("rank") <= 10)
         .select("query_id", "doc_id", "rrf_score", "n_lists", "rank")
     )
+
+
+def _fuse_with_lexical(
+    spark: SparkSession, docs: DataFrame, dense: DataFrame, n_queries: int
+) -> DataFrame:
+    """`_fuse_lists` against the shared BM25 lexical top-20."""
+    return _fuse_lists(dense, _lexical_top20(spark, docs, n_queries))
 
 
 # ---------------------------------------------------------------------------
@@ -903,4 +930,85 @@ def s12_index_cell_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vectors",
         (F.col("n_vectors").cast("double") / F.lit(float(n))).alias("share"),
         (F.col("n_vectors") * F.lit(10) > F.lit(2 * n)).alias("overfull"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# s13 — ANN-hybrid retrieval quality, REGISTERED (the s7 precedent
+# promoted to the hybrid stack): per query, recall@10 of the
+# index-served hybrid (s11: IVF-PQ dense list) against the exact
+# hybrid (s10: brute-force cosine dense list). Both engines compose
+# the same three verified chains — the s8 IVF-PQ oracle, the s1 exact
+# cosine oracle and the d40 BM25 lexical oracle — fuse each dense list
+# against the SAME lexical list with the integer-RRF tail, and count
+# the top-10 overlap, so the measurement itself is fully value-oracled
+# (deterministic index ⇒ deterministic recall). This is the number an
+# operator watches when tuning n_probe / n_cells against quality.
+# ---------------------------------------------------------------------------
+_S13_ORACLE = (
+    _s8_chain(_S10_N_QUERIES)
+    + ",\n"
+    + _S1_DENSE_CTES
+    + "\n"
+    + _LEX_CTES
+    + _rrf_fused_ctes("SELECT qid, nid, rank FROM hranked", "ex")
+    + _rrf_fused_ctes(
+        """SELECT qid, nid,
+       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY est_dist ASC, nid ASC) AS BIGINT) AS rank
+     FROM s8scored""",
+        "an",
+    )
+    + """
+SELECT CAST(e.query_id AS BIGINT) AS query_id,
+       CAST(COUNT(a.doc_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(a.doc_id) AS DOUBLE) / 10.0 AS recall_at_10
+FROM (SELECT query_id, doc_id FROM extop WHERE rank <= 10) e
+LEFT JOIN (SELECT query_id, doc_id FROM antop WHERE rank <= 10) a
+  ON a.query_id = e.query_id AND a.doc_id = e.doc_id
+GROUP BY e.query_id
+"""
+)
+
+
+@register(
+    "s13_hybrid_ann_recall",
+    _S13_ORACLE,
+    doc="Per-query recall@10 of the ANN-backed hybrid (s11's IVF-PQ "
+    "dense list) against the exact hybrid (s10's brute-force dense "
+    "list), both fused against the SAME lexical list — the quality "
+    "dial for n_probe/n_cells, value-oracled because every chain in "
+    "the comparison is deterministic.",
+)
+def s13_hybrid_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, n_hits, recall_at_10) of ANN-hybrid vs exact-hybrid."""
+    from ..operators.ann_index import ivfpq_index_topk, write_ivfpq_index
+    from ..sources.readers import ensure_min_partitions
+    from . import work_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    # the expensive lexical list is computed ONCE and fused twice
+    lex = _lexical_top20(spark, docs, _S10_N_QUERIES).localCheckpoint(eager=True)
+    dense_exact = S.cosine_topk(emb, F.col("vec_id") < _S10_N_QUERIES, k=20).select(
+        F.col("qid").alias("query_id"), F.col("nid").alias("doc_id"), "rank"
+    )
+    # same per-corpus index path + parameters as s11 (deterministic ⇒
+    # identical content whichever registered query writes it)
+    path = work_dir("s11_ivfpq", sf_dir)
+    write_ivfpq_index(emb, path, n_cells=10, m=8, k_codes=16, pq_iter=5, km_iter=10)
+    queries = emb.filter(F.col("vec_id") < _S10_N_QUERIES)
+    dense_ann = ivfpq_index_topk(
+        spark, path, queries, topk=20, n_probe=2, exclude_self=True
+    ).select(F.col("qid").alias("query_id"), F.col("nid").alias("doc_id"), "rank")
+    exact10 = _fuse_lists(dense_exact, lex).select("query_id", "doc_id")
+    ann10 = _fuse_lists(dense_ann, lex).select(
+        "query_id", "doc_id", F.lit(1).alias("_hit")
+    )
+    return (
+        exact10.join(ann10, ["query_id", "doc_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("_hit").cast("long").alias("n_hits"),
+            (F.count("_hit").cast("double") / F.lit(10.0)).alias("recall_at_10"),
+        )
     )

@@ -344,6 +344,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "s8_ivfpq_topk",  # IVF routing reuses s3/s5's broadcast fan-out
         "s10_hybrid_rrf",  # dense list is s1's broadcast query fan-out
         "s11_hybrid_rrf_ann",  # dense list routes via the persisted IVF-PQ index (s8's fan-out)
+        "s13_hybrid_ann_recall",  # composes s1 + s8 + s10/s11, inheriting their fan-outs
     }
     for name, spec in all_specs().items():
         plan = spec.spark(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
