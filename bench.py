@@ -126,6 +126,7 @@ EXTRA = [
     "d45_incremental_dedup",
     "q49_gdpr_delete_mor",
     "s13_hybrid_ann_recall",
+    "d46_minhash_index",
 ]
 
 # Queries whose lineage persists an exploded working relation DISK_ONLY

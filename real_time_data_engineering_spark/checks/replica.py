@@ -42,6 +42,7 @@ DEFAULT_QUERIES = [
     "d45_incremental_dedup",
     "q49_gdpr_delete_mor",
     "s13_hybrid_ann_recall",
+    "d46_minhash_index",
 ]
 
 _SHIFTS = {

@@ -889,3 +889,144 @@ def incremental_exact_dedup(
             F.coalesce("_corpus_keeper", "_shard_keeper").alias("keeper_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted MinHash-LSH index — rung 2 of the ladder as lakehouse state
+# (the fuzzy sibling of the fingerprint registry above; exact → d45's
+# registry, embedding → ann_index's IVF-PQ appends; this closes the
+# set). Two ManifestTables:
+#
+# * ``_bands`` — (doc_id, band, band_hash), cluster_by=["band_hash"]
+#   so a shard probe's bucket join reads band-hash-localized files and
+#   any point lookup ("which docs collide with THIS bucket?") is
+#   stats-pruned.
+# * ``_sigs``  — the wide (doc_id, sig_0..sig_{k-1}) signatures,
+#   cluster_by=["doc_id"], joined only against candidate old ids for
+#   the verify step.
+#
+# Both relations are plain per-doc rows, so shard appends over disjoint
+# doc sets compose trivially (base+appends ≡ all-at-once — no
+# aggregation at read, unlike the delta tables) and the corpus text is
+# never re-shingled after its one indexing pass.
+# ---------------------------------------------------------------------------
+
+_MH_BANDS = "_bands"
+_MH_SIGS = "_sigs"
+
+
+def _banded(wide: DataFrame, k: int, bands: int, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, band, band_hash) from wide signatures — band_hash =
+    md5 of the '|'-joined row digests, the d5/d24 chain."""
+    rows = k // bands
+    stack_args = ", ".join(
+        "{b}, md5(concat_ws('|', {cols}))".format(
+            b=b, cols=", ".join(f"sig_{i}" for i in range(b * rows, (b + 1) * rows))
+        )
+        for b in range(bands)
+    )
+    return wide.select(
+        F.col(id_col), F.expr(f"stack({bands}, {stack_args}) AS (band, band_hash)")
+    )
+
+
+def _minhash_index_parts(
+    df: DataFrame, n: int, k: int, bands: int, text_col: str, id_col: str
+):
+    wide = minhash_signatures_wide(df, n, k, text_col, id_col).persist(
+        StorageLevel.DISK_ONLY
+    )
+    return _banded(wide, k, bands, id_col), wide
+
+
+def write_minhash_index(
+    df: DataFrame, path: str, n: int = 3, k: int = 16, bands: int = 4,
+    text_col: str = "text", id_col: str = "doc_id", n_files: int | None = None,
+) -> None:
+    """Shingle+sign the base corpus ONCE, persist bands + signatures."""
+    import os
+
+    from .manifest import ManifestTable
+
+    banded, wide = _minhash_index_parts(df, n, k, bands, text_col, id_col)
+    ManifestTable(os.path.join(path, _MH_BANDS)).write(
+        banded, mode="overwrite", cluster_by=["band_hash"], n_files=n_files
+    )
+    ManifestTable(os.path.join(path, _MH_SIGS)).write(
+        wide, mode="overwrite", cluster_by=[id_col], n_files=n_files
+    )
+    wide.unpersist()
+
+
+def append_minhash_index(
+    df: DataFrame, path: str, n: int = 3, k: int = 16, bands: int = 4,
+    text_col: str = "text", id_col: str = "doc_id", max_attempts: int = 5,
+    n_files: int | None = None,
+) -> None:
+    """CAS-append one ingested shard's bands + signatures (per-doc rows
+    over disjoint doc sets — order-independent by construction)."""
+    import os
+
+    from .manifest import ManifestTable
+
+    banded, wide = _minhash_index_parts(df, n, k, bands, text_col, id_col)
+    ManifestTable(os.path.join(path, _MH_BANDS)).append_with_retry(
+        banded, max_attempts=max_attempts, cluster_by=["band_hash"], n_files=n_files
+    )
+    ManifestTable(os.path.join(path, _MH_SIGS)).append_with_retry(
+        wide, max_attempts=max_attempts, cluster_by=[id_col], n_files=n_files
+    )
+    wide.unpersist()
+
+
+def minhash_index_probe(
+    spark, shard: DataFrame, path: str, n: int = 3, k: int = 16, bands: int = 4,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup a NEW shard against the persisted index: only the shard
+    is shingled; candidates come from the band-bucket join against the
+    persisted ``_bands`` (one shuffle keyed on (band, band_hash), cost
+    ~ shard × bands); the verify step joins the persisted wide
+    signatures for candidate old ids only. Output (new_id, old_id,
+    est_jaccard) — bit-identical to `minhash_incremental_pairs` over
+    the same corpus split (shared signature/band chains,
+    equivalence-tested)."""
+    import os
+
+    from .manifest import ManifestTable
+
+    sh_banded, sh_wide = _minhash_index_parts(shard, n, k, bands, text_col, id_col)
+    old_bands = (
+        ManifestTable(os.path.join(path, _MH_BANDS))
+        .read(spark)
+        .select(F.col(id_col).alias("old_id"), "band", "band_hash")
+    )
+    cand = (
+        sh_banded.select(F.col(id_col).alias("new_id"), "band", "band_hash")
+        .join(old_bands, ["band", "band_hash"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    s1 = sh_wide.select(
+        F.col(id_col).alias("new_id"), *[F.col(f"sig_{i}").alias(f"a{i}") for i in range(k)]
+    )
+    s2 = (
+        ManifestTable(os.path.join(path, _MH_SIGS))
+        .read(spark)
+        .select(
+            F.col(id_col).alias("old_id"),
+            *[F.col(f"sig_{i}").alias(f"b{i}") for i in range(k)],
+        )
+    )
+    matches = None
+    for i in range(k):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    return (
+        cand.join(s1, "new_id")
+        .join(s2, "old_id")
+        .select(
+            "new_id", "old_id",
+            (matches.cast("double") / F.lit(float(k))).alias("est_jaccard"),
+        )
+    )

@@ -2542,3 +2542,61 @@ def d45_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.expire(keep_last=1)
     t.vacuum(older_than_s=0.0)
     return incremental_exact_dedup(shard, read_fingerprint_registry(spark, path))
+
+
+# ---------------------------------------------------------------------------
+# d46 — d24's shard-vs-corpus near-dup served from the PERSISTED
+# MinHash-LSH index (rung 2 as lakehouse state — the d42/d45 pattern
+# for the fuzzy rung, closing the set: exact = d45's fingerprint
+# registry, lexical = d42's postings, embedding = s8's IVF-PQ codes).
+# The corpus is shingled ONCE at write time into band-hash-clustered
+# `_bands` + doc-clustered `_sigs` ManifestTables; per-ingest work is
+# shingling the SHARD plus one band-bucket join and a candidate-only
+# signature verify. Because the signature and band chains are shared
+# with `minhash_incremental_pairs`, results are bit-identical to d24 —
+# the oracle IS d24's oracle (the d42 convention), and base+appends ≡
+# all-at-once is equivalence-tested (per-doc rows over disjoint
+# shards).
+# ---------------------------------------------------------------------------
+@register(
+    "d46_minhash_index",
+    _D24_ORACLE,
+    doc="Incremental near-dup served from the persisted MinHash-LSH "
+    "index (band-hash-clustered bands + doc-clustered signatures): "
+    "per-ingest cost is shard-shingling + a bucket join — the corpus "
+    "is never re-shingled. Bit-identical to d24 (shared md5 chains), "
+    "so it reuses d24's value oracle.",
+)
+def d46_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newest 20% probed against the persisted corpus MinHash index."""
+    import os
+
+    from ..operators.dedup import (
+        _MH_BANDS,
+        _MH_SIGS,
+        minhash_index_probe,
+        write_minhash_index,
+    )
+    from ..operators.manifest import ManifestTable
+    from . import work_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    # the same sanctioned O(1) scalar split as d24
+    cutoff = int(
+        docs.agg(F.ceil((F.max("doc_id") + F.lit(1)) * F.lit(0.8)).cast("long")).first()[0]
+    )
+    # write-once at scale (appends per ingested shard); rebuilt per
+    # call for oracle self-containment, scratch bounded (d42 convention)
+    path = work_dir("d46_mhidx", sf_dir)
+    write_minhash_index(docs.filter(F.col("doc_id") < cutoff), path, n_files=8)
+    for part in (_MH_BANDS, _MH_SIGS):
+        t = ManifestTable(os.path.join(path, part))
+        t.expire(keep_last=1)
+        t.vacuum(older_than_s=0.0)
+    pairs = minhash_index_probe(spark, docs.filter(F.col("doc_id") >= cutoff), path)
+    return pairs.select(
+        "new_id",
+        "old_id",
+        "est_jaccard",
+        (F.col("est_jaccard") >= F.lit(0.5)).alias("is_dup"),
+    )

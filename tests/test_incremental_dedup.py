@@ -151,3 +151,42 @@ def test_phrase_decontam_equals_ground_truth(spark, tmp_path):
     assert out[1] == (4, 2, md5("1,4"))
     assert out[2] == (4, 4, md5("1,2,3,4"))
     assert out[3] == (0, 0, md5(""))
+
+
+def _pair_set(df):
+    return {(r.new_id, r.old_id, str(r.est_jaccard)) for r in df.collect()}
+
+
+def test_minhash_index_probe_equals_direct(spark, documents, tmp_path):
+    """The persisted-index probe shares the signature/band md5 chains
+    with `minhash_incremental_pairs`, so the (new_id, old_id,
+    est_jaccard) sets must match exactly over the same 80/20 split —
+    and shard appends must compose (base+append ≡ all-at-once: per-doc
+    rows over disjoint shards)."""
+    from real_time_data_engineering_spark.operators.dedup import (
+        append_minhash_index,
+        minhash_incremental_pairs,
+        minhash_index_probe,
+        write_minhash_index,
+    )
+
+    cutoff = int(
+        documents.agg(
+            F.ceil((F.max("doc_id") + F.lit(1)) * F.lit(0.8)).cast("long")
+        ).first()[0]
+    )
+    old = documents.filter(F.col("doc_id") < cutoff)
+    new = documents.filter(F.col("doc_id") >= cutoff)
+    path = str(tmp_path / "mh")
+    write_minhash_index(old, path, n_files=4)
+    got = _pair_set(minhash_index_probe(spark, new, path))
+    flagged = documents.withColumn("is_new", F.col("doc_id") >= F.lit(cutoff))
+    want = _pair_set(
+        minhash_incremental_pairs(flagged, new_col="is_new", n=3, k=16, bands=4)
+    )
+    assert got == want and got
+    # incremental build: half the corpus as base, half appended
+    inc = str(tmp_path / "mh_inc")
+    write_minhash_index(old.filter(F.col("doc_id") % 2 == 0), inc, n_files=4)
+    append_minhash_index(old.filter(F.col("doc_id") % 2 == 1), inc)
+    assert _pair_set(minhash_index_probe(spark, new, inc)) == want
