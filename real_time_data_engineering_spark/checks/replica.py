@@ -43,6 +43,10 @@ DEFAULT_QUERIES = [
     "q49_gdpr_delete_mor",
     "s13_hybrid_ann_recall",
     "d46_minhash_index",
+    "s14_ivfpq_refine",
+    "d47_quality_probe",
+    "s15_triplet_mining",
+    "d48_probe_gated_sampling",
 ]
 
 _SHIFTS = {

@@ -263,3 +263,208 @@ def exact_ks_counts(a_counts: DataFrame, b_counts: DataFrame) -> DataFrame:
         ks_crit.alias("ks_crit"),
         (ks_d > ks_crit).alias("drift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-in-the-loop quality scoring (the FineWeb-Edu / DCLM pattern):
+# distill a cheap heuristic teacher into a trained linear probe whose
+# smooth score ranks documents for curation. The training itself is the
+# operator — distributed, bit-deterministic fixed-point gradient
+# descent, value-oracle-checkable by unrolling the iterations in SQL
+# (the `kmeans_assign` precedent for iterative algorithms).
+# ---------------------------------------------------------------------------
+_PROBE_MICRO = 1_000_000  # fixed-point scale: 1e6 == 1.0
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division — the semantics BOTH SQL
+    engines share (Spark `div`, DuckDB `//` on integers). Python's
+    `//` floors instead, which disagrees for negative numerators, so
+    the driver-side weight update must use this helper to stay
+    bit-identical to the unrolled-SQL oracle."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def quality_probe_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document training row for the quality probe: five exact
+    integer features in micro units (1e6 = 1.0) + the heuristic
+    teacher label, all built from the oracle-proven d4 stat
+    expressions with `div` arithmetic only — no float anywhere, so
+    every engine computes byte-identical rows.
+
+    Features: x0 bias; x1 length (tokens capped at 200, /200);
+    x2 stopword ratio; x3 type-token ratio (distinct/total tokens —
+    the repetition signal Gopher gates on); x4 mean token length
+    (capped at 20, /20). Teacher label y (micro): the gopher-flavored
+    gate n_tokens >= 40 AND stopword_ratio >= 0.05 — the rule the
+    probe distills into a smooth ranking score.
+
+    One narrow projection over the document scan: no shuffle, no UDF;
+    at 100 TB this pipelines inside the scan stage."""
+    from ..functions.text import STOPWORDS, char_count, marker_hits, token_count
+
+    t = F.col(text_col)
+    stats = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        token_count(t).alias("n_tokens"),
+        char_count(t).alias("n_chars"),
+        marker_hits(t, STOPWORDS).alias("n_stop"),
+        F.size(F.array_distinct(tokens(t))).cast("long").alias("n_distinct"),
+    )
+    return stats.selectExpr(
+        id_col,
+        *keep_cols,
+        f"cast({_PROBE_MICRO} as bigint) as x0",
+        "least(n_tokens, 200) * cast(5000 as bigint) as x1",
+        f"(n_stop * {_PROBE_MICRO}) div greatest(n_tokens, 1) as x2",
+        f"(n_distinct * {_PROBE_MICRO}) div greatest(n_tokens, 1) as x3",
+        f"least((n_chars * {_PROBE_MICRO}) div greatest(n_tokens, 1), 20 * {_PROBE_MICRO}) div 20 as x4",
+        f"cast(case when n_tokens >= 40 and (n_stop * {_PROBE_MICRO}) div greatest(n_tokens, 1) >= 50000"
+        f" then {_PROBE_MICRO} else 0 end as bigint) as y",
+    )
+
+
+def train_quality_probe(
+    docs: DataFrame,
+    iters: int = 5,
+    lr_den: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+    train_n: int | None = None,
+) -> tuple[list[int], DataFrame]:
+    """Train a linear quality probe on the heuristic teacher label by
+    full-batch gradient descent on squared loss, entirely in exact
+    fixed-point integers, and return (weights_nano, scored corpus).
+
+    Determinism contract (the value-oracle requirement): weights live
+    in nano units (1e-9), features/labels in micro units (1e-6); the
+    per-row score is z_micro = (Σ w_nano_j · x_micro_j) div 1e9, the
+    residual r = z_micro − y_micro, the gradient Σ_rows r·x_j is
+    accumulated in DECIMAL(38,0) (exact, partition-order independent),
+    and the update w −= g div (lr_den·1000·N) uses truncate-toward-
+    zero division — every step reproduces bit-for-bit on any engine
+    and any partitioning, so the whole T-round training unrolls into
+    plain SQL (registry d47's oracle).
+
+    Scale shape: each round is ONE narrow aggregation over the
+    persisted feature relation — map-side partial sums, O(features)
+    bytes to the driver per round (the `kmeans_assign` O(k·dim)
+    precedent); the final scoring pass is a shuffle-free projection.
+    The driver never sees corpus-sized data, and Python-int updates
+    cannot overflow at any corpus size (Spark-side sums are decimal-
+    exact; only the oracle's BIGINT cast is test-scale-bounded).
+
+    lr = 1/lr_den (default 0.5); squared loss keeps the whole chain
+    free of transcendentals — a logistic head would force per-row
+    exp() whose engine-specific last-ulp rounding breaks exact value
+    parity (the documented d34 trade, avoided here entirely).
+
+    ``train_n``: the 100 TB knob (the `kmeans_assign(sample_n=...)`
+    precedent). Full-batch GD costs ``iters`` corpus scans; a probe
+    does not need them — train on the ``train_n`` smallest-id
+    documents (deterministic: TakeOrderedAndProject, no RNG,
+    reproducible on any engine), then score the WHOLE corpus in the
+    one final pass. ``train_n=None`` (the default, and the
+    oracle-checked config) trains on everything; ``train_n >= N`` is
+    exactly equivalent to None by construction (equivalence-tested)."""
+    from pyspark import StorageLevel
+
+    feats = quality_probe_features(docs, text_col, id_col, keep_cols).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    train = feats if train_n is None else (
+        feats.orderBy(id_col).limit(train_n).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = train.count()  # sanctioned O(1) driver scalar
+    w = [0] * 5
+    for _ in range(iters):
+        z = " + ".join(f"cast({w[j]} as bigint) * x{j}" for j in range(5))
+        r = f"(({z}) div 1000000000) - y"
+        g_row = train.selectExpr(
+            *[
+                f"sum(cast(({r}) * x{j} as decimal(38,0))) as g{j}"
+                for j in range(5)
+            ]
+        ).first()
+        w = [
+            w[j] - _tdiv(int(g_row[f"g{j}"]), lr_den * 1000 * n)
+            for j in range(5)
+        ]
+    z = " + ".join(f"cast({w[j]} as bigint) * x{j}" for j in range(5))
+    score = f"(({z}) div 1000000000)"
+    out = feats.selectExpr(
+        id_col,
+        *keep_cols,
+        f"{score} as score_micro",
+        f"({score}) >= 500000 as predicted",
+        f"(y = {_PROBE_MICRO}) as label",
+    )
+    if train is not feats:
+        train.unpersist(blocking=False)
+    feats.unpersist(blocking=False)
+    return w, out
+
+
+def probe_scored_sampling(
+    docs: DataFrame,
+    lo_cut: int = 350_000,
+    hi_cut: int = 600_000,
+    iters: int = 20,
+    lr_den: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Classifier-gated curation sampling — the step FineWeb-Edu runs
+    after training its quality classifier: documents the trained probe
+    scores above ``hi_cut`` are kept outright, below ``lo_cut`` dropped
+    outright, and the band between enters a DETERMINISTIC lottery whose
+    acceptance probability rises linearly with the score —
+    accept ⇔ u16·(hi−lo) < (score−lo)·65536, the d25 md5-u16 coin in a
+    pure integer cross-multiplication (no division, no float, so the
+    decision is bit-identical on every engine).
+
+    Soft-banding beats a hard threshold at the boundary: near-cut
+    documents keep a proportional survival rate instead of a cliff,
+    which preserves distributional smoothness in the curated corpus
+    (the reason FineWeb publishes score-bucketed ablations).
+
+    Scale shape: training is `train_quality_probe` (O(features) driver
+    state per round); the decision pass is one narrow projection —
+    no shuffle, no join (source rides through the feature relation).
+
+    Returns (doc_id, source, score_micro, band, accepted)."""
+    _w, scored = train_quality_probe(
+        docs, iters=iters, lr_den=lr_den, text_col=text_col, id_col=id_col,
+        keep_cols=("source",),
+    )
+    u16 = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+        .cast("long")
+    )
+    s = F.col("score_micro")
+    span = hi_cut - lo_cut
+    band = (
+        F.when(s >= hi_cut, F.lit("keep"))
+        .when(s < lo_cut, F.lit("drop"))
+        .otherwise(F.lit("lottery"))
+    )
+    accepted = (
+        F.when(s >= hi_cut, F.lit(True))
+        .when(s < lo_cut, F.lit(False))
+        .otherwise(u16 * F.lit(span) < (s - F.lit(lo_cut)) * F.lit(65536))
+    )
+    return scored.select(
+        id_col,
+        "source",
+        "score_micro",
+        band.alias("band"),
+        accepted.alias("accepted"),
+    )

@@ -137,6 +137,82 @@ def knn_label_vote(
     )
 
 
+def triplet_mining(
+    emb: DataFrame,
+    query_pred: Column,
+    margin: float = 0.2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hardest-positive / hardest-negative triplet mining — the batch
+    construction step of contrastive/metric training (FaceNet's
+    hard-mining, the bi-encoder hard-negative pipeline) as a
+    corpus-scale operator. Per anchor matching ``query_pred``: the
+    SAME-label corpus vector with the LOWEST cosine (hardest positive
+    — the pair the model most needs to pull together) and the
+    DIFFERENT-label vector with the HIGHEST cosine (hardest negative —
+    the pair it most needs to push apart), plus the triplet-margin
+    verdict pos_cos − neg_cos < margin.
+
+    Scale shape: same broadcast fan-out as `cosine_topk` (the anchor
+    block rides to every executor; the corpus side never shuffles until
+    the per-anchor top-1 windows, which AQE keeps tiny). Deterministic:
+    exact quantized cosine, (cosine, nid) tie-breaks on both windows,
+    and the margin check is one double subtraction + literal compare —
+    fully value-oracled (registry s15).
+
+    Returns (qid, pos_id, neg_id, pos_cos, neg_cos, margin,
+    violates_margin); anchors lacking a same-label or different-label
+    counterpart are dropped (inner join — both engines identically)."""
+    base = with_quantized(emb, emb_col)
+    q = base.filter(query_pred).select(
+        F.col(id_col).alias("qid"),
+        F.col(label_col).alias("q_label"),
+        F.col("emb_q").alias("q_emb"),
+        F.col("norm_q").alias("q_norm"),
+    )
+    v = base.select(
+        F.col(id_col).alias("nid"),
+        F.col(label_col).alias("v_label"),
+        F.col("emb_q").alias("v_emb"),
+        F.col("norm_q").alias("v_norm"),
+    )
+    pairs = v.crossJoin(F.broadcast(q)).filter(F.col("qid") != F.col("nid"))
+    scored = pairs.select(
+        "qid",
+        "q_label",
+        "nid",
+        "v_label",
+        cosine_q(dot_q(F.col("q_emb"), F.col("v_emb")), F.col("q_norm"), F.col("v_norm")).alias(
+            "cosine"
+        ),
+    )
+    wpos = Window.partitionBy("qid").orderBy(F.asc("cosine"), F.asc("nid"))
+    wneg = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    pos = (
+        scored.filter(F.col("q_label") == F.col("v_label"))
+        .withColumn("rn", F.row_number().over(wpos))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("nid").alias("pos_id"), F.col("cosine").alias("pos_cos"))
+    )
+    neg = (
+        scored.filter(F.col("q_label") != F.col("v_label"))
+        .withColumn("rn", F.row_number().over(wneg))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("nid").alias("neg_id"), F.col("cosine").alias("neg_cos"))
+    )
+    return pos.join(neg, "qid").select(
+        "qid",
+        "pos_id",
+        "neg_id",
+        "pos_cos",
+        "neg_cos",
+        (F.col("pos_cos") - F.col("neg_cos")).alias("margin"),
+        (F.col("pos_cos") - F.col("neg_cos") < F.lit(margin)).alias("violates_margin"),
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.35,

@@ -2600,3 +2600,161 @@ def d46_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_jaccard",
         (F.col("est_jaccard") >= F.lit(0.5)).alias("is_dup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d47 — model-in-the-loop quality scoring (the FineWeb-Edu / DCLM
+# curation pattern): distill a cheap heuristic teacher gate into a
+# TRAINED linear probe whose smooth score ranks documents. The
+# training is the operator — full-batch gradient descent on squared
+# loss in exact fixed-point integers (weights nano, features micro,
+# gradients decimal-exact, truncate-toward-zero division), so the
+# whole T-round optimization is bit-deterministic on any engine/
+# partitioning and unrolls into plain SQL — the kmeans/s4 precedent
+# extended from clustering to supervised training. Squared loss keeps
+# the chain transcendental-free: a logistic head's per-row exp()
+# would reintroduce the engine-last-ulp rounding d34 documents.
+# ---------------------------------------------------------------------------
+def _d47_chain(iters: int = 5, lr_den: int = 2) -> str:
+    """The unrolled-GD CTE chain: features (``d47f``), count, and the
+    per-round gradient/weight CTEs, ending at ``d47w{iters}`` (the
+    trained weights, 1 row) — wrapped by `_d47_oracle`'s per-doc score
+    read and composed by d48 into the sampling tail."""
+    feats = f"""
+WITH d47s AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens,
+         CAST(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS BIGINT) AS n_chars,
+         CAST((SELECT COUNT(*) FROM unnest(string_split_regex(lower(trim(text)), '\\s+')) AS u(tok)
+               WHERE tok IN ({_STOP_IN})) AS BIGINT) AS n_stop,
+         CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT) AS n_distinct
+  FROM documents
+), d47f AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(1000000 AS BIGINT) AS x0,
+         least(n_tokens, 200) * CAST(5000 AS BIGINT) AS x1,
+         (n_stop * 1000000) // greatest(n_tokens, 1) AS x2,
+         (n_distinct * 1000000) // greatest(n_tokens, 1) AS x3,
+         least((n_chars * 1000000) // greatest(n_tokens, 1), 20000000) // 20 AS x4,
+         CAST(CASE WHEN n_tokens >= 40
+                    AND (n_stop * 1000000) // greatest(n_tokens, 1) >= 50000
+              THEN 1000000 ELSE 0 END AS BIGINT) AS y
+  FROM d47s
+), d47n AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d47f
+), d47w0 AS MATERIALIZED (
+  SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2,
+         CAST(0 AS BIGINT) AS w3, CAST(0 AS BIGINT) AS w4
+)"""
+    z = "(w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + w.w4*f.x4) // 1000000000"
+    rounds = []
+    for t in range(1, iters + 1):
+        gsum = ", ".join(
+            f"CAST(SUM((({z}) - f.y) * f.x{j}) AS BIGINT) AS g{j}" for j in range(5)
+        )
+        wupd = ", ".join(
+            f"CAST(w.w{j} - g.g{j} // ({lr_den} * 1000 * n.n) AS BIGINT) AS w{j}"
+            for j in range(5)
+        )
+        rounds.append(f""", d47g{t} AS MATERIALIZED (
+  SELECT {gsum}
+  FROM d47f f CROSS JOIN d47w{t - 1} w
+), d47w{t} AS MATERIALIZED (
+  SELECT {wupd}
+  FROM d47w{t - 1} w CROSS JOIN d47g{t} g CROSS JOIN d47n n
+)"""
+        )
+    return feats + "".join(rounds)
+
+
+_D47_Z = "(w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + w.w4*f.x4) // 1000000000"
+
+
+def _d47_oracle(iters: int = 5, lr_den: int = 2) -> str:
+    return (
+        _d47_chain(iters, lr_den)
+        + f"""
+SELECT f.doc_id,
+       CAST({_D47_Z} AS BIGINT) AS score_micro,
+       (({_D47_Z}) >= 500000) AS predicted,
+       (f.y = 1000000) AS label
+FROM d47f f CROSS JOIN d47w{iters} w
+"""
+    )
+
+
+@register(
+    "d47_quality_probe",
+    _d47_oracle(iters=20, lr_den=1),
+    doc="Model-in-the-loop quality scoring: a linear probe TRAINED by "
+    "20 rounds of exact fixed-point gradient descent (squared loss) to "
+    "distill the gopher-flavored teacher gate into a smooth ranking "
+    "score — the FineWeb-Edu/DCLM curation step as a deterministic "
+    "distributed operator (trained accuracy 0.70 vs the 0.57 majority "
+    "baseline at sf0.01, loss monotone). Oracle unrolls the training "
+    "rounds in SQL (the s4 unrolled-Lloyd precedent for iterative "
+    "algorithms); per-round cost is one map-side-combinable "
+    "aggregation, O(features) driver state.",
+)
+def d47_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score_micro, predicted, label) after 20 GD rounds."""
+    from ..operators.quality import train_quality_probe
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))  # d3 note
+    _w, scored = train_quality_probe(docs, iters=20, lr_den=1)
+    return scored
+
+
+# ---------------------------------------------------------------------------
+# d48 — classifier-gated curation sampling: compose the d47 TRAINED
+# probe with the d25 deterministic md5-u16 lottery — the FineWeb-Edu
+# "filter by classifier score" step. Keep above hi_cut, drop below
+# lo_cut, and in between accept with probability linear in the score
+# via a pure integer cross-multiplication (u16·span < (score−lo)·2^16)
+# — no float, no division, bit-identical on both engines. Oracle =
+# the unrolled 20-round training chain + the integer lottery tail.
+# ---------------------------------------------------------------------------
+_D48_LO, _D48_HI = 350_000, 600_000
+
+_D48_ORACLE = (
+    _d47_chain(iters=20, lr_den=1)
+    + f""", d48u AS (
+  SELECT doc_id, source,
+         (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS u16
+  FROM documents
+)
+SELECT f.doc_id, u.source,
+       CAST({_D47_Z} AS BIGINT) AS score_micro,
+       CASE WHEN ({_D47_Z}) >= {_D48_HI} THEN 'keep'
+            WHEN ({_D47_Z}) < {_D48_LO} THEN 'drop'
+            ELSE 'lottery' END AS band,
+       CASE WHEN ({_D47_Z}) >= {_D48_HI} THEN TRUE
+            WHEN ({_D47_Z}) < {_D48_LO} THEN FALSE
+            ELSE u.u16 * {_D48_HI - _D48_LO} < (({_D47_Z}) - {_D48_LO}) * 65536
+       END AS accepted
+FROM d47f f CROSS JOIN d47w20 w
+JOIN d48u u ON u.doc_id = f.doc_id
+"""
+)
+
+
+@register(
+    "d48_probe_gated_sampling",
+    _D48_ORACLE,
+    doc="Classifier-gated curation sampling (the FineWeb-Edu filter "
+    "step): the d47 trained probe's score keeps/drops outright outside "
+    "[0.35, 0.60] and runs a deterministic md5-u16 lottery linear in "
+    "the score between — a pure integer cross-multiplication, no "
+    "float/division anywhere in the decision. Oracle composes the "
+    "unrolled 20-round training chain with the integer lottery tail.",
+)
+def d48_probe_gated_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, score_micro, band, accepted) under the trained
+    probe's keep/lottery/drop bands."""
+    from ..operators.quality import probe_scored_sampling
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))  # d3 note
+    return probe_scored_sampling(docs, lo_cut=_D48_LO, hi_cut=_D48_HI, iters=20, lr_den=1)

@@ -863,13 +863,16 @@ def s11_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
-    # build the persistent index (at scale this happens ONCE at write
-    # time; the registered query rebuilds per call so the oracle sees
-    # one self-contained, parameter-pinned artifact — s8's convention).
-    # The hive-layout writes are all mode=overwrite, so reusing one
-    # per-corpus path leaks nothing across calls.
+    # the persistent index builds ONCE per (corpus, params) and is
+    # reused fingerprint-gated across calls (`skip_if_current`): the
+    # build is deterministic, so a current index is value-identical to
+    # the rebuild it skips — the production write-once/serve-many
+    # shape. A corpus or parameter change rebuilds automatically.
     path = work_dir("s11_ivfpq", sf_dir)
-    write_ivfpq_index(emb, path, n_cells=10, m=8, k_codes=16, pq_iter=5, km_iter=10)
+    write_ivfpq_index(
+        emb, path, n_cells=10, m=8, k_codes=16, pq_iter=5, km_iter=10,
+        skip_if_current=True,
+    )
     queries = emb.filter(F.col("vec_id") < _S10_N_QUERIES)
     dense = ivfpq_index_topk(
         spark, path, queries, topk=20, n_probe=2, exclude_self=True
@@ -993,9 +996,13 @@ def s13_hybrid_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qid").alias("query_id"), F.col("nid").alias("doc_id"), "rank"
     )
     # same per-corpus index path + parameters as s11 (deterministic ⇒
-    # identical content whichever registered query writes it)
+    # identical content whichever registered query writes it), reused
+    # fingerprint-gated instead of retrained per call
     path = work_dir("s11_ivfpq", sf_dir)
-    write_ivfpq_index(emb, path, n_cells=10, m=8, k_codes=16, pq_iter=5, km_iter=10)
+    write_ivfpq_index(
+        emb, path, n_cells=10, m=8, k_codes=16, pq_iter=5, km_iter=10,
+        skip_if_current=True,
+    )
     queries = emb.filter(F.col("vec_id") < _S10_N_QUERIES)
     dense_ann = ivfpq_index_topk(
         spark, path, queries, topk=20, n_probe=2, exclude_self=True
@@ -1012,3 +1019,126 @@ def s13_hybrid_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("_hit").cast("double") / F.lit(10.0)).alias("recall_at_10"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# s14 — IVF-PQ search with an exact rerank stage (the FAISS
+# `IndexRefineFlat` wrapper): the persisted index shortlists top-25
+# candidates per query by ADC over codes, then the refine stage
+# recomputes the EXACT quantized squared-L2 for just those 25 against
+# the raw vector table and keeps the exact top-5. This is the standard
+# production recall knob — ADC's PQ quantization error reorders
+# near-ties, and a bounded exact pass (|queries|·k·refine vectors, never
+# the corpus) repairs it. Oracle = the verified s8 chain shortlisted at
+# rank ≤ 25, re-scored with the exact int64 fold over the quantized
+# components (the same xu relation the Lloyd chain already built), so
+# the whole two-stage composition stays fully value-oracled.
+# ---------------------------------------------------------------------------
+_S14_ORACLE = (
+    _s8_chain(_N_QUERIES)
+    + """, s14cand AS MATERIALIZED (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY est_dist ASC, nid ASC) AS rn
+    FROM s8scored) WHERE rn <= 25
+), s14d AS MATERIALIZED (
+  SELECT c.qid, c.nid, CAST(SUM((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS exact_dist
+  FROM s14cand c
+  JOIN xu a ON a.vec_id = c.qid
+  JOIN xu b ON b.vec_id = c.nid AND b.i = a.i
+  GROUP BY 1, 2
+)
+SELECT qid, nid, exact_dist, rank FROM (
+  SELECT qid, nid, exact_dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY exact_dist ASC, nid ASC) AS BIGINT) AS rank
+  FROM s14d) WHERE rank <= 5
+"""
+)
+
+
+@register(
+    "s14_ivfpq_refine",
+    _S14_ORACLE,
+    doc="IVF-PQ + exact rerank (FAISS IndexRefineFlat analogue): the "
+    "persisted index's ADC top-25 shortlist per query, re-scored with "
+    "the exact quantized squared-L2 against the raw vector table, "
+    "exact top-5 kept. Oracle composes the verified s8 chain with the "
+    "int64 refine fold; recall-vs-ADC is property-tested.",
+)
+def s14_ivfpq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 per query from the persisted IVF-PQ index after exact
+    rerank of its ADC top-25 shortlist (refine_factor=5, n_probe=2)."""
+    from ..operators.ann_index import ivfpq_index_topk_refined, write_ivfpq_index
+    from . import work_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # same per-corpus path + parameters as s11/s13: the build is
+    # deterministic in (corpus, params), so `skip_if_current` reuses a
+    # current index instead of retraining both quantizers per call —
+    # the production write-once/serve-many shape, fingerprint-gated
+    path = work_dir("s11_ivfpq", sf_dir)
+    write_ivfpq_index(
+        emb, path, n_cells=10, m=8, k_codes=16, pq_iter=5, km_iter=10,
+        skip_if_current=True,
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return ivfpq_index_topk_refined(
+        spark, path, queries, emb, topk=5, refine_factor=5, n_probe=2,
+        exclude_self=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# s15 — hardest-positive / hardest-negative triplet mining: the batch
+# construction step every contrastive / metric-learning pipeline runs
+# over its corpus (FaceNet hard mining; bi-encoder hard negatives).
+# Per anchor: the same-label vector it is FURTHEST from (hardest
+# positive), the different-label vector it is CLOSEST to (hardest
+# negative), and the triplet-margin verdict. Oracle extends the
+# verified s1 quantized-cosine chain with label joins and two ranked
+# top-1 windows; the margin is one double subtraction + literal
+# compare — deterministic on both engines.
+# ---------------------------------------------------------------------------
+_S15_ORACLE = (
+    _QUANT_CTE
+    + """, tlab AS (
+  SELECT vec_id, label FROM embeddings
+), tsc AS MATERIALIZED (
+  SELECT s.qid, lq.label AS q_label, s.nid, ln.label AS n_label, s.cosine
+  FROM scored s
+  JOIN tlab lq ON lq.vec_id = s.qid
+  JOIN tlab ln ON ln.vec_id = s.nid
+), tpos AS (
+  SELECT qid, nid AS pos_id, cosine AS pos_cos FROM (
+    SELECT qid, nid, cosine,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine ASC, nid ASC) AS rn
+    FROM tsc WHERE q_label = n_label) WHERE rn = 1
+), tneg AS (
+  SELECT qid, nid AS neg_id, cosine AS neg_cos FROM (
+    SELECT qid, nid, cosine,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rn
+    FROM tsc WHERE q_label <> n_label) WHERE rn = 1
+)
+SELECT p.qid, p.pos_id, n.neg_id, p.pos_cos, n.neg_cos,
+       p.pos_cos - n.neg_cos AS margin,
+       (p.pos_cos - n.neg_cos < 0.2) AS violates_margin
+FROM tpos p JOIN tneg n ON n.qid = p.qid
+"""
+)
+
+
+@register(
+    "s15_triplet_mining",
+    _S15_ORACLE,
+    doc="Hardest-positive/hardest-negative triplet mining per anchor "
+    "(FaceNet hard mining / bi-encoder hard negatives): lowest-cosine "
+    "same-label vector, highest-cosine different-label vector, and the "
+    "triplet-margin verdict — the contrastive-training batch builder "
+    "as one broadcast fan-out + two per-anchor top-1 windows. Oracle "
+    "extends the verified s1 chain with label joins.",
+)
+def s15_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, pos_id, neg_id, pos_cos, neg_cos, margin, violates_margin)
+    for the first 20 anchors, margin 0.2."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.triplet_mining(emb, F.col("vec_id") < _N_QUERIES, margin=0.2)

@@ -273,3 +273,177 @@ def test_ivfpq_two_appends_routing_stats_lose_nothing(spark, tmp_path):
         for r in ivfpq_index_topk(spark, inc_path, queries, topk=5, n_probe=2).collect()
     }
     assert got_q == want_q and got_q
+
+
+def test_ivfpq_refine_exact_rerank_of_shortlist(spark, ivfpq_path):
+    """The refine stage must equal an independent exact rerank of the
+    index's ADC top-25 shortlist: same candidate set, distances equal
+    the int64 fold over quantized components, order (exact_dist, nid)."""
+    import numpy as np
+
+    from real_time_data_engineering_spark.operators.ann_index import (
+        ivfpq_index_topk,
+        ivfpq_index_topk_refined,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = ivfpq_index_topk_refined(
+        spark, ivfpq_path, queries, emb, topk=5, refine_factor=5, n_probe=2,
+        exclude_self=True,
+    ).collect()
+    shortlist = ivfpq_index_topk(
+        spark, ivfpq_path, queries, topk=25, n_probe=2, exclude_self=True
+    ).collect()
+    vecs = {
+        r.vec_id: np.floor(np.array(r.embedding, dtype=np.float64) * 1_000_000.0).astype(
+            np.int64
+        )
+        for r in emb.collect()
+    }
+    by_q: dict[int, list[tuple[int, int]]] = {}
+    for r in shortlist:
+        d = int(((vecs[r.qid] - vecs[r.nid]) ** 2).sum())
+        by_q.setdefault(r.qid, []).append((d, r.nid))
+    want = set()
+    for qid, cands in by_q.items():
+        for rank, (d, nid) in enumerate(sorted(cands)[:5], start=1):
+            want.add((qid, nid, d, rank))
+    assert {(r.qid, r.nid, r.exact_dist, r.rank) for r in got} == want and want
+
+
+def test_ivfpq_refine_recall_not_worse_than_adc(spark, ivfpq_path):
+    """Per query, refined recall@5 >= ADC recall@5 against the exact
+    quantized-L2 ground truth. This is a theorem for rerank-of-a-
+    shortlist (any true top-5 member the shortlist contains survives
+    the exact rerank; ADC's estimation error can drop it) — assert it
+    holds on real data."""
+    import numpy as np
+
+    from real_time_data_engineering_spark.operators.ann_index import (
+        ivfpq_index_topk,
+        ivfpq_index_topk_refined,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    refined = ivfpq_index_topk_refined(
+        spark, ivfpq_path, queries, emb, topk=5, refine_factor=5, n_probe=2,
+        exclude_self=True,
+    ).collect()
+    adc = ivfpq_index_topk(
+        spark, ivfpq_path, queries, topk=5, n_probe=2, exclude_self=True
+    ).collect()
+    vecs = {
+        r.vec_id: np.floor(np.array(r.embedding, dtype=np.float64) * 1_000_000.0).astype(
+            np.int64
+        )
+        for r in emb.collect()
+    }
+    truth: dict[int, set[int]] = {}
+    qids = {r.qid for r in refined}
+    for qid in qids:
+        dists = sorted(
+            (int(((vecs[qid] - vecs[nid]) ** 2).sum()), nid)
+            for nid in vecs
+            if nid != qid
+        )
+        truth[qid] = {nid for _, nid in dists[:5]}
+    rec_ref = {q: 0 for q in qids}
+    rec_adc = {q: 0 for q in qids}
+    for r in refined:
+        rec_ref[r.qid] += r.nid in truth[r.qid]
+    for r in adc:
+        rec_adc[r.qid] += r.nid in truth[r.qid]
+    assert all(rec_ref[q] >= rec_adc[q] for q in qids)
+    assert sum(rec_ref.values()) > 0
+
+
+def test_write_ivfpq_skip_if_current_reuses_then_rebuilds(spark, tmp_path):
+    """`skip_if_current=True` must (a) skip the rebuild when params and
+    corpus fingerprint match — artifacts untouched, answers identical —
+    and (b) rebuild when the corpus or the parameters change."""
+    import os
+
+    from real_time_data_engineering_spark.operators.ann_index import (
+        ivfpq_index_topk,
+        write_ivfpq_index,
+    )
+
+    def mtimes(path):
+        out = {}
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = os.path.getmtime(p)
+        return out
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") < 60)
+    path = str(tmp_path / "idx")
+    write_ivfpq_index(base, path, n_cells=4, m=8, k_codes=8, skip_if_current=True)
+    first = mtimes(path)
+    queries = base.filter(F.col("vec_id") < 5)
+    want = {
+        (r.qid, r.nid, r.est_dist, r.rank)
+        for r in ivfpq_index_topk(spark, path, queries, topk=5, n_probe=2).collect()
+    }
+    # same corpus + params → pure no-op: not one file rewritten
+    write_ivfpq_index(base, path, n_cells=4, m=8, k_codes=8, skip_if_current=True)
+    assert mtimes(path) == first
+    got = {
+        (r.qid, r.nid, r.est_dist, r.rank)
+        for r in ivfpq_index_topk(spark, path, queries, topk=5, n_probe=2).collect()
+    }
+    assert got == want and got
+    # corpus changed (one more vector) → fingerprint mismatch → rebuild
+    write_ivfpq_index(
+        emb.filter(F.col("vec_id") < 61), path, n_cells=4, m=8, k_codes=8,
+        skip_if_current=True,
+    )
+    assert mtimes(path) != first
+    # params changed → stamp mismatch → rebuild again
+    second = mtimes(path)
+    write_ivfpq_index(
+        emb.filter(F.col("vec_id") < 61), path, n_cells=4, m=8, k_codes=8,
+        pq_iter=3, skip_if_current=True,
+    )
+    assert mtimes(path) != second
+
+
+def test_append_invalidates_idempotency_stamp(spark, tmp_path):
+    """An appended index serves MORE than the stamped corpus, so the
+    append must drop the `_meta` stamp: a later skip_if_current build
+    against the ORIGINAL corpus rebuilds (and the rebuilt index answers
+    for the base corpus only)."""
+    import os
+
+    from real_time_data_engineering_spark.operators.ann_index import (
+        append_to_ivfpq_index,
+        ivfpq_index_topk,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") < 50)
+    extra = emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 60))
+    path = str(tmp_path / "idx")
+    write_ivfpq_index(
+        base, path, n_cells=4, m=8, k_codes=8, manifest_codes=True,
+        skip_if_current=True,
+    )
+    assert os.path.isdir(os.path.join(path, "_meta"))
+    append_to_ivfpq_index(spark, path, extra)
+    assert not os.path.isdir(os.path.join(path, "_meta"))
+    # rebuild for the base corpus: stamp returns, appended rows gone
+    write_ivfpq_index(
+        base, path, n_cells=4, m=8, k_codes=8, manifest_codes=True,
+        skip_if_current=True,
+    )
+    assert os.path.isdir(os.path.join(path, "_meta"))
+    queries = emb.filter(F.col("vec_id") < 3)
+    nids = {
+        r.nid
+        for r in ivfpq_index_topk(spark, path, queries, topk=50, n_probe=4).collect()
+    }
+    assert nids and all(n < 50 for n in nids)

@@ -582,3 +582,50 @@ def test_hybrid_ann_recall_against_exact_hybrid(spark):
     mean = sum(recall.values()) / len(recall)
     # measured 0.62 at sf0.001; the floor leaves ANN-noise headroom
     assert mean >= 0.4, f"ANN-backed hybrid diverged too far: {recall}"
+
+
+# ---------------------------------------------------------------------------
+# s15 — triplet mining
+# ---------------------------------------------------------------------------
+
+
+def test_triplet_mining_golden_semantics(spark):
+    """Hand-checkable 2-label corpus: hardest positive = farthest
+    same-label, hardest negative = closest different-label, margin
+    verdict from the literal compare."""
+    from real_time_data_engineering_spark.operators.similarity import triplet_mining
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),   # anchor
+            (1, [0.9, 0.1], 0),   # near same-label
+            (2, [0.0, 1.0], 0),   # far same-label → hardest positive
+            (3, [0.99, 0.01], 1),  # very close different-label → hardest negative
+            (4, [-1.0, 0.0], 1),  # far different-label
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r.qid: r for r in triplet_mining(emb, F.col("vec_id") == 0).collect()}
+    r = out[0]
+    assert r.pos_id == 2 and r.neg_id == 3
+    assert r.neg_cos > 0.9 and r.pos_cos < 0.1
+    assert r.violates_margin  # pos_cos - neg_cos is deeply negative
+    assert abs(r.margin - (r.pos_cos - r.neg_cos)) == 0.0
+
+
+def test_triplet_mining_drops_anchors_without_counterparts(spark):
+    """An anchor with no same-label (or no different-label) partner
+    yields no triplet — inner-join semantics on both engines."""
+    from real_time_data_engineering_spark.operators.similarity import triplet_mining
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),  # only label-0 vector → no positive exists
+            (1, [0.5, 0.5], 1),
+            (2, [0.1, 0.9], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    assert triplet_mining(emb, F.col("vec_id") == 0).count() == 0
+    # anchor 1 has both: a same-label partner (2) and a different-label (0)
+    assert triplet_mining(emb, F.col("vec_id") == 1).count() == 1

@@ -345,6 +345,8 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "s10_hybrid_rrf",  # dense list is s1's broadcast query fan-out
         "s11_hybrid_rrf_ann",  # dense list routes via the persisted IVF-PQ index (s8's fan-out)
         "s13_hybrid_ann_recall",  # composes s1 + s8 + s10/s11, inheriting their fan-outs
+        "s14_ivfpq_refine",  # shortlist comes from the index probe (s8's routing fan-out)
+        "s15_triplet_mining",  # anchor block broadcast over the corpus (s1's fan-out)
     }
     for name, spec in all_specs().items():
         plan = spec.spark(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()

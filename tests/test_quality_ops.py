@@ -228,3 +228,143 @@ def test_rag_chunks_tile_documents_exactly(spark):
         for s_next, e_prev in zip(starts[1:], ends[:-1]):
             assert s_next <= e_prev + 1
         assert ends[-1] == max(ends)
+
+
+# ---------------------------------------------------------------------------
+# d47 — trained quality probe (fixed-point GD)
+# ---------------------------------------------------------------------------
+
+
+def test_tdiv_truncates_toward_zero_like_both_engines(spark):
+    """The driver-side weight update must use the SAME integer-division
+    semantics as Spark `div` and DuckDB `//` (truncate toward zero);
+    Python's `//` floors, which differs for negative numerators."""
+    import duckdb
+
+    from real_time_data_engineering_spark.operators.quality import _tdiv
+
+    cases = [(-7, 2), (7, 2), (-7, -2), (7, -2), (-1, 3), (0, 5), (-10, 10)]
+    got_spark = spark.createDataFrame(cases, "a long, b long").selectExpr(
+        "a", "b", "a div b as q"
+    ).collect()
+    con = duckdb.connect()
+    for r in got_spark:
+        assert _tdiv(r.a, r.b) == r.q, (r.a, r.b)
+        assert con.execute(f"select {r.a} // {r.b}").fetchone()[0] == r.q, (r.a, r.b)
+
+
+def test_quality_probe_loss_is_monotone_under_more_rounds(spark):
+    """More GD rounds must not increase the squared loss on the
+    training corpus at the registered learning rate — the convergence
+    evidence behind d47's 'trained' claim."""
+    from real_time_data_engineering_spark.operators.quality import (
+        quality_probe_features,
+        train_quality_probe,
+    )
+    from real_time_data_engineering_spark.sources.readers import load_table
+
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    feats = quality_probe_features(docs).cache()
+
+    def mse(w):
+        z = " + ".join(f"cast({w[j]} as bigint) * x{j}" for j in range(5))
+        return feats.selectExpr(
+            f"avg(pow((({z}) div 1000000000)/1e6 - y/1e6, 2)) as l"
+        ).first().l
+
+    losses = [mse([0] * 5)]
+    for iters in (5, 10, 20):
+        w, _ = train_quality_probe(docs, iters=iters, lr_den=1)
+        losses.append(mse(w))
+    feats.unpersist(blocking=False)
+    assert all(b <= a for a, b in zip(losses, losses[1:])), losses
+    assert losses[-1] < losses[0]
+
+
+def test_quality_probe_weights_partitioning_invariant(spark):
+    """Decimal-exact gradient sums make training independent of the
+    physical partitioning — the bit-determinism the unrolled-SQL
+    oracle relies on."""
+    from real_time_data_engineering_spark.operators.quality import train_quality_probe
+    from real_time_data_engineering_spark.sources.readers import load_table
+
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    w1, _ = train_quality_probe(docs.repartition(7), iters=4, lr_den=1)
+    w3, _ = train_quality_probe(docs.repartition(3), iters=4, lr_den=1)
+    assert w1 == w3
+    assert any(x != 0 for x in w1)
+
+
+def test_quality_probe_beats_majority_baseline(spark):
+    """The registered 20-round configuration must classify the teacher
+    label strictly better than always predicting the majority class —
+    otherwise 'trained' would be an empty claim."""
+    from real_time_data_engineering_spark.operators.quality import train_quality_probe
+    from real_time_data_engineering_spark.sources.readers import load_table
+
+    from conftest import SF_DIR_T2
+
+    docs = load_table(spark, SF_DIR_T2, "documents")
+    _w, out = train_quality_probe(docs, iters=20, lr_den=1)
+    rows = out.collect()
+    acc = sum(r.predicted == r.label for r in rows) / len(rows)
+    share = sum(r.label for r in rows) / len(rows)
+    assert acc > max(share, 1 - share), (acc, share)
+
+
+def test_probe_gated_sampling_band_semantics(spark):
+    """keep → all accepted, drop → none, lottery → a real lottery
+    (strictly between 0% and 100% acceptance) whose accept rate is
+    monotone in the score band."""
+    from real_time_data_engineering_spark.operators.quality import (
+        probe_scored_sampling,
+    )
+    from real_time_data_engineering_spark.sources.readers import load_table
+
+    from conftest import SF_DIR_T2
+
+    docs = load_table(spark, SF_DIR_T2, "documents")
+    rows = probe_scored_sampling(docs).collect()
+    by_band: dict[str, list] = {}
+    for r in rows:
+        by_band.setdefault(r.band, []).append(r)
+    assert all(r.accepted for r in by_band.get("keep", []))
+    assert not any(r.accepted for r in by_band.get("drop", []))
+    lot = by_band["lottery"]
+    n_acc = sum(r.accepted for r in lot)
+    assert 0 < n_acc < len(lot)
+    # bands respect the cuts
+    assert all(r.score_micro >= 600_000 for r in by_band.get("keep", []))
+    assert all(r.score_micro < 350_000 for r in by_band.get("drop", []))
+    # acceptance rate in the upper half of the lottery band exceeds the
+    # lower half (the linear-in-score property, coarsely)
+    mid = 475_000
+    hi = [r for r in lot if r.score_micro >= mid]
+    lo = [r for r in lot if r.score_micro < mid]
+    if hi and lo:
+        assert (sum(r.accepted for r in hi) / len(hi)) >= (
+            sum(r.accepted for r in lo) / len(lo)
+        )
+
+
+def test_quality_probe_train_n_bounds_training_and_degenerates_to_full(spark):
+    """train_n >= N must train bit-identically to train_n=None (the
+    kmeans sample_n contract), and a small train_n must still produce
+    a scored row for EVERY document (training bounded, scoring full)."""
+    from real_time_data_engineering_spark.operators.quality import train_quality_probe
+    from real_time_data_engineering_spark.sources.readers import load_table
+
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n = docs.count()
+    w_full, _ = train_quality_probe(docs, iters=3, lr_den=1)
+    w_cap, _ = train_quality_probe(docs, iters=3, lr_den=1, train_n=n + 10)
+    assert w_full == w_cap
+    w_small, scored = train_quality_probe(docs, iters=3, lr_den=1, train_n=50)
+    assert scored.count() == n  # scoring covers the whole corpus
+    assert any(x != 0 for x in w_small)
