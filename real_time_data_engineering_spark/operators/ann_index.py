@@ -165,22 +165,6 @@ _CENT_DELTAS = "_centroid_deltas"
 _META = "_meta"
 
 
-def _corpus_fingerprint(
-    emb: DataFrame, id_col: str, emb_col: str
-) -> tuple[int, str]:
-    """Order-independent exact corpus digest: (row count, decimal sum of
-    per-row xxhash64(id, embedding)). The sum is duplicate-sensitive
-    (unlike an XOR fold, where any repeated row cancels to zero) and
-    accumulated in decimal(38,0), so it is exact and partition-order
-    independent at any corpus size. One narrow agg scan — the cheap
-    freshness probe that stands in for retraining two quantizers."""
-    row = emb.agg(
-        F.count("*").alias("n"),
-        F.sum(F.xxhash64(F.col(id_col), F.col(emb_col)).cast("decimal(28,0)")).alias("h"),
-    ).first()
-    return int(row["n"]), str(row["h"])
-
-
 def _routing_stats(spark: SparkSession, path: str) -> DataFrame:
     """The index's routing relation (cluster, cent_s, c): the base
     ``_centroids`` written at index-build time plus every append's
@@ -248,13 +232,13 @@ def write_ivfpq_index(
     gains atomic optimistic-concurrency APPENDS (`append_with_retry`),
     which is what `append_to_ivfpq_index` requires.
 
-    ``skip_if_current=True`` makes the build IDEMPOTENT: every build
-    stamps a ``_meta`` parquet with the training parameters and an
-    exact corpus fingerprint (`_corpus_fingerprint` — count + decimal
-    sum of per-row xxhash64); a later call whose parameters AND corpus
-    fingerprint match the stamp returns without retraining. Sound
-    because the whole build is deterministic in (corpus, parameters) —
-    the `kmeans_assign`/`pq_train_codes` contracts — so a current index
+    ``skip_if_current=True`` makes the build IDEMPOTENT (the
+    `operators.freshness` protocol): every build stamps ``_meta`` with
+    the training parameters and an exact corpus fingerprint; a later
+    call whose parameters AND corpus fingerprint match the stamp
+    returns without retraining. Sound because the whole build is
+    deterministic in (corpus, parameters) — the
+    `kmeans_assign`/`pq_train_codes` contracts — so a current index
     is value-identical to the rebuild it skips (equivalence-tested).
     This is the production serve-many shape: quantizers train once at
     write time, every reader pays only the one-agg freshness probe.
@@ -262,14 +246,14 @@ def write_ivfpq_index(
     after every artifact lands, so a crash mid-build can never leave a
     passing fingerprint over half-written artifacts; appends delete it
     too (the appended index serves MORE than the stamped corpus)."""
-    import json
-    import shutil
-
+    from .freshness import BuildStamp
     from .manifest import ManifestTable
     from .similarity import pq_encode, pq_train_codes
 
     spark = emb.sparkSession
-    params_json = json.dumps(
+    stamp = BuildStamp(
+        spark,
+        path,
         {
             "n_cells": n_cells,
             "m": m,
@@ -279,24 +263,12 @@ def write_ivfpq_index(
             "sample_n": sample_n,
             "manifest_codes": manifest_codes,
         },
-        sort_keys=True,
+        emb,
+        (id_col, emb_col),
     )
-    meta_path = os.path.join(path, _META)
-    fp_n, fp_h = None, None
-    if skip_if_current and os.path.isdir(meta_path):
-        fp_n, fp_h = _corpus_fingerprint(emb, id_col, emb_col)
-        try:
-            stamp = spark.read.parquet(meta_path).first()
-        except Exception:
-            stamp = None  # unreadable stamp → rebuild
-        if (
-            stamp is not None
-            and stamp["params"] == params_json
-            and int(stamp["n"]) == fp_n
-            and stamp["h"] == fp_h
-        ):
-            return
-    shutil.rmtree(meta_path, ignore_errors=True)
+    if skip_if_current and stamp.is_current():
+        return
+    stamp.invalidate()
     assign_df, cents_f = kmeans_assign(
         emb,
         k=n_cells,
@@ -348,11 +320,7 @@ def write_ivfpq_index(
     if skip_if_current:
         # stamp LAST: every artifact above is already committed, so a
         # matching stamp always certifies a complete, current index
-        if fp_n is None:
-            fp_n, fp_h = _corpus_fingerprint(emb, id_col, emb_col)
-        spark.createDataFrame(
-            [(params_json, fp_n, fp_h)], "params string, n bigint, h string"
-        ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+        stamp.write()
 
 
 def _probed_codes(spark: SparkSession, path: str, probe_cells: list) -> DataFrame:
@@ -612,9 +580,9 @@ def append_to_ivfpq_index(
     # idempotency stamp BEFORE mutating so `write_ivfpq_index(...,
     # skip_if_current=True)` against the original corpus can never skip
     # onto an index that now contains the appended vectors too
-    import shutil
+    from .freshness import invalidate_stamp
 
-    shutil.rmtree(os.path.join(path, _META), ignore_errors=True)
+    invalidate_stamp(path)
     cents = np.array(
         [
             r.cent_f

@@ -942,12 +942,30 @@ def _minhash_index_parts(
 def write_minhash_index(
     df: DataFrame, path: str, n: int = 3, k: int = 16, bands: int = 4,
     text_col: str = "text", id_col: str = "doc_id", n_files: int | None = None,
+    skip_if_current: bool = False,
 ) -> None:
-    """Shingle+sign the base corpus ONCE, persist bands + signatures."""
+    """Shingle+sign the base corpus ONCE, persist bands + signatures.
+
+    ``skip_if_current=True``: the `operators.freshness` idempotency
+    protocol — signatures are deterministic in (corpus, n, k, bands),
+    so a stamped index whose parameters and corpus fingerprint match
+    is value-identical to the rebuild it skips. The stamp drops first
+    on a real build and on every append."""
     import os
 
+    from .freshness import BuildStamp
     from .manifest import ManifestTable
 
+    stamp = BuildStamp(
+        df.sparkSession,
+        path,
+        {"n": n, "k": k, "bands": bands, "n_files": n_files, "kind": "minhash"},
+        df,
+        (id_col, text_col),
+    )
+    if skip_if_current and stamp.is_current():
+        return
+    stamp.invalidate()
     banded, wide = _minhash_index_parts(df, n, k, bands, text_col, id_col)
     ManifestTable(os.path.join(path, _MH_BANDS)).write(
         banded, mode="overwrite", cluster_by=["band_hash"], n_files=n_files
@@ -956,6 +974,8 @@ def write_minhash_index(
         wide, mode="overwrite", cluster_by=[id_col], n_files=n_files
     )
     wide.unpersist()
+    if skip_if_current:
+        stamp.write()  # last: artifacts are all committed above
 
 
 def append_minhash_index(
@@ -967,8 +987,12 @@ def append_minhash_index(
     over disjoint doc sets — order-independent by construction)."""
     import os
 
+    from .freshness import invalidate_stamp
     from .manifest import ManifestTable
 
+    # the appended index serves MORE than any stamped corpus — drop the
+    # idempotency stamp before mutating (the freshness protocol)
+    invalidate_stamp(path)
     banded, wide = _minhash_index_parts(df, n, k, bands, text_col, id_col)
     ManifestTable(os.path.join(path, _MH_BANDS)).append_with_retry(
         banded, max_attempts=max_attempts, cluster_by=["band_hash"], n_files=n_files

@@ -241,18 +241,40 @@ def write_lexical_index(
     path: str,
     text_col: str = "text",
     n_files: int | None = None,
+    skip_if_current: bool = False,
+    id_col: str = "doc_id",
 ) -> None:
-    """Tokenize once, persist the inverted index (overwrite)."""
+    """Tokenize once, persist the inverted index (overwrite).
+
+    ``skip_if_current=True``: the `operators.freshness` idempotency
+    protocol — the build is deterministic in (corpus, params), so a
+    stamped index whose parameters and corpus fingerprint match is
+    value-identical to the rebuild it skips; readers pay one narrow
+    agg scan instead of re-tokenizing the corpus. The stamp drops
+    first on a real build and on every append."""
     import os
 
+    from .freshness import BuildStamp
     from .manifest import ManifestTable
 
+    stamp = BuildStamp(
+        docs.sparkSession,
+        path,
+        {"text_col": text_col, "n_files": n_files, "kind": "lexical"},
+        docs,
+        (id_col, text_col),
+    )
+    if skip_if_current and stamp.is_current():
+        return
+    stamp.invalidate()
     postings, doclen, stats = _lex_parts(docs, text_col)
     ManifestTable(os.path.join(path, _POSTINGS)).write(
         postings, mode="overwrite", cluster_by=["term"], n_files=n_files
     )
     ManifestTable(os.path.join(path, _DOCLEN)).write(doclen, mode="overwrite")
     ManifestTable(os.path.join(path, _LEX_STATS)).write(stats.coalesce(1), mode="overwrite")
+    if skip_if_current:
+        stamp.write()  # last: artifacts are all committed above
 
 
 def append_to_lexical_index(
@@ -268,8 +290,12 @@ def append_to_lexical_index(
     sequence equals the all-at-once build bit for bit."""
     import os
 
+    from .freshness import invalidate_stamp
     from .manifest import ManifestTable
 
+    # the appended index serves MORE than any stamped corpus — drop the
+    # idempotency stamp before mutating (the freshness protocol)
+    invalidate_stamp(path)
     postings, doclen, stats = _lex_parts(docs, text_col)
     ManifestTable(os.path.join(path, _POSTINGS)).append_with_retry(
         postings, max_attempts=max_attempts, cluster_by=["term"], n_files=n_files

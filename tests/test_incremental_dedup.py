@@ -190,3 +190,48 @@ def test_minhash_index_probe_equals_direct(spark, documents, tmp_path):
     write_minhash_index(old.filter(F.col("doc_id") % 2 == 0), inc, n_files=4)
     append_minhash_index(old.filter(F.col("doc_id") % 2 == 1), inc)
     assert _pair_set(minhash_index_probe(spark, new, inc)) == want
+
+
+def test_minhash_index_skip_if_current_reuses_then_rebuilds(spark, documents, tmp_path):
+    """Freshness-stamped MinHash index: matching rebuild is a no-op
+    (identical probe results), appends drop the stamp, corpus change
+    rebuilds."""
+    import os
+
+    from real_time_data_engineering_spark.operators.dedup import (
+        append_minhash_index,
+        minhash_index_probe,
+        write_minhash_index,
+    )
+
+    def mtimes(path):
+        out = {}
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = os.path.getmtime(p)
+        return out
+
+    old = documents.filter(F.col("doc_id") < 300)
+    shard = documents.filter(F.col("doc_id") >= 400)
+    path = str(tmp_path / "mh")
+    write_minhash_index(old, path, n_files=4, skip_if_current=True)
+    first = mtimes(path)
+    want = {
+        (r.new_id, r.old_id, r.est_jaccard)
+        for r in minhash_index_probe(spark, shard, path).collect()
+    }
+    write_minhash_index(old, path, n_files=4, skip_if_current=True)
+    assert mtimes(path) == first
+    got = {
+        (r.new_id, r.old_id, r.est_jaccard)
+        for r in minhash_index_probe(spark, shard, path).collect()
+    }
+    assert got == want
+    append_minhash_index(
+        documents.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 350)), path,
+        n_files=4,
+    )
+    assert not os.path.isdir(os.path.join(path, "_meta"))
+    write_minhash_index(old, path, n_files=4, skip_if_current=True)
+    assert os.path.isdir(os.path.join(path, "_meta"))

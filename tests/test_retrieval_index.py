@@ -140,3 +140,54 @@ def test_index_bm25_survives_tokenless_docs(spark, documents, tmp_path):
     n_docs, avgdl, dl = corpus_stats(docs, tok)
     want = _score_set(bm25_scores(tok, q, n_docs, avgdl, dl))
     assert got == want and got
+
+
+def test_lexical_index_skip_if_current_reuses_then_rebuilds(spark, documents, tmp_path):
+    """The freshness stamp must skip a matching rebuild untouched
+    (identical scores), be dropped by appends, and rebuild on a corpus
+    change — `write_ivfpq_index`'s idempotency contract applied to the
+    inverted index."""
+    import os
+
+    from real_time_data_engineering_spark.operators.retrieval import (
+        append_to_lexical_index,
+        bm25_literal_queries,
+        lexical_index_bm25,
+        write_lexical_index,
+    )
+
+    def mtimes(path):
+        out = {}
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = os.path.getmtime(p)
+        return out
+
+    base = documents.filter(F.col("doc_id") < 300)
+    path = str(tmp_path / "lex")
+    write_lexical_index(base, path, n_files=4, skip_if_current=True)
+    first = mtimes(path)
+    q = bm25_literal_queries(spark, ((0, "the"), (1, "data")))
+    want = {
+        (r.query_id, r.doc_id, str(r.score_x))
+        for r in lexical_index_bm25(spark, path, q).collect()
+    }
+    # same corpus + params → pure no-op
+    write_lexical_index(base, path, n_files=4, skip_if_current=True)
+    assert mtimes(path) == first
+    got = {
+        (r.query_id, r.doc_id, str(r.score_x))
+        for r in lexical_index_bm25(spark, path, q).collect()
+    }
+    assert got == want and got
+    # append drops the stamp; a skip build for the base corpus rebuilds
+    append_to_lexical_index(documents.filter(F.col("doc_id") >= 300), path, n_files=4)
+    assert not os.path.isdir(os.path.join(path, "_meta"))
+    write_lexical_index(base, path, n_files=4, skip_if_current=True)
+    assert os.path.isdir(os.path.join(path, "_meta"))
+    back = {
+        (r.query_id, r.doc_id, str(r.score_x))
+        for r in lexical_index_bm25(spark, path, q).collect()
+    }
+    assert back == want
