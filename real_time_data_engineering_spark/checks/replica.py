@@ -47,6 +47,7 @@ DEFAULT_QUERIES = [
     "d47_quality_probe",
     "s15_triplet_mining",
     "d48_probe_gated_sampling",
+    "s16_mmr_diversified",
 ]
 
 _SHIFTS = {

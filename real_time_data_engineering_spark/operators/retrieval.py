@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 #: Standard RRF dampening constant (Cormack et al. use 60).
@@ -464,3 +464,88 @@ def phrase_decontaminate(
             F.coalesce("docs_fp", F.md5(F.lit(""))).alias("docs_fp"),
         )
     )
+
+
+def mmr_select(
+    cand: DataFrame,
+    sims: DataFrame,
+    k: int = 5,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Maximal-marginal-relevance selection (Carbonell & Goldstein
+    1998) — the result-diversification re-rank every production
+    retrieval stack runs on its fused shortlist. Greedy: seed with the
+    most relevant candidate per query, then repeatedly take
+    argmax( λ·rel − (1−λ)·max_{s∈selected} sim(c, s) ), ``k`` picks.
+
+    Inputs: ``cand`` (query_id, doc_id, rel) — ``rel`` already
+    normalized to O(1) (the caller divides the integer RRF score by a
+    POWER OF TWO so the division is exact in binary); ``sims``
+    (query_id, a, b, cos) — SYMMETRIC pairwise similarities among each
+    query's candidates (both (a,b) and (b,a) present).
+
+    Determinism: every number in the chain is either an exact integer
+    or a fixed-order IEEE expression (one divide, one sqrt per cosine,
+    a MAX — order-independent — and one λ-blend), ties break on doc_id
+    — so the greedy unrolls into plain SQL and the whole selection is
+    value-oracle-checkable (registry s16).
+
+    Scale shape: the shortlist is |queries|·shortlist rows and the sim
+    relation |queries|·shortlist² — metadata-sized by construction (the
+    expensive retrieval+pair-cosine work happens upstream on verified
+    chains); the k−1 greedy rounds are tiny self-joins, driver-bounded
+    like the Lloyd loop. Returns (query_id, doc_id, pick_order, mmr)."""
+    lam_c = F.lit(lam)
+    seedw = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("doc_id"))
+    sel = (
+        cand.withColumn("_rn", F.row_number().over(seedw))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "query_id",
+            "doc_id",
+            F.lit(1).cast("long").alias("pick_order"),
+            (lam_c * F.col("rel")).alias("mmr"),
+        )
+        .localCheckpoint(eager=True)  # tiny; consumed every round
+    )
+    cand = cand.localCheckpoint(eager=True)
+    sims = sims.localCheckpoint(eager=True)
+    for t in range(2, k + 1):
+        chosen = sel.select("query_id", F.col("doc_id").alias("_sel_id"))
+        rem = cand.join(
+            chosen.withColumnRenamed("_sel_id", "doc_id"),
+            ["query_id", "doc_id"],
+            "left_anti",
+        )
+        mx = (
+            rem.join(chosen, "query_id")
+            .join(
+                sims.select(
+                    "query_id",
+                    F.col("a").alias("doc_id"),
+                    F.col("b").alias("_sel_id"),
+                    "cos",
+                ),
+                ["query_id", "doc_id", "_sel_id"],
+            )
+            .groupBy("query_id", "doc_id", "rel")
+            .agg(F.max("cos").alias("maxsim"))
+        )
+        scored = mx.select(
+            "query_id",
+            "doc_id",
+            (lam_c * F.col("rel") - (F.lit(1.0) - lam_c) * F.col("maxsim")).alias("mmr"),
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("mmr"), F.asc("doc_id"))
+        pick = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "query_id",
+                "doc_id",
+                F.lit(t).cast("long").alias("pick_order"),
+                "mmr",
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel

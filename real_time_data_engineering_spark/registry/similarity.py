@@ -1142,3 +1142,142 @@ def s15_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the first 20 anchors, margin 0.2."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.triplet_mining(emb, F.col("vec_id") < _N_QUERIES, margin=0.2)
+
+
+# ---------------------------------------------------------------------------
+# s16 — MMR-diversified retrieval (Carbonell & Goldstein 1998): the
+# result-diversification re-rank every production search/RAG stack
+# runs on its fused shortlist. Greedy over s10's hybrid top-10 per
+# query: seed with the most relevant, then 4 rounds of
+# argmax(λ·rel − (1−λ)·max-sim-to-selected), λ=0.5. Everything is
+# deterministic — rel is the integer RRF score divided by a POWER OF
+# TWO (exact in binary), pair similarities are the exact quantized
+# cosine, MAX is order-independent, ties break on doc_id — so the
+# greedy unrolls into plain SQL (the s4 unrolled-iteration precedent)
+# and the whole diversifier is value-oracled on top of the verified
+# s10 chain.
+# ---------------------------------------------------------------------------
+_MMR_REL_DIV = 33_554_432.0  # 2^25: the rel normalization is binary-exact
+
+
+def _s16_rounds(k: int = 5) -> str:
+    rounds = []
+    for t in range(2, k + 1):
+        rounds.append(f""", mrem{t} AS (
+  SELECT c.query_id, c.doc_id, c.rel FROM mcand c
+  LEFT JOIN msel{t - 1} s ON s.query_id = c.query_id AND s.doc_id = c.doc_id
+  WHERE s.doc_id IS NULL
+), mmx{t} AS MATERIALIZED (
+  SELECT r.query_id, r.doc_id, r.rel, MAX(p.cos) AS maxsim
+  FROM mrem{t} r
+  JOIN msel{t - 1} s ON s.query_id = r.query_id
+  JOIN msim p ON p.query_id = r.query_id AND p.a = r.doc_id AND p.b = s.doc_id
+  GROUP BY 1, 2, 3
+), mpick{t} AS MATERIALIZED (
+  SELECT query_id, doc_id, CAST({t} AS BIGINT) AS pick_order, mmr FROM (
+    SELECT query_id, doc_id, mmr,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY mmr DESC, doc_id ASC) AS rn
+    FROM (SELECT query_id, doc_id, 0.5 * rel - 0.5 * maxsim AS mmr FROM mmx{t})
+  ) WHERE rn = 1
+), msel{t} AS MATERIALIZED (
+  SELECT * FROM msel{t - 1} UNION ALL SELECT * FROM mpick{t}
+)""")
+    return "".join(rounds)
+
+
+_S16_ORACLE = (
+    "WITH "
+    + _S1_DENSE_CTES
+    + "\n"
+    + _LEX_CTES
+    + _rrf_fused_ctes("SELECT qid, nid, rank FROM hranked", "h")
+    + f""", mcand AS MATERIALIZED (
+  SELECT query_id, doc_id, CAST(rrf_score AS DOUBLE) / {_MMR_REL_DIV} AS rel
+  FROM htop WHERE rank <= 10
+), mu AS MATERIALIZED (
+  SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) AS i
+  FROM hqv WHERE vec_id IN (SELECT DISTINCT doc_id FROM mcand)
+), mdot AS MATERIALIZED (
+  SELECT p.query_id, p.a, p.b, CAST(SUM(x.v * y.v) AS BIGINT) AS dot
+  FROM (SELECT c1.query_id, c1.doc_id AS a, c2.doc_id AS b
+        FROM mcand c1
+        JOIN mcand c2 ON c2.query_id = c1.query_id AND c2.doc_id <> c1.doc_id) p
+  JOIN mu x ON x.vec_id = p.a
+  JOIN mu y ON y.vec_id = p.b AND y.i = x.i
+  GROUP BY 1, 2, 3
+), msim AS MATERIALIZED (
+  SELECT d.query_id, d.a, d.b,
+         CAST(d.dot AS DOUBLE)
+             / (sqrt(CAST(na.norm_q AS DOUBLE)) * sqrt(CAST(nb.norm_q AS DOUBLE))) AS cos
+  FROM mdot d
+  JOIN hnorms na ON na.vec_id = d.a
+  JOIN hnorms nb ON nb.vec_id = d.b
+), msel1 AS MATERIALIZED (
+  SELECT query_id, doc_id, CAST(1 AS BIGINT) AS pick_order, 0.5 * rel AS mmr
+  FROM (SELECT query_id, doc_id, rel,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) AS rn
+        FROM mcand) WHERE rn = 1
+)"""
+    + _s16_rounds(5)
+    + """
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, pick_order, mmr FROM msel5
+"""
+)
+
+
+@register(
+    "s16_mmr_diversified",
+    _S16_ORACLE,
+    doc="MMR result diversification over the hybrid shortlist: greedy "
+    "argmax(0.5·rel − 0.5·max-sim-to-selected) for 5 picks from s10's "
+    "fused top-10, rel = integer RRF / 2^25 (binary-exact), pair sims "
+    "= exact quantized cosine. Oracle unrolls the greedy rounds in "
+    "SQL on top of the verified s10 chain.",
+)
+def s16_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, pick_order, mmr): 5 MMR picks per query from
+    the hybrid top-10."""
+    from ..operators.retrieval import mmr_select
+    from ..sources.readers import ensure_min_partitions
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    dense = S.cosine_topk(emb, F.col("vec_id") < _S10_N_QUERIES, k=20).select(
+        F.col("qid").alias("query_id"), F.col("nid").alias("doc_id"), "rank"
+    )
+    fused = _fuse_with_lexical(spark, docs, dense, _S10_N_QUERIES)
+    cand = fused.select(
+        "query_id",
+        "doc_id",
+        (F.col("rrf_score").cast("double") / F.lit(_MMR_REL_DIV)).alias("rel"),
+    )
+    base = S.with_quantized(emb).select("vec_id", "emb_q", "norm_q")
+    ids = cand.select(F.col("query_id").alias("_q"), F.col("doc_id").alias("vec_id"))
+    cvec = base.join(F.broadcast(ids), "vec_id").localCheckpoint(eager=True)  # tiny
+    a = cvec.select(
+        F.col("_q").alias("query_id"),
+        F.col("vec_id").alias("a"),
+        F.col("emb_q").alias("a_emb"),
+        F.col("norm_q").alias("a_norm"),
+    )
+    b = cvec.select(
+        F.col("_q").alias("query_id"),
+        F.col("vec_id").alias("b"),
+        F.col("emb_q").alias("b_emb"),
+        F.col("norm_q").alias("b_norm"),
+    )
+    sims = (
+        a.join(b, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "query_id",
+            "a",
+            "b",
+            S.cosine_q(
+                S.dot_q(F.col("a_emb"), F.col("b_emb")),
+                F.col("a_norm"),
+                F.col("b_norm"),
+            ).alias("cos"),
+        )
+    )
+    return mmr_select(cand, sims, k=5, lam=0.5)

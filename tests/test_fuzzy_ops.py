@@ -629,3 +629,70 @@ def test_triplet_mining_drops_anchors_without_counterparts(spark):
     assert triplet_mining(emb, F.col("vec_id") == 0).count() == 0
     # anchor 1 has both: a same-label partner (2) and a different-label (0)
     assert triplet_mining(emb, F.col("vec_id") == 1).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# s16 — MMR diversification
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_select_golden_prefers_diverse_pick(spark):
+    """Three candidates: b is slightly less relevant than a's twin c,
+    but c is near-identical to the seed a — MMR must pick b second."""
+    from real_time_data_engineering_spark.operators.retrieval import mmr_select
+
+    cand = spark.createDataFrame(
+        [(0, 10, 1.0), (0, 11, 0.8), (0, 12, 0.9)],
+        "query_id long, doc_id long, rel double",
+    )
+    # sims symmetric: 10~12 nearly identical (0.99), 10~11 orthogonal-ish
+    rows = [
+        (0, 10, 12, 0.99), (0, 12, 10, 0.99),
+        (0, 10, 11, 0.10), (0, 11, 10, 0.10),
+        (0, 11, 12, 0.20), (0, 12, 11, 0.20),
+    ]
+    sims = spark.createDataFrame(rows, "query_id long, a long, b long, cos double")
+    out = sorted(
+        (r.pick_order, r.doc_id) for r in mmr_select(cand, sims, k=3).collect()
+    )
+    # seed = most relevant (10); second = 11 (0.5*0.8-0.5*0.1=0.35 beats
+    # 0.5*0.9-0.5*0.99=-0.045); third = 12
+    assert out == [(1, 10), (2, 11), (3, 12)]
+
+
+def test_mmr_diversifies_against_relevance_only_top5(spark):
+    """On the real corpus, the mean pairwise cosine among MMR's 5 picks
+    must not exceed the mean among the plain relevance top-5 — the
+    whole point of the diversifier."""
+    import itertools
+
+    import numpy as np
+
+    from real_time_data_engineering_spark.registry.similarity import (
+        s10_hybrid_rrf,
+        s16_mmr_diversified,
+    )
+    from real_time_data_engineering_spark.sources.readers import load_table
+
+    from conftest import SF_DIR
+
+    mmr = s16_mmr_diversified(spark, SF_DIR).collect()
+    top5 = [r for r in s10_hybrid_rrf(spark, SF_DIR).collect() if r.rank <= 5]
+    emb = load_table(spark, SF_DIR, "embeddings")
+    vecs = {
+        r.vec_id: np.floor(np.array(r.embedding, dtype=np.float64) * 1e6)
+        for r in emb.collect()
+    }
+
+    def mean_paircos(picks):
+        by_q: dict[int, list[int]] = {}
+        for r in picks:
+            by_q.setdefault(r.query_id, []).append(r.doc_id)
+        vals = []
+        for ids in by_q.values():
+            for x, y in itertools.combinations(ids, 2):
+                a, b = vecs[x], vecs[y]
+                vals.append(float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+        return sum(vals) / len(vals)
+
+    assert mean_paircos(mmr) <= mean_paircos(top5) + 1e-12

@@ -347,6 +347,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "s13_hybrid_ann_recall",  # composes s1 + s8 + s10/s11, inheriting their fan-outs
         "s14_ivfpq_refine",  # shortlist comes from the index probe (s8's routing fan-out)
         "s15_triplet_mining",  # anchor block broadcast over the corpus (s1's fan-out)
+        "s16_mmr_diversified",  # shortlist from s10's fan-out; MMR rounds are metadata-sized
     }
     for name, spec in all_specs().items():
         plan = spec.spark(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
