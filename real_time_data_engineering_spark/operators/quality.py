@@ -398,8 +398,7 @@ def train_quality_probe(
             w[j] - _tdiv(int(g_row[f"g{j}"]), lr_den * 1000 * n)
             for j in range(5)
         ]
-    z = " + ".join(f"cast({w[j]} as bigint) * x{j}" for j in range(5))
-    score = f"(({z}) div 1000000000)"
+    score = _probe_z_expr(w)
     out = feats.selectExpr(
         id_col,
         *keep_cols,
@@ -467,4 +466,64 @@ def probe_scored_sampling(
         "score_micro",
         band.alias("band"),
         accepted.alias("accepted"),
+    )
+
+
+def _probe_z_expr(weights: list[int]) -> str:
+    """The probe's score expression over feature columns x0..x4 —
+    shared by training, batch scoring and streaming scoring so all
+    three produce bit-identical z_micro for the same weights."""
+    terms = " + ".join(f"cast({int(weights[j])} as bigint) * x{j}" for j in range(5))
+    return f"(({terms}) div 1000000000)"
+
+
+def save_probe(spark, path: str, weights: list[int], meta: dict | None = None) -> None:
+    """Persist trained probe weights as a tiny ManifestTable — the
+    model-registry half of train-once/serve-many: `train_quality_probe`
+    runs once over the training corpus, every later batch or STREAM
+    scores with the stored weights and never touches the training
+    corpus again. Rows are (feature, w_nano) + a params tag; the write
+    is an atomic manifest commit (overwrite = new snapshot), so a
+    reader never observes a half-updated weight vector."""
+    import json
+
+    from .manifest import ManifestTable
+
+    rows = [(j, int(w), json.dumps(meta or {}, sort_keys=True)) for j, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "feature int, w_nano bigint, params string")
+    ManifestTable(path).write(df.coalesce(1), mode="overwrite")
+
+
+def load_probe(spark, path: str) -> list[int]:
+    """Read the stored weight vector back (ordered by feature id)."""
+    from .manifest import ManifestTable
+
+    rows = ManifestTable(path).read(spark).orderBy("feature").collect()
+    return [int(r.w_nano) for r in rows]
+
+
+def score_with_probe(
+    df: DataFrame,
+    weights: list[int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Score documents with a TRAINED probe — a stateless narrow
+    projection (features + one fixed-point dot product), so the same
+    call works identically on a batch DataFrame and a STREAMING one
+    (no shuffle, no state, no watermark needed): the streaming quality
+    gate that scores documents as they land, serving the weights the
+    batch trainer persisted (`save_probe`). Bit-identical to the
+    trainer's own scoring tail by construction (shared `_probe_z_expr`
+    over the shared feature builder).
+
+    Returns (id, *keep_cols, score_micro, predicted)."""
+    feats = quality_probe_features(df, text_col, id_col, keep_cols)
+    z = _probe_z_expr(weights)
+    return feats.selectExpr(
+        id_col,
+        *keep_cols,
+        f"{z} as score_micro",
+        f"({z}) >= 500000 as predicted",
     )

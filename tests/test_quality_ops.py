@@ -368,3 +368,67 @@ def test_quality_probe_train_n_bounds_training_and_degenerates_to_full(spark):
     w_small, scored = train_quality_probe(docs, iters=3, lr_den=1, train_n=50)
     assert scored.count() == n  # scoring covers the whole corpus
     assert any(x != 0 for x in w_small)
+
+
+def test_probe_registry_roundtrip_and_shard_scoring(spark, tmp_path):
+    """Model-registry contract: save_probe/load_probe roundtrips the
+    weight vector through the manifest table, and scoring fresh shards
+    with the STORED weights is bit-identical to the trainer's own
+    scoring tail — train once, serve forever without retraining."""
+    from real_time_data_engineering_spark.operators.quality import (
+        load_probe,
+        save_probe,
+        score_with_probe,
+        train_quality_probe,
+    )
+    from real_time_data_engineering_spark.sources.readers import load_table
+
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    w, scored = train_quality_probe(docs, iters=5, lr_den=1)
+    path = str(tmp_path / "probe")
+    save_probe(spark, path, w, meta={"iters": 5, "lr_den": 1})
+    assert load_probe(spark, path) == w
+    got = {
+        (r.doc_id, r.score_micro, r.predicted)
+        for r in score_with_probe(docs, load_probe(spark, path)).collect()
+    }
+    want = {(r.doc_id, r.score_micro, r.predicted) for r in scored.collect()}
+    assert got == want and got
+
+
+def test_probe_streaming_scoring_equals_batch(spark, tmp_path):
+    """`score_with_probe` is a stateless narrow projection, so the SAME
+    call scores a file-source STREAM exactly like the batch frame —
+    the streaming quality gate serving batch-trained weights."""
+    from real_time_data_engineering_spark.operators.quality import (
+        score_with_probe,
+        train_quality_probe,
+    )
+    from real_time_data_engineering_spark.sources.readers import load_table
+
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(100)
+    w, _ = train_quality_probe(docs, iters=3, lr_den=1)
+    src = str(tmp_path / "incoming")
+    docs.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        score_with_probe(stream, w)
+        .writeStream.format("memory")
+        .queryName("probe_stream_scores")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.score_micro, r.predicted)
+        for r in spark.sql("select * from probe_stream_scores").collect()
+    }
+    want = {
+        (r.doc_id, r.score_micro, r.predicted)
+        for r in score_with_probe(spark.read.parquet(src), w).collect()
+    }
+    assert got == want and len(got) == 100
