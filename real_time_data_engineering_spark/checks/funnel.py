@@ -25,8 +25,9 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> int:
     spark = get_spark(app_name="funnel_audit")
     t0 = time.time()
     # the artifact runs the FULL ladder including the opt-in SemDeDup
-    # stage (r6 verdict #7) so the committed funnel shows all 7 gates
-    run = curate_corpus(spark, sf_dir, semantic_dedup=True)
+    # stage (r6 verdict #7) and the opt-in trained-classifier gate
+    # (FineWeb-Edu position) so the committed funnel shows all 8 gates
+    run = curate_corpus(spark, sf_dir, semantic_dedup=True, probe_gate=True)
     counts = run.audit_counts()
     for stage, n in counts.items():
         print(f"{stage:16s} {n:>9d}", flush=True)
@@ -39,6 +40,7 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> int:
         "neardup_keep",
         "semantic_keep",
         "quality_pass",
+        "probe_keep",
         "decontaminated",
         "sampled",
     ]

@@ -48,6 +48,7 @@ DEFAULT_QUERIES = [
     "s15_triplet_mining",
     "d48_probe_gated_sampling",
     "s16_mmr_diversified",
+    "d49_epoch_budget",
 ]
 
 _SHIFTS = {

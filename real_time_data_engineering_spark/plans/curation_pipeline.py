@@ -51,6 +51,7 @@ class CurationRun:
     neardup_keep: DataFrame
     semantic_keep: DataFrame  # == neardup_keep when the stage is off
     quality_pass: DataFrame
+    probe_keep: DataFrame  # == quality_pass when the probe gate is off
     decontaminated: DataFrame
     sampled: DataFrame
     sharded: DataFrame  # final: doc_id, source, est_tokens, shard
@@ -64,6 +65,7 @@ class CurationRun:
             "neardup_keep": self.neardup_keep.count(),
             "semantic_keep": self.semantic_keep.count(),
             "quality_pass": self.quality_pass.count(),
+            "probe_keep": self.probe_keep.count(),
             "decontaminated": self.decontaminated.count(),
             "sampled": self.sampled.count(),
             "sharded": self.sharded.count(),
@@ -103,6 +105,8 @@ def curate_corpus(
     semantic_dedup: bool = False,
     semantic_threshold: float = 0.35,
     semantic_target_cell_rows: int = 100,
+    probe_gate: bool = False,
+    probe_iters: int = 20,
 ) -> CurationRun:
     """Run the full curation ladder over ``sf_dir``'s documents table.
 
@@ -116,7 +120,20 @@ def curate_corpus(
     the surviving corpus. Docs without an embedding (or with a
     zero-norm one) pass through unjudged — absence of evidence keeps a
     doc. OFF by default: the stage requires the embeddings table and
-    the registered d35 pins the 6-stage composition."""
+    the registered d35 pins the 6-stage composition.
+
+    ``probe_gate=True`` inserts the TRAINED-classifier filter (d48's
+    kernel, `operators/quality.probe_scored_sampling`) after the
+    heuristic quality gates — FineWeb-Edu's pipeline position: the
+    cheap rules run first, the learned score then keeps/drops/lotteries
+    the survivors. The probe trains on the gate's own input corpus
+    (distilling the teacher rule over exactly the docs it will judge,
+    ``probe_iters`` fixed-point GD rounds). Benchmark-side docs
+    (doc_id % eval_mod == 0) BYPASS the gate: they exist to feed the
+    decontamination reference and are dropped from the training output
+    downstream anyway — a training-side filter must never shrink the
+    contamination evidence. OFF by default (d35 pins the composition
+    without it)."""
     raw = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
 
     # 1. exact dedup FIRST (collapses identical copies before any
@@ -190,15 +207,32 @@ def curate_corpus(
         .localCheckpoint(eager=True)
     )
 
+    # 3b. OPT-IN trained-classifier gate (FineWeb-Edu's position:
+    #     heuristic rules first, the learned score on the survivors).
+    #     Benchmark docs bypass the gate (see docstring) — the decontam
+    #     reference must not shrink because a training-side filter fired.
+    if probe_gate:
+        from ..operators.quality import probe_scored_sampling
+
+        accepted = probe_scored_sampling(
+            quality_pass, iters=probe_iters, lr_den=1
+        ).filter(F.col("accepted")).select("doc_id")
+        eval_ids = quality_pass.filter(F.col("doc_id") % eval_mod == 0).select("doc_id")
+        probe_keep = quality_pass.join(
+            accepted.unionByName(eval_ids).distinct(), "doc_id"
+        ).localCheckpoint(eager=True)  # two consumers, like quality_pass
+    else:
+        probe_keep = quality_pass
+
     # 4. benchmark decontamination (d14's eval convention); eval docs
     #    themselves never enter the training output
     contam = contamination_stats(
-        quality_pass,
+        probe_keep,
         F.col("doc_id") % eval_mod == 0,
         n=5,
         threshold=contamination_threshold,
     ).select("doc_id", "is_contaminated")
-    train_only = quality_pass.filter(F.col("doc_id") % eval_mod != 0)
+    train_only = probe_keep.filter(F.col("doc_id") % eval_mod != 0)
     decontaminated = (
         train_only.join(contam, "doc_id", "left")
         .filter(~F.coalesce("is_contaminated", F.lit(False)))
@@ -249,6 +283,7 @@ def curate_corpus(
         neardup_keep=neardup_keep,
         semantic_keep=semantic_keep,
         quality_pass=quality_pass,
+        probe_keep=probe_keep,
         decontaminated=decontaminated,
         sampled=sampled,
         sharded=sharded,

@@ -436,3 +436,72 @@ def d39_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.row_number().over(w).cast("long").alias("position"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d49 — epoch / repetition budget accounting (Muennighoff et al. 2023,
+# "Scaling Data-Constrained Language Models"): given a total training
+# token budget split evenly across sources, how many EPOCHS must each
+# source repeat to fill its share, and which sources cross the ~4-epoch
+# knee past which repeated data stops helping? The planning table every
+# data-constrained run consults before mixing. Pure integer arithmetic
+# end to end: per-source token sums (exact BIGINT), an integer-division
+# budget split, epochs in basis points via cross-multiplied `div`, and
+# an integer threshold flag — no float anywhere, so the whole report is
+# bit-identical on both engines.
+# ---------------------------------------------------------------------------
+_D49_BUDGET = 2_000_000  # total training-token budget (pinned constant)
+_D49_KNEE_X100 = 400  # the ~4-epoch diminishing-returns knee
+
+_D49_ORACLE = f"""
+WITH t AS (
+  SELECT source,
+         CAST(SUM(CAST(ceil(CAST(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS BIGINT) / 4.0)
+              AS BIGINT)) AS BIGINT) AS source_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sources FROM t
+)
+SELECT t.source, t.n_docs, t.source_tokens,
+       CAST({_D49_BUDGET} AS BIGINT) // n.n_sources AS budget_tokens,
+       (CAST({_D49_BUDGET} AS BIGINT) // n.n_sources) * 100 // t.source_tokens AS epochs_x100,
+       ((CAST({_D49_BUDGET} AS BIGINT) // n.n_sources) * 100 // t.source_tokens) > {_D49_KNEE_X100}
+           AS over_repeat
+FROM t CROSS JOIN n
+"""
+
+
+@register(
+    "d49_epoch_budget",
+    _D49_ORACLE,
+    doc="Data-constrained scaling accounting (Muennighoff et al. 2023): "
+    "per source, the exact token inventory, its even share of the "
+    "pinned 2M-token training budget, the repeat factor in basis "
+    "points (epochs x100, integer cross-multiplied div), and the "
+    "over-the-4-epoch-knee flag — the planning table a repeated-data "
+    "run consults before mixing. Pure integer arithmetic both engines.",
+)
+def d49_epoch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, source_tokens, budget_tokens, epochs_x100,
+    over_repeat) under an even split of the pinned 2M-token budget."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(est_bpe_tokens("text")).cast("long").alias("source_tokens"),
+    )
+    # |sources| is a tiny O(1) driver scalar (the d24/d25 precedent);
+    # a 1-row count join would plan the banned BNLJ
+    n_sources = t.count()
+    budget = _D49_BUDGET // n_sources  # python // == SQL div for positives
+    return t.select(
+        "source",
+        "n_docs",
+        "source_tokens",
+        F.lit(budget).cast("long").alias("budget_tokens"),
+        F.expr(f"(cast({budget} as bigint) * 100) div source_tokens").alias("epochs_x100"),
+        (
+            F.expr(f"(cast({budget} as bigint) * 100) div source_tokens")
+            > F.lit(_D49_KNEE_X100)
+        ).alias("over_repeat"),
+    )

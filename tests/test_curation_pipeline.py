@@ -127,3 +127,57 @@ def test_semantic_stage_cross_checks_the_s9_kernel(spark):
     a = sorted(map(tuple, base.sharded.collect()))
     b = sorted(map(tuple, curate_corpus(spark, SF_DIR).sharded.collect()))
     assert a == b
+
+
+def test_probe_gate_cross_checks_the_d48_kernel(spark):
+    """The opt-in trained-classifier gate must drop EXACTLY the
+    non-benchmark docs the d48 kernel rejects over the quality-gate
+    survivors, let benchmark docs (doc_id % 19 == 0) bypass so the
+    decontamination reference never shrinks, and leave the funnel
+    monotone. With the gate off, the ladder is unchanged."""
+    from real_time_data_engineering_spark.operators.quality import (
+        probe_scored_sampling,
+    )
+
+    base = curate_corpus(spark, SF_DIR)
+    run = curate_corpus(spark, SF_DIR, probe_gate=True)
+    counts = run.audit_counts()
+    order = [
+        "raw",
+        "exact_unique",
+        "neardup_keep",
+        "quality_pass",
+        "probe_keep",
+        "decontaminated",
+        "sampled",
+    ]
+    for a, b in zip(order, order[1:]):
+        assert counts[a] >= counts[b], (a, b, counts)
+    assert counts["sharded"] > 0
+    # at sf0.001 the heuristic gates already select probe-favored docs,
+    # so the gate may accept every survivor; the set-equality
+    # cross-check below is the real semantic assertion (the committed
+    # FUNNEL artifact at sf0.1 shows the gate biting on a real corpus)
+
+    # cross-check: the drop set == the kernel's rejects minus benchmarks
+    accepted = {
+        r.doc_id
+        for r in probe_scored_sampling(run.quality_pass, iters=20, lr_den=1)
+        .filter("accepted")
+        .collect()
+    }
+    before = {r.doc_id for r in run.quality_pass.select("doc_id").collect()}
+    after = {r.doc_id for r in run.probe_keep.select("doc_id").collect()}
+    evals = {i for i in before if i % 19 == 0}
+    assert after == (before & accepted) | evals
+    # benchmark docs bypass the gate
+    assert evals <= after
+    # every final doc passed the gate (evals are removed downstream)
+    final_ids = {r.doc_id for r in run.sharded.select("doc_id").collect()}
+    assert final_ids <= accepted
+
+    # gate off == the previous composition (d35's pinned behavior)
+    assert base.probe_keep is base.quality_pass
+    a = sorted(map(tuple, base.sharded.collect()))
+    b = sorted(map(tuple, curate_corpus(spark, SF_DIR).sharded.collect()))
+    assert a == b
