@@ -548,7 +548,16 @@ def main() -> None:
         )
     )
     repo = Path(__file__).resolve().parent
-    with open(repo / "results.csv", "w") as f:
+    # Same committed-artifact guard as BENCH_local.json (VERDICT r7 #2):
+    # only zero-degraded raised-budget runs own the committed
+    # results.csv; driver-budget runs write a git-ignored twin so the
+    # two committed artifacts always come from the SAME run.
+    csv_name = (
+        "results.csv"
+        if os.environ.get("SPARK_GRAFT_BENCH_BUDGET")
+        else "results_driver.csv"
+    )
+    with open(repo / csv_name, "w") as f:
         f.write(csv_header + "\n" + csv_row + "\n")
     # Per-query peak-RSS attribution (VERDICT r4 #5): name the suite's
     # memory hogs in both reports instead of leaving one opaque peak.

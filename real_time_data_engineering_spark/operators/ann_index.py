@@ -506,7 +506,7 @@ def ivfpq_index_topk_refined(
         F.col(id_col).alias("nid"), F.col("emb_q").alias("v_emb")
     )
     pairs = v.join(F.broadcast(cand), "nid").join(F.broadcast(q), "qid")
-    exact = pairs.select(
+    scored = pairs.select(
         "qid",
         "nid",
         F.aggregate(
@@ -514,6 +514,31 @@ def ivfpq_index_topk_refined(
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ).alias("exact_dist"),
+    )
+    # INVARIANT: every shortlist nid must have a raw vector in `corpus` —
+    # the inner join above would otherwise silently shrink the result
+    # (e.g. an appended index probed with the stale base corpus). Fail
+    # loudly instead: re-attach the shortlist (tiny, |q|·topk·refine)
+    # and raise on any candidate the corpus scan could not cover.
+    exact = cand.join(F.broadcast(scored), ["qid", "nid"], "left").select(
+        "qid",
+        "nid",
+        F.when(
+            F.col("exact_dist").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("ivfpq_index_topk_refined: shortlist candidate nid="),
+                    F.col("nid").cast("string"),
+                    F.lit(
+                        " has no raw vector in `corpus` — the index at "
+                        f"{path} serves rows the supplied corpus lacks "
+                        "(appended index vs stale base corpus?)"
+                    ),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col("exact_dist"))
+        .alias("exact_dist"),
     )
     w = Window.partitionBy("qid").orderBy(F.asc("exact_dist"), F.asc("nid"))
     return (

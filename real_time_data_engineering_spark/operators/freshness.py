@@ -33,6 +33,12 @@ from pyspark.sql import functions as F
 
 STAMP_DIR = "_meta"
 
+# Bumped on ANY persisted-index layout or build-algorithm change (centroid
+# delta rows, _meta schema, posting clustering, code layout, ...).  Stamped
+# into every writer's params so a code upgrade can never silently serve an
+# old-format on-disk index whose (corpus, params) still match.
+INDEX_FORMAT_VERSION = 2
+
 
 def corpus_fingerprint(df: DataFrame, cols: tuple[str, ...]) -> tuple[int, str]:
     """Order-independent exact corpus digest over ``cols``: (row count,
@@ -71,7 +77,9 @@ class BuildStamp:
     ) -> None:
         self.spark = spark
         self.meta_path = os.path.join(path, STAMP_DIR)
-        self.params_json = json.dumps(params, sort_keys=True)
+        self.params_json = json.dumps(
+            {**params, "__format_version__": INDEX_FORMAT_VERSION}, sort_keys=True
+        )
         self._df = df
         self._cols = cols
         self._fp: tuple[int, str] | None = None

@@ -465,8 +465,8 @@ WITH t AS (
 )
 SELECT t.source, t.n_docs, t.source_tokens,
        CAST({_D49_BUDGET} AS BIGINT) // n.n_sources AS budget_tokens,
-       (CAST({_D49_BUDGET} AS BIGINT) // n.n_sources) * 100 // t.source_tokens AS epochs_x100,
-       ((CAST({_D49_BUDGET} AS BIGINT) // n.n_sources) * 100 // t.source_tokens) > {_D49_KNEE_X100}
+       (CAST({_D49_BUDGET} AS BIGINT) // n.n_sources) * 100 // greatest(t.source_tokens, 1) AS epochs_x100,
+       ((CAST({_D49_BUDGET} AS BIGINT) // n.n_sources) * 100 // greatest(t.source_tokens, 1)) > {_D49_KNEE_X100}
            AS over_repeat
 FROM t CROSS JOIN n
 """
@@ -499,9 +499,12 @@ def d49_epoch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "source_tokens",
         F.lit(budget).cast("long").alias("budget_tokens"),
-        F.expr(f"(cast({budget} as bigint) * 100) div source_tokens").alias("epochs_x100"),
+        # greatest(,1): an all-empty source has source_tokens=0 — Spark's
+        # non-ANSI div would yield NULL while DuckDB's // raises; clamp so
+        # both engines report a finite (huge) repeat factor instead.
+        F.expr(f"(cast({budget} as bigint) * 100) div greatest(source_tokens, 1)").alias("epochs_x100"),
         (
-            F.expr(f"(cast({budget} as bigint) * 100) div source_tokens")
+            F.expr(f"(cast({budget} as bigint) * 100) div greatest(source_tokens, 1)")
             > F.lit(_D49_KNEE_X100)
         ).alias("over_repeat"),
     )

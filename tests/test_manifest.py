@@ -1067,3 +1067,78 @@ def test_deletion_vectors_survive_a_table_directory_move(spark, tmp_path):
     # and further MOR deletes at the new location stack correctly
     moved.delete_where(spark, [("val", "==", 7)], merge_on_read=True)
     assert moved.read(spark).count() == 160
+
+
+def _physical_rows(spark, path):
+    """Read every data parquet under the table DIRECTLY (no manifest,
+    no DV application) — what a disk forensics pass would see. DV
+    sidecars are (file_path, row_index) relations; data files carry the
+    table schema, so select the table columns and let sidecars be
+    excluded by schema."""
+    import os
+
+    files = []
+    for root, _dirs, names in os.walk(path):
+        if "_manifest" in root:
+            continue
+        for n in names:
+            if n.endswith(".parquet"):
+                files.append(os.path.join(root, n))
+    rows = set()
+    for f in files:
+        df = spark.read.parquet(f)
+        if set(df.columns) >= {"id", "val"}:
+            rows.update((r.id, r.val) for r in df.select("id", "val").collect())
+    return rows
+
+
+@pytest.mark.parametrize("mor", [False, True])
+def test_gdpr_erasure_is_physical_after_maintenance(spark, tmp_path, mor):
+    """The GDPR guarantee is PHYSICAL (r7 verdict item 7): after the
+    erasure flow — delete (+compact when merge-on-read: DVs only MASK
+    rows; applying them is what rewrites the data) + expire(keep_last=1)
+    + vacuum — no parquet file left under the table contains a deleted
+    row, read directly from disk rather than through the manifest."""
+    import shutil
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    base = str(tmp_path / "t")
+
+    @given(erase_vals=st.sets(st.integers(0, 9), min_size=1, max_size=4))
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(erase_vals):
+        shutil.rmtree(base, ignore_errors=True)
+        t = ManifestTable(base)
+        t.write(
+            spark.createDataFrame(
+                [(i, i % 10) for i in range(100)], "id long, val int"
+            ).repartition(3)
+        )
+        for v in sorted(erase_vals):
+            t.delete_where(spark, [("val", "==", v)], merge_on_read=mor)
+        if mor:
+            # a DV-only delete leaves bytes in place — time travel still
+            # serves them and the disk still holds them; compact()
+            # applies the vectors (the erasure-critical rewrite)
+            assert any(
+                r[1] in erase_vals for r in _physical_rows(spark, base)
+            ), "MOR delete should NOT be physical before compact"
+            t.compact(spark, n_files=2)
+        t.expire(keep_last=1)
+        t.vacuum(older_than_s=0.0)
+        left = _physical_rows(spark, base)
+        assert left, "table must still hold the survivors"
+        assert not {r for r in left if r[1] in erase_vals}, (
+            f"deleted rows physically present after erasure flow: mor={mor}"
+        )
+        # logical view agrees with the physical one
+        got = {(r.id, r.val) for r in t.read(spark).collect()}
+        assert got == left
+
+    run()

@@ -394,20 +394,25 @@ def test_r3_green_head_keeps_its_positions():
 
 
 def test_r5_artifact_key_order_is_pinned_verbatim():
-    """Append-only pin extension (r5 verdict item 4, extended to r6 per
-    the r6 verdict item 5): the driver's round-5 AND round-6 artifacts
-    each went 50/50 green on exactly the _R3_GREEN_HEAD keys in that
-    order, so the committed CORRECTNESS_r0{5,6}.json key lists ARE the
-    contract — assert them verbatim against the registry head so no
-    future registration change can silently reshuffle a budgeted
-    artifact away from its last all-green composition."""
+    """Append-only pin extension (r5 verdict item 4, extended to r6 and
+    r7 per the r6 item 5 / r7 item 6): the driver's round-5, round-6
+    AND round-7 artifacts each went 50/50 green on exactly the
+    _R3_GREEN_HEAD keys in that order, so the committed
+    CORRECTNESS_r0{5,6,7}.json key lists ARE the contract — assert them
+    verbatim against the registry head so no future registration change
+    can silently reshuffle a budgeted artifact away from its last
+    all-green composition."""
     import json
     import pathlib
 
     from real_time_data_engineering_spark import registry
 
     root = pathlib.Path(__file__).resolve().parents[1]
-    for artifact in ("CORRECTNESS_r05.json", "CORRECTNESS_r06.json"):
+    for artifact in (
+        "CORRECTNESS_r05.json",
+        "CORRECTNESS_r06.json",
+        "CORRECTNESS_r07.json",
+    ):
         keys = list(json.loads((root / artifact).read_text()).keys())
         assert keys == list(registry._R3_GREEN_HEAD), artifact
         assert list(registry.all_specs())[: len(keys)] == keys, artifact
