@@ -16,9 +16,9 @@ SF_DIR ?= /root/testdata/sf0.1
 SHELL := /bin/bash
 .SHELLFLAGS := -o pipefail -ec
 
-.PHONY: round-artifacts sweep funnel bench replica test
+.PHONY: round-artifacts sweep funnel ingest bench replica test
 
-round-artifacts: sweep funnel bench replica
+round-artifacts: sweep funnel ingest bench replica
 
 replica:  # 10x-replica value evidence (builds /tmp/replica10 if absent)
 	SPARK_GRAFT_SF_DIR=$(SF_DIR) python -m real_time_data_engineering_spark.checks.replica 2>/dev/null | tee REPLICA_$(ROUND).txt
@@ -28,6 +28,9 @@ sweep:
 
 funnel:
 	python -m real_time_data_engineering_spark.checks.funnel $(SF_DIR) 2>/dev/null | tee FUNNEL_$(ROUND).txt
+
+ingest:  # two-shard incremental ladder + in-line incremental==batch equivalence verdict
+	python -m real_time_data_engineering_spark.checks.ingest $(SF_DIR) 2>/dev/null | tee INGEST_$(ROUND).txt
 
 bench:  # writes BENCH_local.json (full report) + results.csv; prints the short driver line.
 	# The committed artifact runs with a raised query-phase budget so EVERY

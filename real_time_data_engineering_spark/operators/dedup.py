@@ -245,6 +245,7 @@ def minhash_candidate_pairs(
     bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    wide: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: k sigs → `bands` band-hashes; pairs sharing ≥1 band.
 
@@ -256,10 +257,14 @@ def minhash_candidate_pairs(
     rows = k // bands
     # corpus-scaled reuse (N rows × k digests, read by the band join's
     # two sides + both signature joins) → DISK_ONLY per the repo cache
-    # policy: spill-backed, never executor memory pressure
-    wide = minhash_signatures_wide(df, n, k, text_col, id_col).persist(
-        StorageLevel.DISK_ONLY
-    )
+    # policy: spill-backed, never executor memory pressure. ``wide``
+    # lets a caller that already shingled this corpus (the incremental
+    # ingest plan shares ONE signature pass across within-shard pairs,
+    # the index probe and the index append) skip the recompute.
+    if wide is None:
+        wide = minhash_signatures_wide(df, n, k, text_col, id_col).persist(
+            StorageLevel.DISK_ONLY
+        )
     # band_hash per band straight from the wide columns (no extra shuffle);
     # band index = floor(seed / rows) on both engines.
     stack_args = ", ".join(
@@ -981,7 +986,7 @@ def write_minhash_index(
 def append_minhash_index(
     df: DataFrame, path: str, n: int = 3, k: int = 16, bands: int = 4,
     text_col: str = "text", id_col: str = "doc_id", max_attempts: int = 5,
-    n_files: int | None = None,
+    n_files: int | None = None, parts=None,
 ) -> None:
     """CAS-append one ingested shard's bands + signatures (per-doc rows
     over disjoint doc sets — order-independent by construction)."""
@@ -993,19 +998,22 @@ def append_minhash_index(
     # the appended index serves MORE than any stamped corpus — drop the
     # idempotency stamp before mutating (the freshness protocol)
     invalidate_stamp(path)
-    banded, wide = _minhash_index_parts(df, n, k, bands, text_col, id_col)
+    banded, wide = parts if parts is not None else _minhash_index_parts(
+        df, n, k, bands, text_col, id_col
+    )
     ManifestTable(os.path.join(path, _MH_BANDS)).append_with_retry(
         banded, max_attempts=max_attempts, cluster_by=["band_hash"], n_files=n_files
     )
     ManifestTable(os.path.join(path, _MH_SIGS)).append_with_retry(
         wide, max_attempts=max_attempts, cluster_by=[id_col], n_files=n_files
     )
-    wide.unpersist()
+    if parts is None:
+        wide.unpersist()
 
 
 def minhash_index_probe(
     spark, shard: DataFrame, path: str, n: int = 3, k: int = 16, bands: int = 4,
-    text_col: str = "text", id_col: str = "doc_id",
+    text_col: str = "text", id_col: str = "doc_id", parts=None,
 ) -> DataFrame:
     """Near-dup a NEW shard against the persisted index: only the shard
     is shingled; candidates come from the band-bucket join against the
@@ -1019,7 +1027,9 @@ def minhash_index_probe(
 
     from .manifest import ManifestTable
 
-    sh_banded, sh_wide = _minhash_index_parts(shard, n, k, bands, text_col, id_col)
+    sh_banded, sh_wide = parts if parts is not None else _minhash_index_parts(
+        shard, n, k, bands, text_col, id_col
+    )
     old_bands = (
         ManifestTable(os.path.join(path, _MH_BANDS))
         .read(spark)

@@ -444,6 +444,19 @@ def probe_scored_sampling(
         docs, iters=iters, lr_den=lr_den, text_col=text_col, id_col=id_col,
         keep_cols=("source",),
     )
+    return probe_banded_decision(scored, lo_cut, hi_cut, id_col)
+
+
+def probe_banded_decision(
+    scored: DataFrame,
+    lo_cut: int = 350_000,
+    hi_cut: int = 600_000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The d48 keep/lottery/drop banding over ANY probe-scored relation
+    (the trainer's own tail or `score_with_probe` with frozen weights) —
+    shared so the batch ladder and the incremental ingest plan decide
+    bit-identically from the same score."""
     u16 = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
         .cast("long")

@@ -416,31 +416,58 @@ def index_phrase_candidates(spark: SparkSession, path: str, phrases) -> DataFram
     )
 
 
-def phrase_decontaminate(
+def phrase_containment_expr(text_col: str, phrase_col) -> "Column":
+    """TRUE iff the space-joined lowercase [a-z]+ token stream of
+    ``text_col`` contains ``phrase_col`` as a token-aligned substring —
+    the exact-adjacency verify both the index-served (d44) and the
+    stateless decontamination paths share, so the two are equal by
+    construction."""
+    return F.concat(
+        F.lit(" "),
+        F.array_join(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)"), " "
+        ),
+        F.lit(" "),
+    ).contains(F.concat(F.lit(" "), phrase_col, F.lit(" ")))
+
+
+def _phrase_hits_parts(
     spark: SparkSession, path: str, docs: DataFrame, phrases, text_col: str = "text"
-) -> DataFrame:
-    """Per phrase: candidate count, verified contamination count, and
-    an order-canonical md5 over the contaminated doc-id set. The verify
-    join broadcasts the candidate side (bounded by the phrase-census
+):
+    """(hits, candidates, phrases-df) — hits are the (phrase_id, doc_id)
+    VERIFIED contamination pairs: index-probe
+    candidates (stats-pruned conjunctive postings scan) filtered by the
+    exact containment verify on candidates only. The verify join
+    broadcasts the candidate side (bounded by the phrase-census
     contract), so corpus text is only ever *scanned* — never shuffled —
     and the normalization expression runs on join survivors only."""
     cand = index_phrase_candidates(spark, path, phrases).localCheckpoint(eager=True)
     phr = spark.createDataFrame(sorted(phrases), "phrase_id bigint, phrase string")
-    hits = (
+    return (
         docs.select("doc_id", text_col)
         .join(F.broadcast(cand), "doc_id")
         .join(F.broadcast(phr), "phrase_id")
-        .filter(
-            F.concat(
-                F.lit(" "),
-                F.array_join(
-                    F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)"), " "
-                ),
-                F.lit(" "),
-            ).contains(F.concat(F.lit(" "), F.col("phrase"), F.lit(" ")))
-        )
+        .filter(phrase_containment_expr(text_col, F.col("phrase")))
         .select("phrase_id", "doc_id")
-    )
+    ), cand, phr
+
+
+def phrase_hits(
+    spark: SparkSession, path: str, docs: DataFrame, phrases, text_col: str = "text"
+) -> DataFrame:
+    """(phrase_id, doc_id) verified contamination hits — the per-doc
+    decontamination primitive the incremental ingest plan gates on."""
+    hits, _cand, _phr = _phrase_hits_parts(spark, path, docs, phrases, text_col)
+    return hits
+
+
+def phrase_decontaminate(
+    spark: SparkSession, path: str, docs: DataFrame, phrases, text_col: str = "text"
+) -> DataFrame:
+    """Per phrase: candidate count, verified contamination count, and
+    an order-canonical md5 over the contaminated doc-id set (the d44
+    census shape over `phrase_hits`)."""
+    hits, cand, phr = _phrase_hits_parts(spark, path, docs, phrases, text_col)
     cagg = cand.groupBy("phrase_id").agg(F.count("*").cast("long").alias("n_candidates"))
     xagg = hits.groupBy("phrase_id").agg(
         F.count("*").cast("long").alias("n_contaminated"),

@@ -107,6 +107,8 @@ def curate_corpus(
     semantic_target_cell_rows: int = 100,
     probe_gate: bool = False,
     probe_iters: int = 20,
+    probe_weights: list[int] | None = None,
+    decontam_phrases: tuple[tuple[int, str], ...] | None = None,
 ) -> CurationRun:
     """Run the full curation ladder over ``sf_dir``'s documents table.
 
@@ -133,7 +135,21 @@ def curate_corpus(
     decontamination reference and are dropped from the training output
     downstream anyway — a training-side filter must never shrink the
     contamination evidence. OFF by default (d35 pins the composition
-    without it)."""
+    without it).
+
+    ``probe_weights`` (implies the probe gate) skips training and
+    scores with the given FROZEN nano-weights (`score_with_probe` +
+    the shared d48 banding) — the model-registry serving path, and the
+    alignment knob for the incremental-ingest equivalence test (both
+    sides must judge with the same persisted model, the FineWeb-Edu
+    train-once/apply-to-the-whole-crawl shape).
+
+    ``decontam_phrases`` replaces stage 4's eval-overlap kernel with
+    fixed-benchmark-phrase containment (`phrase_containment_expr`, the
+    d44 verify): a doc is contaminated iff it contains ANY phrase
+    token-aligned. Per-doc and reference-free, which is what makes the
+    stage ORDER-INDEPENDENT and therefore incrementally maintainable;
+    the %eval_mod train-only exclusion is unchanged."""
     raw = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
 
     # 1. exact dedup FIRST (collapses identical copies before any
@@ -211,12 +227,20 @@ def curate_corpus(
     #     heuristic rules first, the learned score on the survivors).
     #     Benchmark docs bypass the gate (see docstring) — the decontam
     #     reference must not shrink because a training-side filter fired.
-    if probe_gate:
-        from ..operators.quality import probe_scored_sampling
+    if probe_gate or probe_weights is not None:
+        from ..operators.quality import (
+            probe_banded_decision,
+            probe_scored_sampling,
+            score_with_probe,
+        )
 
-        accepted = probe_scored_sampling(
-            quality_pass, iters=probe_iters, lr_den=1
-        ).filter(F.col("accepted")).select("doc_id")
+        if probe_weights is not None:
+            decided = probe_banded_decision(
+                score_with_probe(quality_pass, probe_weights, keep_cols=("source",))
+            )
+        else:
+            decided = probe_scored_sampling(quality_pass, iters=probe_iters, lr_den=1)
+        accepted = decided.filter(F.col("accepted")).select("doc_id")
         eval_ids = quality_pass.filter(F.col("doc_id") % eval_mod == 0).select("doc_id")
         probe_keep = quality_pass.join(
             accepted.unionByName(eval_ids).distinct(), "doc_id"
@@ -224,20 +248,32 @@ def curate_corpus(
     else:
         probe_keep = quality_pass
 
-    # 4. benchmark decontamination (d14's eval convention); eval docs
-    #    themselves never enter the training output
-    contam = contamination_stats(
-        probe_keep,
-        F.col("doc_id") % eval_mod == 0,
-        n=5,
-        threshold=contamination_threshold,
-    ).select("doc_id", "is_contaminated")
+    # 4. benchmark decontamination (d14's eval convention by default;
+    #    fixed-phrase containment when ``decontam_phrases`` is given);
+    #    eval docs themselves never enter the training output
     train_only = probe_keep.filter(F.col("doc_id") % eval_mod != 0)
-    decontaminated = (
-        train_only.join(contam, "doc_id", "left")
-        .filter(~F.coalesce("is_contaminated", F.lit(False)))
-        .select(*train_only.columns)
-    )
+    if decontam_phrases is not None:
+        from ..operators.retrieval import phrase_containment_expr
+
+        contaminated = None
+        for _pid, phrase in sorted(decontam_phrases):
+            hit = phrase_containment_expr("text", F.lit(phrase))
+            contaminated = hit if contaminated is None else (contaminated | hit)
+        decontaminated = train_only.filter(
+            ~F.coalesce(contaminated, F.lit(False))
+        ).select(*train_only.columns)
+    else:
+        contam = contamination_stats(
+            probe_keep,
+            F.col("doc_id") % eval_mod == 0,
+            n=5,
+            threshold=contamination_threshold,
+        ).select("doc_id", "is_contaminated")
+        decontaminated = (
+            train_only.join(contam, "doc_id", "left")
+            .filter(~F.coalesce("is_contaminated", F.lit(False)))
+            .select(*train_only.columns)
+        )
 
     # 5. temperature sampling (alpha=0.5, d25's md5-coin form)
     t = decontaminated.select(
@@ -248,6 +284,32 @@ def curate_corpus(
         .cast("long")
         .alias("_u16"),
     ).localCheckpoint(eager=True)  # consumed by the t_min scalar action AND the sample
+    sampled, sharded, accounting = temperature_sample_and_shard(t, n_shards)
+
+    return CurationRun(
+        raw=raw,
+        exact_unique=exact,
+        neardup_keep=neardup_keep,
+        semantic_keep=semantic_keep,
+        quality_pass=quality_pass,
+        probe_keep=probe_keep,
+        decontaminated=decontaminated,
+        sampled=sampled,
+        sharded=sharded,
+        shard_accounting=accounting,
+    )
+
+
+def temperature_sample_and_shard(
+    t: DataFrame, n_shards: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Stages 5+6 of the ladder over a (doc_id, source, est_tokens,
+    _u16) relation: temperature sampling (alpha=0.5, d25's md5-coin
+    form) then d11's md5 uniform shard assignment + accounting. Shared
+    by the batch ladder and the incremental ingest plan's read-time
+    view so both derive the final corpus from identical expressions.
+    ``t`` should be checkpointed by the caller (the t_min scalar action
+    and the sample both consume it)."""
     tot = t.groupBy("source").agg(F.sum("est_tokens").alias("_src_tokens"))
     t_min = int(tot.agg(F.min("_src_tokens")).first()[0] or 0)
     rates = tot.withColumn(
@@ -265,8 +327,6 @@ def curate_corpus(
         .filter(F.col("_u16").cast("double") / F.lit(65536.0) < F.col("_rate"))
         .select("doc_id", "source", "est_tokens")
     )
-
-    # 6. shard assignment + accounting (d11's md5 uniform shards)
     h = F.md5(F.col("doc_id").cast("string"))
     shard = F.pmod(
         F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1)),
@@ -276,16 +336,4 @@ def curate_corpus(
     accounting = sharded.groupBy("shard").agg(
         F.count("*").alias("n_docs"), F.sum("est_tokens").alias("total_tokens")
     )
-
-    return CurationRun(
-        raw=raw,
-        exact_unique=exact,
-        neardup_keep=neardup_keep,
-        semantic_keep=semantic_keep,
-        quality_pass=quality_pass,
-        probe_keep=probe_keep,
-        decontaminated=decontaminated,
-        sampled=sampled,
-        sharded=sharded,
-        shard_accounting=accounting,
-    )
+    return sampled, sharded, accounting

@@ -1,0 +1,533 @@
+"""Incremental-ingest curation: the production twin of the batch d35
+ladder (`plans/curation_pipeline.curate_corpus`).
+
+A 100 TB corpus is not curated in one pass — it arrives as shards
+(daily crawls), and re-running the batch ladder over the whole corpus
+per shard is the quadratic trap every stage of this repo's index work
+exists to avoid. This module composes the four persisted incremental
+indexes plus the trained probe into ONE callable that takes a NEW
+shard through the whole ladder at per-shard cost:
+
+    shard → d45 fingerprint-registry probe   (exact dedup, no corpus text)
+          → d46 MinHash-band index probe     (near-dup, corpus shingled once ever)
+          → heuristic gates (Gopher + repetition, per-doc)
+          → d47/d48 FROZEN probe gate        (weights served from the registry)
+          → d44 index-served phrase decontam (postings probe + exact verify)
+          → append survivors + index deltas  (atomic CAS manifest commits)
+
+and maintains the s8 IVF-PQ dense index alongside (append, no retrain).
+
+Equivalence contract (tests/test_incremental_ingest.py): ingesting the
+corpus as consecutive shards and reading the curated state yields,
+stage by stage, EXACTLY the per-doc sets of one batch
+`curate_corpus(union)` pass (with the batch ladder aligned to the same
+frozen probe weights and the same fixed phrase list — the two knobs
+that make every stage decision a pure per-doc / per-cluster function
+of the union corpus). The mechanism per stage:
+
+* exact: the registry keeper is MIN-associative over append deltas, so
+  the read-time keeper equals the batch min-id keeper.
+* near-dup: `_clusters` stores (doc_id, root, root_q) rows where the
+  root is the cluster keeper under the batch ladder's
+  (quality DESC, doc_id ASC) order. That order is a semilattice — a
+  cluster's keeper only ever *improves* as clusters grow/merge — so
+  "current root" = max-by-(root_q, -root) over all appended rows,
+  which is order-independent. When a shard component touches existing
+  clusters, the pass appends re-root rows for every member of each
+  losing root (including retiring a previously-kept keeper that a
+  better shard doc or a bridge defeats) — the read-time keeper set is
+  therefore exactly the batch connected-components keeper set.
+* gates / probe / decontam: per-doc deterministic flags (frozen
+  weights, fixed phrases), computed once at ingest and stored.
+* sampling / sharding: global-ratio stages, so they are READ-TIME
+  views over the curated state (`temperature_sample_and_shard`, the
+  shared batch tail) — never frozen at ingest.
+
+Ingestion-order invariant (asserted): shard doc_ids are strictly
+greater than every previously ingested id — the production norm (ids
+are assigned monotonically at crawl time). It is what makes the
+pass-time "first ingested" exact-dup keeper coincide with the batch
+min-id keeper; everything else is order-independent by construction.
+
+Reference analogue: the reference's whole medallion flow is the batch
+twin of this (shared/benchmarks/runner.py:95-124 orders
+generate→process→build the same way); its incremental half is the
+Kafka→bronze→silver streaming path this repo mirrors in
+streaming/ingest.py. This module is the LLM-data-pipeline counterpart.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import est_bpe_tokens
+from ..operators import dedup as D
+from ..operators.dedup import _MH_BANDS, _MH_SIGS  # noqa: F401  (layout doc)
+from ..operators.manifest import ManifestTable
+from .curation_pipeline import EVAL_MOD, _quality_score, temperature_sample_and_shard
+
+#: default benchmark-phrase census (a fixed literal list is what makes
+#: the decontam stage order-independent; callers pass their own)
+DEFAULT_PHRASES: tuple[tuple[int, str], ...] = (
+    (0, "the final answer is"),
+    (1, "question answer pairs"),
+)
+
+_CLUSTERS = "_clusters"
+_CURATED = "_curated"
+_LOG = "_ingest_log"
+_TRAIN_SCORES = "_train_scores"
+
+_MINHASH_PARAMS = {"n": 3, "k": 16, "bands": 4}
+
+
+def _paths(state_dir: str) -> dict[str, str]:
+    return {
+        "exact": os.path.join(state_dir, "exact"),
+        "minhash": os.path.join(state_dir, "minhash"),
+        "lexical": os.path.join(state_dir, "lexical"),
+        "ann": os.path.join(state_dir, "ann"),
+        "probe": os.path.join(state_dir, "probe"),
+        "clusters": os.path.join(state_dir, _CLUSTERS),
+        "curated": os.path.join(state_dir, _CURATED),
+        "log": os.path.join(state_dir, _LOG),
+        "train_scores": os.path.join(state_dir, _TRAIN_SCORES),
+    }
+
+
+@dataclass(frozen=True)
+class IngestReport:
+    """One pass's funnel — the per-shard audit row, also persisted in
+    the ``_ingest_log`` ManifestTable."""
+
+    pass_id: int
+    n_raw: int
+    n_new: int  # first-anywhere exact-unique docs
+    n_dup_of_corpus: int
+    n_dup_in_shard: int
+    n_kept: int  # near-dup keepers among the new docs
+    n_retired: int  # previously-kept keepers this shard defeats
+    n_gate_pass: int  # kept ∧ Gopher ∧ ¬repetitive
+    n_probe_pass: int  # gate ∧ (frozen-probe accept ∨ eval bypass)
+    n_decontam_pass: int  # probe ∧ train-side ∧ ¬phrase-contaminated
+
+    def as_dict(self) -> dict[str, int]:
+        return {
+            "pass": self.pass_id,
+            "shard_raw": self.n_raw,
+            "exact_new": self.n_new,
+            "dup_of_corpus": self.n_dup_of_corpus,
+            "dup_in_shard": self.n_dup_in_shard,
+            "neardup_kept": self.n_kept,
+            "retired_keepers": self.n_retired,
+            "gate_pass": self.n_gate_pass,
+            "probe_pass": self.n_probe_pass,
+            "decontam_pass": self.n_decontam_pass,
+        }
+
+
+def clusters_current(spark: SparkSession, state_dir: str) -> DataFrame:
+    """(doc_id, root, root_q) — each exact-unique doc's CURRENT cluster
+    keeper. Roots only improve in (quality, -id) order as clusters grow
+    and merge, so the current row is the max-by-(root_q, -root) over
+    all appended rows: associative, order-independent, one shuffle over
+    ~50-byte metadata rows (never text)."""
+    rows = ManifestTable(_paths(state_dir)["clusters"]).read(spark)
+    best = rows.groupBy("doc_id").agg(
+        F.max(F.struct(F.col("root_q"), (-F.col("root")).alias("_neg"))).alias("_b")
+    )
+    return best.select(
+        "doc_id",
+        (-F.col("_b._neg")).cast("long").alias("root"),
+        F.col("_b.root_q").alias("root_q"),
+    )
+
+
+def ingest_shard(
+    spark: SparkSession,
+    state_dir: str,
+    shard: DataFrame,
+    shard_emb: DataFrame | None = None,
+    *,
+    eval_mod: int = EVAL_MOD,
+    phrases: tuple[tuple[int, str], ...] = DEFAULT_PHRASES,
+    probe_iters: int = 20,
+    ann_cells: int = 4,
+    ann_m: int = 4,
+    ann_codes: int = 8,
+) -> IngestReport:
+    """Take one NEW shard through the whole incremental ladder and
+    append survivors + index deltas. First call on an empty state dir
+    bootstraps: builds all four indexes from the shard and trains +
+    persists the probe (frozen thereafter — FineWeb's
+    train-once/apply-to-the-crawl shape).
+
+    Scale shape per pass: every stage touches SHARD-sized data plus
+    index metadata — fingerprints via one shard projection + a
+    registry join; near-dup via ONE shard shingling pass shared by the
+    within-shard band join, the persisted-band probe and the index
+    append; gates/probe/decontam are narrow projections (the decontam
+    candidates come from the stats-pruned postings probe); appends are
+    CAS manifest commits (racing loaders rebase + retry). The corpus
+    is never re-read."""
+    from ..operators.quality import (
+        gopher_quality_rules,
+        load_probe,
+        probe_banded_decision,
+        repetition_stats,
+        save_probe,
+        score_with_probe,
+        train_quality_probe,
+    )
+    from ..operators.retrieval import (
+        append_to_lexical_index,
+        phrase_hits,
+        write_lexical_index,
+    )
+
+    p = _paths(state_dir)
+    # before ManifestTable(): its constructor mkdirs the manifest dir
+    bootstrap = not os.path.isdir(os.path.join(p["log"], "_manifests"))
+    log_t = ManifestTable(p["log"])
+    if not bootstrap and not log_t.versions():
+        bootstrap = True  # a crashed bootstrap left no committed log row
+
+    shard = shard.localCheckpoint(eager=True)  # many consumers below
+    mm = shard.agg(
+        F.count("*").alias("n"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+    ).first()
+    n_raw, lo = int(mm["n"]), int(mm["lo"] if mm["lo"] is not None else 0)
+    if n_raw == 0:
+        raise ValueError("ingest_shard: empty shard")
+    if not bootstrap:
+        prev = log_t.read(spark)
+        prev_hi = int(prev.agg(F.max("max_doc_id")).first()[0])
+        pass_id = int(prev.agg(F.max("pass_id")).first()[0]) + 1
+        if lo <= prev_hi:
+            raise ValueError(
+                f"ingest_shard: monotone-id invariant violated — shard min "
+                f"doc_id {lo} <= already-ingested max {prev_hi}; the "
+                "incremental≡batch keeper contract needs ingestion-ordered ids"
+            )
+    else:
+        pass_id = 0
+
+    # ---- rung 1: exact dedup against the persisted fingerprint registry
+    if bootstrap:
+        registry = spark.createDataFrame(
+            [], "fingerprint string, keeper bigint, n_copies bigint"
+        )
+    else:
+        registry = D.read_fingerprint_registry(spark, p["exact"])
+    classified = D.incremental_exact_dedup(shard, registry).localCheckpoint(eager=True)
+    if bootstrap:
+        D.write_fingerprint_registry(shard, p["exact"])
+    else:
+        D.append_fingerprint_registry(shard, p["exact"])
+    new_docs = shard.join(
+        classified.filter(F.col("status") == "new").select("doc_id"), "doc_id"
+    ).localCheckpoint(eager=True)
+
+    # ---- rung 2: near-dup via the persisted MinHash-band index.
+    # ONE shingling pass over the shard serves all three consumers.
+    parts = D._minhash_index_parts(
+        new_docs, _MINHASH_PARAMS["n"], _MINHASH_PARAMS["k"],
+        _MINHASH_PARAMS["bands"], "text", "doc_id",
+    )
+    within = D.minhash_candidate_pairs(
+        new_docs, **_MINHASH_PARAMS, wide=parts[1]
+    ).select("d1", "d2")
+    if bootstrap:
+        cross = spark.createDataFrame([], "new_id bigint, old_root bigint")
+        cur = spark.createDataFrame([], "doc_id bigint, root bigint, root_q double")
+    else:
+        cur = clusters_current(spark, state_dir).localCheckpoint(eager=True)
+        cross = (
+            D.minhash_index_probe(spark, new_docs, p["minhash"], **_MINHASH_PARAMS, parts=parts)
+            .select("new_id", "old_id")
+            .distinct()
+            .join(cur.select(F.col("doc_id").alias("old_id"), "root"), "old_id")
+            .select("new_id", F.col("root").alias("old_root"))
+            .distinct()
+        )
+    if bootstrap:
+        D.write_minhash_index(new_docs, p["minhash"], **_MINHASH_PARAMS)
+    else:
+        D.append_minhash_index(new_docs, p["minhash"], **_MINHASH_PARAMS, parts=parts)
+    parts[1].unpersist(blocking=False)
+
+    # connected components over the CONTRACTED graph: within-shard pairs
+    # plus (shard doc ↔ existing cluster keeper) edges — contraction
+    # preserves connectivity, so components equal the batch CC over the
+    # union's exact-unique docs restricted to this shard's reach.
+    edges = within.unionByName(
+        cross.select(F.col("new_id").alias("d1"), F.col("old_root").alias("d2"))
+    )
+    comp = D.connected_components(edges).select("node", "cluster_id")
+    q_new = _quality_score(new_docs).localCheckpoint(eager=True)
+
+    old_roots = cur.select(F.col("root").alias("node"), F.col("root_q").alias("q")).distinct()
+    members = (
+        q_new.select(F.col("doc_id").alias("node"), F.col("quality_score").alias("q"))
+        .unionByName(old_roots)
+        .join(comp, "node")
+    )
+    winners = members.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col("q"), (-F.col("node")).alias("_neg"))).alias("_w")
+    ).select(
+        "cluster_id",
+        (-F.col("_w._neg")).cast("long").alias("winner"),
+        F.col("_w.q").alias("winner_q"),
+    )
+
+    # new cluster rows for every shard exact-unique doc
+    in_comp = (
+        q_new.select(F.col("doc_id").alias("node"), "quality_score")
+        .join(comp, "node")
+        .join(winners, "cluster_id")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("winner").alias("root"),
+            F.col("winner_q").alias("root_q"),
+        )
+    )
+    singles = (
+        q_new.join(comp.select(F.col("node").alias("doc_id")), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.col("doc_id").alias("root"),
+            F.col("quality_score").alias("root_q"),
+        )
+    )
+    shard_rows = in_comp.unionByName(singles)
+
+    # re-root rows: every member of a losing existing cluster moves to
+    # the merged winner (this is what retires a previously-kept keeper
+    # when a better shard doc — or a bridge to a better cluster — wins)
+    losing = (
+        old_roots.join(comp, "node")
+        .join(winners, "cluster_id")
+        .filter(F.col("node") != F.col("winner"))
+        .select(F.col("node").alias("old_root"), "winner", "winner_q")
+    )
+    reroot = (
+        cur.join(F.broadcast(losing), cur.root == losing.old_root)
+        .select(
+            "doc_id",
+            F.col("winner").alias("root"),
+            F.col("winner_q").alias("root_q"),
+        )
+    )
+    all_rows = shard_rows.unionByName(reroot).localCheckpoint(eager=True)
+    clusters_t = ManifestTable(p["clusters"])
+    if bootstrap:
+        clusters_t.write(all_rows, cluster_by=["doc_id"])
+    else:
+        clusters_t.append_with_retry(all_rows, cluster_by=["doc_id"])
+    n_retired = losing.select("old_root").distinct().count()
+
+    kept = new_docs.join(
+        shard_rows.filter(F.col("root") == F.col("doc_id")).select("doc_id"), "doc_id"
+    ).localCheckpoint(eager=True)
+
+    # ---- gates: Gopher + repetition (per-doc heuristics)
+    gates = (
+        kept.join(gopher_quality_rules(kept).select("doc_id", "passes_gopher"), "doc_id")
+        .join(repetition_stats(kept).select("doc_id", "is_repetitive"), "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.col("passes_gopher")
+                & ~F.coalesce("is_repetitive", F.lit(False))
+            ).alias("passes_gates"),
+        )
+    )
+
+    # ---- probe gate: train+freeze at bootstrap, serve frozen after
+    if bootstrap:
+        gate_pass_docs = kept.join(gates.filter("passes_gates").select("doc_id"), "doc_id")
+        weights, _scored = train_quality_probe(gate_pass_docs, iters=probe_iters, lr_den=1)
+        save_probe(spark, p["probe"], weights, meta={"iters": probe_iters, "lr_den": 1})
+        ManifestTable(p["train_scores"]).write(
+            score_with_probe(gate_pass_docs, weights).select("doc_id", "score_micro")
+        )
+    else:
+        weights = load_probe(spark, p["probe"])
+    decided = probe_banded_decision(
+        score_with_probe(kept, weights, keep_cols=("source",))
+    ).select("doc_id", "score_micro", "accepted")
+
+    # ---- decontam: index-served phrase census (d44's two-phase kernel)
+    if bootstrap:
+        write_lexical_index(new_docs, p["lexical"])
+    else:
+        append_to_lexical_index(new_docs, p["lexical"])
+    contaminated = (
+        phrase_hits(spark, p["lexical"], kept, phrases).select("doc_id").distinct()
+        .withColumn("is_contaminated", F.lit(True))
+    )
+
+    # ---- curated flag rows (one per kept-at-ingest doc; the read-time
+    # view re-filters by the CURRENT root, so later retirement is free)
+    u16 = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+    )
+    flags = (
+        kept.select("doc_id", "source", est_bpe_tokens("text").alias("est_tokens"))
+        .withColumn("_u16", u16)
+        .join(gates, "doc_id")
+        .join(decided, "doc_id")
+        .join(contaminated, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "est_tokens",
+            "_u16",
+            "passes_gates",
+            F.col("accepted").alias("probe_accepted"),
+            "score_micro",
+            (F.col("doc_id") % eval_mod == 0).alias("is_eval"),
+            F.coalesce("is_contaminated", F.lit(False)).alias("is_contaminated"),
+            F.lit(pass_id).cast("long").alias("pass_id"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    curated_t = ManifestTable(p["curated"])
+    if bootstrap:
+        curated_t.write(flags, cluster_by=["doc_id"])
+    else:
+        curated_t.append_with_retry(flags, cluster_by=["doc_id"])
+
+    # ---- dense index (serving ANN over the exact-unique corpus)
+    if shard_emb is not None:
+        from ..operators.ann_index import append_to_ivfpq_index, write_ivfpq_index
+
+        emb_new = shard_emb.join(
+            new_docs.select(F.col("doc_id").alias("vec_id")), "vec_id"
+        )
+        if bootstrap:
+            write_ivfpq_index(
+                emb_new, p["ann"], n_cells=ann_cells, m=ann_m, k_codes=ann_codes,
+                manifest_codes=True,
+            )
+        else:
+            append_to_ivfpq_index(spark, p["ann"], emb_new)
+
+    # ---- funnel counts + persisted log row
+    by_status = {
+        r["status"]: r["n"]
+        for r in classified.groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
+    n_gate = flags.filter("passes_gates").count()
+    n_probe = flags.filter(
+        F.col("passes_gates") & (F.col("probe_accepted") | F.col("is_eval"))
+    ).count()
+    n_decon = flags.filter(
+        F.col("passes_gates")
+        & (F.col("probe_accepted") | F.col("is_eval"))
+        & ~F.col("is_eval")
+        & ~F.col("is_contaminated")
+    ).count()
+    report = IngestReport(
+        pass_id=pass_id,
+        n_raw=n_raw,
+        n_new=int(by_status.get("new", 0)),
+        n_dup_of_corpus=int(by_status.get("dup_of_corpus", 0)),
+        n_dup_in_shard=int(by_status.get("dup_in_shard", 0)),
+        n_kept=kept.count(),
+        n_retired=int(n_retired),
+        n_gate_pass=int(n_gate),
+        n_probe_pass=int(n_probe),
+        n_decontam_pass=int(n_decon),
+    )
+    row = spark.createDataFrame(
+        [
+            (
+                pass_id, n_raw, lo, int(mm["hi"]), report.n_new,
+                report.n_dup_of_corpus, report.n_dup_in_shard, report.n_kept,
+                report.n_retired, report.n_gate_pass, report.n_probe_pass,
+                report.n_decontam_pass,
+            )
+        ],
+        "pass_id long, n_raw long, min_doc_id long, max_doc_id long, n_new long, "
+        "n_dup_of_corpus long, n_dup_in_shard long, n_kept long, n_retired long, "
+        "n_gate_pass long, n_probe_pass long, n_decontam_pass long",
+    )
+    if bootstrap:
+        log_t.write(row.coalesce(1))
+    else:
+        log_t.append_with_retry(row.coalesce(1))
+    return report
+
+
+def stage_sets(spark: SparkSession, state_dir: str) -> dict[str, DataFrame]:
+    """Read-time per-stage doc-id sets over the curated state — the
+    frames the batch `CurationRun` exposes, derived from appended
+    deltas only (the equivalence-test surface)."""
+    p = _paths(state_dir)
+    cur = clusters_current(spark, state_dir)
+    kept_ids = cur.filter(F.col("root") == F.col("doc_id")).select("doc_id")
+    flags = ManifestTable(p["curated"]).read(spark).join(kept_ids, "doc_id")
+    gate = flags.filter("passes_gates")
+    probe = gate.filter(F.col("probe_accepted") | F.col("is_eval"))
+    decon = probe.filter(~F.col("is_eval") & ~F.col("is_contaminated"))
+    return {
+        "exact_unique": cur.select("doc_id"),
+        "neardup_keep": kept_ids,
+        "quality_pass": gate.select("doc_id"),
+        "probe_keep": probe.select("doc_id"),
+        "decontaminated": decon.select("doc_id"),
+        "_decon_flags": decon,  # (doc_id, source, est_tokens, _u16, ...)
+    }
+
+
+def probe_drift_vs_training(
+    spark: SparkSession, state_dir: str, shard: DataFrame
+) -> DataFrame:
+    """The served-model retrain trigger (registry d50's kernel over the
+    PERSISTED state): exact two-sample KS between the stored
+    training-score distribution (``_train_scores``, written once at
+    bootstrap) and ``shard`` scored with the frozen registry weights.
+    One row (n_a, n_b, d_num, ks_d, ks_crit, drift) — schedule a probe
+    retrain (and a curated backfill re-score) when ``drift`` fires, the
+    s12 cell-census analogue for the quality model. Never touches the
+    training corpus: the training side is the persisted score relation,
+    the shard side one narrow projection."""
+    from ..operators.quality import exact_ks_counts, load_probe, score_with_probe
+
+    p = _paths(state_dir)
+    weights = load_probe(spark, p["probe"])
+    a = (
+        ManifestTable(p["train_scores"])
+        .read(spark)
+        .groupBy(F.col("score_micro").alias("v"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    b = (
+        score_with_probe(shard, weights)
+        .groupBy(F.col("score_micro").alias("v"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    return exact_ks_counts(a, b)
+
+
+def curated_outputs(
+    spark: SparkSession, state_dir: str, n_shards: int = 8
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(sampled, sharded, accounting) — the batch ladder's final
+    stages as a read-time view over the curated state, via the SAME
+    `temperature_sample_and_shard` tail the batch pass runs (global
+    ratios must see the whole curated corpus, so they are never frozen
+    at ingest)."""
+    decon = stage_sets(spark, state_dir)["_decon_flags"]
+    t = decon.select("doc_id", "source", "est_tokens", "_u16").localCheckpoint(
+        eager=True
+    )
+    return temperature_sample_and_shard(t, n_shards)

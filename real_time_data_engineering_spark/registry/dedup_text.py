@@ -2618,21 +2618,19 @@ def d46_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the chain transcendental-free: a logistic head's per-row exp()
 # would reintroduce the engine-last-ulp rounding d34 documents.
 # ---------------------------------------------------------------------------
-def _d47_chain(iters: int = 5, lr_den: int = 2) -> str:
-    """The unrolled-GD CTE chain: features (``d47f``), count, and the
-    per-round gradient/weight CTEs, ending at ``d47w{iters}`` (the
-    trained weights, 1 row) — wrapped by `_d47_oracle`'s per-doc score
-    read and composed by d48 into the sampling tail."""
-    feats = f"""
-WITH d47s AS MATERIALIZED (
+def _d47_feats(prefix: str, source_sql: str) -> str:
+    """The probe feature CTE pair over any doc relation: ``{prefix}s``
+    (raw stats) + ``{prefix}f`` (fixed-point features) — shared by the
+    d47 training chain and d50's shifted-shard scoring side."""
+    return f"""{prefix}s AS MATERIALIZED (
   SELECT doc_id,
          CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens,
          CAST(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS BIGINT) AS n_chars,
          CAST((SELECT COUNT(*) FROM unnest(string_split_regex(lower(trim(text)), '\\s+')) AS u(tok)
                WHERE tok IN ({_STOP_IN})) AS BIGINT) AS n_stop,
          CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT) AS n_distinct
-  FROM documents
-), d47f AS MATERIALIZED (
+  FROM {source_sql}
+), {prefix}f AS MATERIALIZED (
   SELECT doc_id,
          CAST(1000000 AS BIGINT) AS x0,
          least(n_tokens, 200) * CAST(5000 AS BIGINT) AS x1,
@@ -2642,8 +2640,17 @@ WITH d47s AS MATERIALIZED (
          CAST(CASE WHEN n_tokens >= 40
                     AND (n_stop * 1000000) // greatest(n_tokens, 1) >= 50000
               THEN 1000000 ELSE 0 END AS BIGINT) AS y
-  FROM d47s
-), d47n AS MATERIALIZED (
+  FROM {prefix}s
+)"""
+
+
+def _d47_chain(iters: int = 5, lr_den: int = 2) -> str:
+    """The unrolled-GD CTE chain: features (``d47f``), count, and the
+    per-round gradient/weight CTEs, ending at ``d47w{iters}`` (the
+    trained weights, 1 row) — wrapped by `_d47_oracle`'s per-doc score
+    read and composed by d48 into the sampling tail."""
+    feats = f"""
+WITH {_d47_feats("d47", "documents")}, d47n AS MATERIALIZED (
   SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d47f
 ), d47w0 AS MATERIALIZED (
   SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2,
@@ -2761,3 +2768,164 @@ def d48_probe_gated_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))  # d3 note
     return probe_scored_sampling(docs, lo_cut=_D48_LO, hi_cut=_D48_HI, iters=20, lr_den=1)
+
+
+# ---------------------------------------------------------------------------
+# d50 — probe score-drift monitor: compose the d47 TRAINED probe with
+# the q46 exact-KS kernel. The model registry serves frozen weights to
+# batch and streams (operators/quality.save_probe/score_with_probe);
+# nothing so far watched whether documents LANDING LATER still look
+# like the training corpus — the retrain trigger (s12 is this signal
+# for the ANN index; this is the probe's analogue). Two score
+# distributions: (a) the training corpus under the trained weights,
+# (b) a deterministically DEGRADED shard (every %4==1 doc truncated to
+# its first 60 chars — the "crawl quality fell off a cliff" shape)
+# scored with the SAME frozen weights. D = max |F_a - F_b| entirely in
+# integers (common-denominator form, the q46 kernel), 5% critical
+# value, drift verdict. Oracle = the unrolled 20-round training chain
+# + a second feature CTE over the truncated shard + the q46 CDF tail.
+# At 100 TB: training-side counts are persisted once
+# (plans/incremental_ingest stores `_train_scores`); the shard side is
+# one narrow projection + an O(|score domain|) count relation.
+# ---------------------------------------------------------------------------
+_D50_SHARD_SQL = (
+    "(SELECT doc_id, substr(text, 1, 60) AS text FROM documents WHERE doc_id % 4 = 1)"
+)
+
+_D50_ORACLE = (
+    _d47_chain(iters=20, lr_den=1)
+    + ", "
+    + _d47_feats("d50", _D50_SHARD_SQL)
+    + f""", d50a AS (
+  SELECT CAST({_D47_Z} AS BIGINT) AS v, COUNT(*) AS a_at
+  FROM d47f f CROSS JOIN d47w20 w GROUP BY 1
+), d50b AS (
+  SELECT CAST({_D47_Z} AS BIGINT) AS v, COUNT(*) AS b_at
+  FROM d50f f CROSS JOIN d47w20 w GROUP BY 1
+), d50byval AS (
+  SELECT COALESCE(a.v, b.v) AS v, COALESCE(a_at, 0) AS a_at, COALESCE(b_at, 0) AS b_at
+  FROM d50a a FULL OUTER JOIN d50b b ON a.v = b.v
+), d50cum AS (
+  SELECT v,
+         SUM(a_at) OVER (ORDER BY v) AS cum_a,
+         SUM(b_at) OVER (ORDER BY v) AS cum_b,
+         SUM(a_at) OVER () AS n_a,
+         SUM(b_at) OVER () AS n_b
+  FROM d50byval
+)
+SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+       CAST(MAX(n_b) AS BIGINT) AS n_b,
+       CAST(MAX(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num,
+       CAST(MAX(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
+         / NULLIF(CAST(MAX(n_a) * MAX(n_b) AS DOUBLE), 0.0) AS ks_d,
+       1.36 * sqrt(CAST(MAX(n_a) + MAX(n_b) AS DOUBLE)
+                   / NULLIF(CAST(MAX(n_a) * MAX(n_b) AS DOUBLE), 0.0)) AS ks_crit,
+       CAST(MAX(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
+         / NULLIF(CAST(MAX(n_a) * MAX(n_b) AS DOUBLE), 0.0)
+         > 1.36 * sqrt(CAST(MAX(n_a) + MAX(n_b) AS DOUBLE)
+                       / NULLIF(CAST(MAX(n_a) * MAX(n_b) AS DOUBLE), 0.0)) AS drift
+FROM d50cum
+"""
+)
+
+
+@register(
+    "d50_probe_drift",
+    _D50_ORACLE,
+    doc="Probe score-drift monitor (the retrain trigger for the served "
+    "quality model): exact two-sample KS between the training corpus's "
+    "score distribution under the d47 trained probe and a degraded "
+    "shard (truncated texts) scored with the SAME frozen weights — "
+    "integer common-denominator CDFs, 5% critical value, drift "
+    "verdict. Composes the unrolled training chain with the q46 "
+    "kernel; the incremental ingest plan serves the training side "
+    "from its persisted _train_scores.",
+)
+def d50_probe_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_a, n_b, d_num, ks_d, ks_crit, drift) — training scores vs a
+    truncated %4==1 shard under the same frozen probe."""
+    from ..operators.quality import exact_ks_counts, score_with_probe, train_quality_probe
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))  # d3 note
+    w, scored = train_quality_probe(docs, iters=20, lr_den=1)
+    shard = docs.filter(F.col("doc_id") % 4 == 1).withColumn(
+        "text", F.substring(F.col("text"), 1, 60)
+    )
+    a = scored.groupBy(F.col("score_micro").alias("v")).agg(F.count("*").alias("cnt"))
+    b = (
+        score_with_probe(shard, w)
+        .groupBy(F.col("score_micro").alias("v"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    return exact_ks_counts(a, b)
+
+
+# ---------------------------------------------------------------------------
+# d51 — the incremental-ingest curation plan, registered (r7 verdict
+# item 1): one callable takes the corpus as TWO consecutive id-ordered
+# shards through the whole incremental ladder — d45 fingerprint-
+# registry probe, d46 MinHash-band index probe + cluster re-rooting,
+# Gopher/repetition gates, the d47/d48 FROZEN probe gate, d44
+# index-served phrase decontam — appending survivors + deltas to all
+# four persisted indexes (exact, fuzzy, lexical, dense) per pass, then
+# reads back the per-pass funnel. Rows-only by design (the d35
+# multi-stage-composition precedent): the value evidence is the
+# equivalence test (tests/test_incremental_ingest.py) asserting the
+# two-pass state read equals ONE batch curate_corpus over the union,
+# per-doc, at every stage. State is wiped per call so the run is
+# deterministic; scratch is the one reused work_dir per corpus.
+# ---------------------------------------------------------------------------
+_D51_STAGES = (
+    "shard_raw", "exact_new", "dup_of_corpus", "dup_in_shard",
+    "neardup_kept", "retired_keepers", "gate_pass", "probe_pass",
+    "decontam_pass",
+)
+
+
+@register(
+    "d51_incremental_ingest",
+    None,
+    doc="Production incremental curation: two consecutive shards pushed "
+    "through all four persisted indexes (d45 exact registry, d46 "
+    "MinHash bands, d42 postings, s8 IVF-PQ codes) plus the frozen d47 "
+    "probe gate and d44 phrase decontam, with cluster re-rooting that "
+    "retires previously-kept keepers a later shard defeats; returns the "
+    "persisted per-pass funnel. Incremental ≡ batch equivalence-tested "
+    "per stage (rows-only here, the d35 composition precedent).",
+)
+def d51_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pass_id, stage, n) funnel rows for two consecutive shard
+    ingests into fresh persisted state."""
+    import shutil
+
+    from ..plans import incremental_ingest as I
+    from . import work_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    state = work_dir("d51_ingest", sf_dir)
+    shutil.rmtree(state, ignore_errors=True)
+    mm = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    mid = (int(mm[0]) + int(mm[1])) // 2
+    reports = [
+        I.ingest_shard(
+            spark, state,
+            docs.filter(F.col("doc_id") <= mid),
+            emb.filter(F.col("vec_id") <= mid),
+        ),
+        I.ingest_shard(
+            spark, state,
+            docs.filter(F.col("doc_id") > mid),
+            emb.filter(F.col("vec_id") > mid),
+        ),
+    ]
+    rows = [
+        (int(r.pass_id), stage, int(v))
+        for r in reports
+        for stage, v in zip(_D51_STAGES, (
+            r.n_raw, r.n_new, r.n_dup_of_corpus, r.n_dup_in_shard,
+            r.n_kept, r.n_retired, r.n_gate_pass, r.n_probe_pass,
+            r.n_decontam_pass,
+        ))
+    ]
+    return spark.createDataFrame(rows, "pass_id bigint, stage string, n bigint")

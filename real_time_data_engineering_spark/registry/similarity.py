@@ -547,9 +547,10 @@ def s8_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same-cluster pairs, with min-id representative election (d16's keeper
 # convention). Everything is exact-int/IEEE-identical end to end.
 # ---------------------------------------------------------------------------
-_S9_ORACLE = (
-    _kmeans_cte(k=10, iters=10)
-    + """, sq AS MATERIALIZED (
+# the within-cluster pair-check tail is shared verbatim by s9 (pinned
+# k=10, the literal-k oracle) and s17 (auto-k: k derived from N inside
+# the SQL itself) — only the Lloyd chain's k differs.
+_S9_TAIL = """, sq AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding,
            e -> CAST(floor(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT)) AS emb
   FROM embeddings
@@ -583,7 +584,8 @@ FROM kasg k
 JOIN snorm n ON n.vec_id = k.vec_id
 LEFT JOIN sdup d ON d.a_id = k.vec_id
 """
-)
+
+_S9_ORACLE = _kmeans_cte(k=10, iters=10) + _S9_TAIL
 
 
 @register(
@@ -1281,3 +1283,45 @@ def s16_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return mmr_select(cand, sims, k=5, lam=0.5)
+
+
+# ---------------------------------------------------------------------------
+# s17 — SemDeDup under the PRODUCTION auto-k knob (r7 verdict item 4):
+# the registered s9 pins k=10 because its oracle trains a literal-k
+# quantizer; this twin registers the `target_cell_rows` path itself —
+# k = ceil(N / 100), the paper's k∝N convention that pins per-cell pair
+# work to ~target² and keeps total work LINEAR in the corpus
+# (REPLICA_r07: auto-k 2.2 s vs fixed-k 36.0 s at 10×). The oracle
+# needs no per-scale regeneration: k appears in the Lloyd chain only
+# as the init LIMIT, and DuckDB accepts a subquery there, so the SQL
+# derives the SAME integer-exact k = (N + target - 1) // target from
+# the corpus itself — value-green at every sf with one string.
+# ---------------------------------------------------------------------------
+_S17_TARGET = 100
+
+_S17_ORACLE = (
+    _kmeans_cte(
+        k=f"(SELECT (COUNT(*) + {_S17_TARGET - 1}) // {_S17_TARGET} FROM embeddings)",
+        iters=10,
+    )
+    + _S9_TAIL
+)
+
+
+@register(
+    "s17_semdedup_autok",
+    _S17_ORACLE,
+    doc="SemDeDup with the production auto-k scale knob: "
+    "k = ceil(N/100) derived from the corpus (one O(1) count, the "
+    "sanctioned d24 driver-scalar pattern), within-cluster exact "
+    "quantized-cosine pairs, min-id representative election. The "
+    "oracle derives the identical k inside SQL (subquery LIMIT on the "
+    "Lloyd init), so the same string value-checks at every scale.",
+)
+def s17_semdedup_autok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per vector: cluster, is-dup verdict and kept representative
+    under the k = ceil(N/100) auto-scaled quantizer."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semdedup(
+        emb, max_iter=10, threshold=0.35, target_cell_rows=_S17_TARGET
+    )

@@ -1,0 +1,188 @@
+"""Incremental-ingest curation plan (r7 verdict item 1): two shard
+passes over persisted state must equal ONE batch d35 pass over the
+union — per-doc set equality at every ladder stage."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_data_engineering_spark.plans import incremental_ingest as I
+from real_time_data_engineering_spark.plans.curation_pipeline import curate_corpus
+from real_time_data_engineering_spark.sources.readers import load_table
+
+from conftest import SF_DIR
+
+PHRASES = I.DEFAULT_PHRASES
+
+
+def _ids(df):
+    return {int(r.doc_id) for r in df.select("doc_id").collect()}
+
+
+@pytest.fixture(scope="module")
+def state(spark, tmp_path_factory):
+    """Ingest the sf0.001 documents as two consecutive id-ordered
+    shards (the monotone-ingestion production shape)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    mm = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    mid = (int(mm[0]) + int(mm[1])) // 2
+    state_dir = str(tmp_path_factory.mktemp("ingest") / "state")
+    r1 = I.ingest_shard(
+        spark, state_dir,
+        docs.filter(F.col("doc_id") <= mid),
+        emb.withColumnRenamed("vec_id", "vec_id").filter(F.col("vec_id") <= mid),
+        phrases=PHRASES,
+    )
+    r2 = I.ingest_shard(
+        spark, state_dir,
+        docs.filter(F.col("doc_id") > mid),
+        emb.filter(F.col("vec_id") > mid),
+        phrases=PHRASES,
+    )
+    return state_dir, r1, r2, mid
+
+
+def test_two_pass_ingest_equals_batch_ladder(spark, state):
+    """THE equivalence gate: every stage's surviving doc-id set from
+    the incremental state read equals the batch curate_corpus over the
+    union, with the batch ladder aligned to the same frozen probe
+    weights and phrase list."""
+    from real_time_data_engineering_spark.operators.quality import load_probe
+
+    state_dir, _r1, _r2, _mid = state
+    weights = load_probe(spark, I._paths(state_dir)["probe"])
+    batch = curate_corpus(
+        spark, SF_DIR, probe_weights=weights, decontam_phrases=PHRASES
+    )
+    inc = I.stage_sets(spark, state_dir)
+    for stage, batch_df in (
+        ("exact_unique", batch.exact_unique),
+        ("neardup_keep", batch.neardup_keep),
+        ("quality_pass", batch.quality_pass),
+        ("probe_keep", batch.probe_keep),
+        ("decontaminated", batch.decontaminated),
+    ):
+        got, want = _ids(inc[stage]), _ids(batch_df)
+        assert got == want, (
+            f"{stage}: inc-only={sorted(got - want)[:10]} "
+            f"batch-only={sorted(want - got)[:10]}"
+        )
+
+
+def test_final_outputs_match_batch(spark, state):
+    """Sampled/sharded/accounting (the read-time global-ratio tail)
+    must match the batch run row for row."""
+    from real_time_data_engineering_spark.operators.quality import load_probe
+
+    state_dir = state[0]
+    weights = load_probe(spark, I._paths(state_dir)["probe"])
+    batch = curate_corpus(
+        spark, SF_DIR, probe_weights=weights, decontam_phrases=PHRASES
+    )
+    sampled, sharded, accounting = I.curated_outputs(spark, state_dir, n_shards=8)
+    want = {(r.doc_id, r.source, r.est_tokens, r.shard) for r in batch.sharded.collect()}
+    got = {(r.doc_id, r.source, r.est_tokens, r.shard) for r in sharded.collect()}
+    assert got == want and got
+    want_acc = {tuple(r) for r in batch.shard_accounting.collect()}
+    got_acc = {tuple(r) for r in accounting.collect()}
+    assert got_acc == want_acc
+
+
+def test_funnel_rows_are_persisted_and_monotone(spark, state):
+    """The _ingest_log carries one audit row per pass; within each pass
+    the funnel is monotone non-increasing down the ladder."""
+    from real_time_data_engineering_spark.operators.manifest import ManifestTable
+
+    state_dir, r1, r2, _ = state
+    rows = {
+        int(r.pass_id): r
+        for r in ManifestTable(I._paths(state_dir)["log"]).read(spark).collect()
+    }
+    assert set(rows) == {0, 1}
+    for rep in (r1, r2):
+        row = rows[rep.pass_id]
+        assert int(row.n_raw) == rep.n_raw
+        seq = [rep.n_raw, rep.n_new, rep.n_kept, rep.n_gate_pass, rep.n_probe_pass]
+        assert all(a >= b for a, b in zip(seq, seq[1:])), seq
+        # the eval bypass can only ever shrink further stages
+        assert rep.n_decontam_pass <= rep.n_probe_pass
+
+
+def test_monotone_id_violation_raises(spark, state, tmp_path):
+    state_dir = state[0]
+    docs = load_table(spark, SF_DIR, "documents").limit(5)
+    with pytest.raises(ValueError, match="monotone-id"):
+        I.ingest_shard(spark, state_dir, docs, phrases=PHRASES)
+
+
+def test_recrawl_dups_are_caught_across_passes(spark, tmp_path):
+    """A pass-2 re-crawl of pass-1 docs under shifted ids must classify
+    dup_of_corpus (zero new), and the curated read must not change."""
+    docs = load_table(spark, SF_DIR, "documents").limit(40)
+    state_dir = str(tmp_path / "state")
+    I.ingest_shard(spark, state_dir, docs, phrases=PHRASES)
+    before = _ids(I.stage_sets(spark, state_dir)["decontaminated"])
+    recrawl = docs.withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    rep = I.ingest_shard(spark, state_dir, recrawl, phrases=PHRASES)
+    assert rep.n_new == 0 and rep.n_dup_of_corpus == rep.n_raw
+    assert _ids(I.stage_sets(spark, state_dir)["decontaminated"]) == before
+
+
+def test_bridge_merge_retires_previous_keeper(spark, tmp_path):
+    """A shard-2 doc near-dup of a kept shard-1 doc with HIGHER quality
+    must take over the cluster (the previously-kept keeper is retired),
+    matching the batch keeper choice — the case a naive
+    first-ingested-wins incremental dedup gets wrong."""
+    base_text = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the quiet green field before it rests for a while"
+    )
+    rows1 = [(1, "a", base_text + " zz qq"), (2, "a", "completely unrelated words here")]
+    rows2 = [(10, "a", base_text + " and with many more carefully chosen common words "
+              "that the stopword and token ratios reward in the quality score")]
+    schema = "doc_id long, source string, text string"
+    s1 = spark.createDataFrame(rows1, schema)
+    s2 = spark.createDataFrame(rows2, schema)
+    state_dir = str(tmp_path / "state")
+    I.ingest_shard(spark, state_dir, s1, phrases=PHRASES)
+    kept1 = _ids(I.stage_sets(spark, state_dir)["neardup_keep"])
+    assert kept1 == {1, 2}
+    rep = I.ingest_shard(spark, state_dir, s2, phrases=PHRASES)
+    kept2 = _ids(I.stage_sets(spark, state_dir)["neardup_keep"])
+    # doc 10 only wins if it actually collides AND scores higher; either
+    # way incremental must equal the batch ladder over the union
+    union = s1.unionByName(s2)
+    union.write.mode("overwrite").parquet(str(tmp_path / "u" / "documents.parquet"))
+    from real_time_data_engineering_spark.operators.quality import load_probe
+
+    weights = load_probe(spark, I._paths(state_dir)["probe"])
+    batch = curate_corpus(
+        spark, str(tmp_path / "u"), probe_weights=weights, decontam_phrases=PHRASES
+    )
+    assert kept2 == _ids(batch.neardup_keep)
+    if 10 in kept2 and 1 not in kept2:
+        assert rep.n_retired == 1
+
+
+def test_probe_drift_monitor_trips_on_shifted_shard(spark, state):
+    """A degraded shard (truncated texts) must trip the KS drift flag
+    against the persisted training scores; a same-distribution shard
+    must not."""
+    state_dir = state[0]
+    docs = load_table(spark, SF_DIR, "documents")
+    degraded = docs.filter(F.col("doc_id") % 4 == 1).withColumn(
+        "text", F.substring(F.col("text"), 1, 40)
+    )
+    hit = I.probe_drift_vs_training(spark, state_dir, degraded).first()
+    assert bool(hit.drift) is True and hit.d_num > 0
+    # the training population re-scored is the identical distribution
+    # (stored scores came from these very docs): D must be 0
+    from real_time_data_engineering_spark.operators.manifest import ManifestTable
+
+    train_ids = (
+        ManifestTable(I._paths(state_dir)["train_scores"]).read(spark).select("doc_id")
+    )
+    calm = I.probe_drift_vs_training(spark, state_dir, docs.join(train_ids, "doc_id")).first()
+    assert int(calm.d_num) == 0 and bool(calm.drift) is False

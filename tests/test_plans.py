@@ -514,6 +514,7 @@ def test_no_registered_query_plans_an_unsanctioned_global_window(spark):
         "q4_priority_share": "percent-of-total over 5 priority rows",
         "q43_spend_deciles": "exact NTILE is the documented exact twin; q48 is the shipped sketch path",
         "q46_ks_drift": "CDF over pre-aggregated counts, bounded by the cent-value domain",
+        "d50_probe_drift": "q46 kernel: CDF over pre-aggregated score counts, bounded by the score-micro domain",
         "q47_chi_square_independence": "contingency cells: |event types| x |buckets| rows",
         "d26_corpus_bigrams": "rank over the LIMIT-50 survivors only",
         "d31_zipf_fit": "OLS over <=100 quantized log-rank rows",
