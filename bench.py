@@ -135,6 +135,8 @@ EXTRA = [
     "s16_mmr_diversified",
     "s17_semdedup_autok",
     "d50_probe_drift",
+    "d52_bm25_forget",
+    "s18_ann_forget",
     # d51_incremental_ingest is deliberately NOT benched: it is a
     # stateful two-pass INGEST JOB (wipes + rebuilds 4 indexes per
     # call), not a query; its timing evidence is the per-round

@@ -86,7 +86,44 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> int:
         bad += not ok
         print(f"equiv {'sharded':16s} inc={len(got_sh):>7d} batch={len(want_sh):>7d} "
               f"{'OK' if ok else 'MISMATCH'}", flush=True)
-        print(f"ingest audit: 2 passes + equivalence in {time.time() - t0:.1f}s "
+
+        # erasure verdict (r8): forget two kept docs across ALL derived
+        # state, then verify nothing serves them and — the physical
+        # guarantee — no parquet file under the state dir still carries
+        # a forgotten row (direct file reads, not manifest reads).
+        t = time.time()
+        kept = inc["neardup_keep"]
+        gone = sorted(int(r.doc_id) for r in kept.limit(2).collect())
+        audit = I.forget_docs(spark, state, gone, vectors=emb, physical=True)
+        print(f"-- forget_docs({gone}) ({time.time() - t:.1f}s)", flush=True)
+        for surface, n in sorted(audit.items()):
+            print(f"erased {surface:16s} {n:>9d} rows", flush=True)
+        import os
+
+        import pyarrow.parquet as pq
+
+        leaked: set[int] = set()
+        for dirpath, _dirs, files in os.walk(state):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                tbl = pq.read_table(os.path.join(dirpath, f))
+                for col in ("doc_id", "vec_id", "keeper"):
+                    if col in tbl.column_names:
+                        leaked |= set(tbl.column(col).to_pylist()) & set(gone)
+        served = {
+            int(r.doc_id)
+            for s in I.stage_sets(spark, state).values()
+            for r in s.select("doc_id").collect()
+        } & set(gone)
+        ok = not leaked and not served
+        bad += not ok
+        print(
+            f"equiv {'forget':16s} served={sorted(served)} "
+            f"on_disk={sorted(leaked)} {'OK' if ok else 'MISMATCH'}",
+            flush=True,
+        )
+        print(f"ingest audit: 2 passes + equivalence + erasure in {time.time() - t0:.1f}s "
               f"({'ALL OK' if not bad else f'{bad} MISMATCHES'})", flush=True)
         return 1 if bad else 0
     finally:

@@ -49,6 +49,10 @@ DEFAULT_QUERIES = [
     "d48_probe_gated_sampling",
     "s16_mmr_diversified",
     "d49_epoch_budget",
+    "d50_probe_drift",
+    "s17_semdedup_autok",
+    "d52_bm25_forget",
+    "s18_ann_forget",
 ]
 
 _SHIFTS = {

@@ -686,3 +686,128 @@ def append_to_ivfpq_index(
     ManifestTable(os.path.join(path, _CENT_DELTAS)).append_with_retry(
         batch.coalesce(1), max_attempts=max_attempts
     )
+
+
+def forget_from_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    ids: list,
+    vectors: DataFrame | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_attempts: int = 5,
+    physical: bool = False,
+) -> None:
+    """Erase vectors from a written IVF-PQ index — the FAISS
+    `remove_ids()` analogue, with lakehouse semantics: the codes rows
+    (PQ codes ARE derived personal data — a lossy encoding of the
+    erased embedding) are deleted by an ``in``-list merge-on-read
+    predicate through the manifest, so a probe immediately after the
+    forget serves the original index MINUS the erased vectors — no
+    retrain, no corpus scan, O(deleted rows) write cost. Requires an
+    index written with ``manifest_codes=True`` (the same precondition
+    as appends: row-level operations need the manifest, not hive dirs).
+
+    Routing stats: like FAISS, removal does not retrain the quantizer.
+    By default the ``_centroids`` sums keep counting the erased vectors
+    — they are aggregates over many vectors (not erasure-scoped data),
+    and s12's cell-health census is the drift monitor that schedules a
+    retrain. Pass ``vectors`` (the erased rows' raw embeddings, which
+    the erasure caller holds — it is deleting them from the source
+    table in the same transaction) to ALSO land a NEGATIVE routing
+    delta: the re-aggregated stats then equal the surviving corpus's
+    sums exactly, so routing behaves as if the erased vectors had never
+    been added (while the trained quantizers stay frozen either way).
+
+    ``physical=True`` compacts (applies the deletion vectors), expires
+    and vacuums the codes table — after it, no parquet file under the
+    index contains an erased vector's codes (the on-disk guarantee,
+    property-tested)."""
+    from .freshness import invalidate_stamp
+    from .manifest import _MANIFEST_DIR, ManifestTable
+
+    codes_path = os.path.join(path, _CODES)
+    if not os.path.isdir(os.path.join(codes_path, _MANIFEST_DIR)):
+        raise ValueError(
+            "forget_from_ivfpq_index requires a manifest-backed codes table; "
+            "write the index with write_ivfpq_index(..., manifest_codes=True)"
+        )
+    doomed = sorted(set(ids))
+    if not doomed:
+        return
+    # the forgotten index serves LESS than any stamped corpus — drop
+    # the idempotency stamp before mutating (the freshness protocol)
+    invalidate_stamp(path)
+    codes_t = ManifestTable(codes_path)
+    codes_t.delete_where(spark, [(id_col, "in", doomed)], merge_on_read=True)
+    if vectors is not None:
+        # negative routing delta: assign the erased vectors through the
+        # STORED frozen quantizer (exactly like append_to_ivfpq_index),
+        # then negate their per-cell quantized sums/counts — integer
+        # addition is associative, so the re-aggregated routing stats
+        # equal the surviving corpus's sums under any interleaving
+        import numpy as np
+
+        erased = vectors.filter(F.col(id_col).isin(doomed))
+        cents = np.array(
+            [
+                r.cent_f
+                for r in spark.read.parquet(os.path.join(path, _COARSE))
+                .orderBy("cluster")
+                .collect()
+            ],
+            dtype=np.float64,
+        )
+        base_gone = with_quantized(erased, emb_col)
+        narrow = base_gone.select(
+            F.col(id_col).alias("id"), F.col(emb_col).cast("array<double>").alias("v")
+        )
+
+        def assign_fn(cents_arr):
+            Cc = cents_arr.copy()
+
+            def go(it):
+                import numpy as _np
+                import pandas as _pd
+
+                for pdf in it:
+                    if len(pdf) == 0:
+                        continue
+                    M = _np.array(list(pdf["v"]), dtype=_np.float64)
+                    d2 = ((M[:, None, :] - Cc[None, :, :]) ** 2).sum(axis=2)
+                    cl = d2.argmin(axis=1)
+                    yield _pd.DataFrame(
+                        {"id": pdf["id"].to_numpy(), "cluster": cl.astype("int32")}
+                    )
+
+            return go
+
+        assign = (
+            narrow.mapInPandas(assign_fn(cents), "id bigint, cluster int")
+            .select(F.col("id").alias(id_col), "cluster")
+            .localCheckpoint(eager=True)
+        )
+        joined = base_gone.join(assign, id_col)
+        if joined.limit(1).count() > 0:
+            neg = (
+                joined.select("cluster", F.posexplode("emb_q").alias("pos", "vq"))
+                .groupBy("cluster", "pos")
+                .agg((-F.sum("vq")).alias("s"))
+                .groupBy("cluster")
+                .agg(
+                    F.array_sort(F.collect_list(F.struct("pos", "s")))
+                    .getField("s")
+                    .alias("cent_s")
+                )
+                .join(
+                    joined.groupBy("cluster").agg((-F.count("*")).alias("c")),
+                    "cluster",
+                )
+            )
+            ManifestTable(os.path.join(path, _CENT_DELTAS)).append_with_retry(
+                neg.coalesce(1), max_attempts=max_attempts
+            )
+    if physical:
+        codes_t.compact(spark, cluster_by=["cluster"])
+        codes_t.expire(keep_last=1)
+        codes_t.vacuum(older_than_s=0.0)

@@ -1064,3 +1064,80 @@ def minhash_index_probe(
             (matches.cast("double") / F.lit(float(k))).alias("est_jaccard"),
         )
     )
+
+
+def forget_fingerprint_registry(
+    spark, path: str, doc_ids: list, physical: bool = False
+) -> None:
+    """Erase retained documents from the persisted fingerprint registry
+    (GDPR right-to-be-forgotten over rung-1 derived state).
+
+    The registry tracks RETAINED content: a fingerprint row means "this
+    content lives in the curated corpus under `keeper`". Only keepers
+    were ever retained — later copies were classified dups and dropped
+    at their own ingest. So erasing a retained doc means the content is
+    gone from the corpus, and the correct state transition is to delete
+    EVERY delta row of that doc's fingerprint (the fingerprint itself is
+    derived from the erased content; keeping it — or its seen-count —
+    would retain a content-derived identifier past erasure). A later
+    ingest of identical content then classifies ``new`` and is retained
+    afresh — exactly what a rebuilt-from-survivors registry would say.
+
+    Ids that were never keepers (dups never retained) have no registry
+    row keyed to them and are a no-op here — their per-doc rows live in
+    the other index surfaces. Cost: one registry aggregation to find
+    the doomed fingerprints + one stats-pruned in-list delete;
+    ``physical=True`` compacts/expires/vacuums so no parquet file under
+    the registry still contains a doomed row."""
+    import os
+
+    from .manifest import ManifestTable
+
+    ids = sorted(set(doc_ids))
+    if not ids:
+        return
+    t = ManifestTable(os.path.join(path, _FP_TABLE))
+    doomed = sorted(
+        r["fingerprint"]
+        for r in read_fingerprint_registry(spark, path)
+        .filter(F.col("keeper").isin(ids))
+        .select("fingerprint")
+        .collect()
+    )
+    if doomed:
+        t.delete_where(spark, [("fingerprint", "in", doomed)], merge_on_read=True)
+    if physical:
+        t.compact(spark, cluster_by=["fingerprint"])
+        t.expire(keep_last=1)
+        t.vacuum(older_than_s=0.0)
+
+
+def forget_from_minhash_index(
+    spark, path: str, doc_ids: list, id_col: str = "doc_id", physical: bool = False
+) -> None:
+    """Erase documents from the persisted MinHash-LSH index: bands and
+    signatures are plain per-doc rows, so an ``in``-list merge-on-read
+    delete over both tables makes every later probe behave EXACTLY like
+    an index built from the surviving corpus (per-doc rows carry no
+    cross-doc state — equivalence-tested). The signatures ARE derived
+    personal data (content hashes), so ``physical=True`` compacts,
+    expires and vacuums both tables to the on-disk guarantee."""
+    import os
+
+    from .freshness import invalidate_stamp
+    from .manifest import ManifestTable
+
+    ids = sorted(set(doc_ids))
+    if not ids:
+        return
+    # the forgotten index serves LESS than any stamped corpus
+    invalidate_stamp(path)
+    bands_t = ManifestTable(os.path.join(path, _MH_BANDS))
+    sigs_t = ManifestTable(os.path.join(path, _MH_SIGS))
+    bands_t.delete_where(spark, [(id_col, "in", ids)], merge_on_read=True)
+    sigs_t.delete_where(spark, [(id_col, "in", ids)], merge_on_read=True)
+    if physical:
+        for t, cl in ((bands_t, ["band_hash"]), (sigs_t, [id_col])):
+            t.compact(spark, cluster_by=cl)
+            t.expire(keep_last=1)
+            t.vacuum(older_than_s=0.0)

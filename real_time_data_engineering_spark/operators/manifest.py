@@ -133,7 +133,7 @@ def _stat_encode(v):
     return None
 
 
-_OPS = ("==", "!=", "<", "<=", ">", ">=")
+_OPS = ("==", "!=", "<", "<=", ">", ">=", "in")
 
 
 def _bloom_encode(v) -> str | None:
@@ -226,6 +226,16 @@ def _provably_empty(file_stats: dict, predicate: list[tuple]) -> bool:
         s = file_stats.get(col)
         if not s:
             continue
+        if op == "in":
+            # the disjunctive op (col ∈ values): the file is provably
+            # empty only when EVERY value is provably absent — the
+            # write-side mirror of `read_any_of`'s any-of file test.
+            # An empty value list matches no row: always provably empty.
+            if all(
+                _provably_empty(file_stats, [(col, "==", v)]) for v in value
+            ):
+                return True
+            continue
         if op == "==" and "bloom" in s and value is not None:
             if not _bloom_maybe_contains(s["bloom"], value):
                 return True
@@ -262,6 +272,10 @@ def _predicate_column(predicate: list[tuple]) -> Column:
     cond = F.lit(True)
     for col, op, value in predicate:
         c = F.col(col)
+        if op == "in":
+            vals = list(value)
+            cond = cond & (c.isin(vals) if vals else F.lit(False))
+            continue
         cond = cond & {
             "==": c == value, "!=": c != value,
             "<": c < value, "<=": c <= value,
@@ -417,7 +431,10 @@ class ManifestTable:
         """The snapshot's file list, pruned by per-file min/max stats.
 
         ``predicate`` is a conjunction of ``(col, op, value)`` triples,
-        op ∈ {==, !=, <, <=, >, >=}. A file is skipped only when its
+        op ∈ {==, !=, <, <=, >, >=, in} (``in`` takes a value LIST —
+        the disjunctive point-lookup shape GDPR id-set erasure needs;
+        a file survives iff its stats admit at least one value, the
+        write-side mirror of `read_any_of`). A file is skipped only when its
         stats PROVE no row can match (min/max disjoint from the
         predicate range) — files without stats for the column, or with
         incomparable types, are conservatively kept, so pruning is

@@ -308,6 +308,75 @@ def append_to_lexical_index(
     )
 
 
+def forget_from_lexical_index(
+    spark: SparkSession,
+    path: str,
+    doc_ids: list,
+    max_attempts: int = 5,
+    physical: bool = False,
+) -> None:
+    """Erase documents from the persisted index — the GDPR
+    right-to-be-forgotten reaching DERIVED state, not just the source
+    table. Postings and doc lengths are per-doc rows, deleted by an
+    ``in``-list merge-on-read predicate (stats-pruned: only files whose
+    min/max admit a doomed id are touched); the scalar stats get one
+    NEGATIVE delta row (−n_docs, −Σdl, −n_dl read from the stored
+    doclen rows), so the summed deltas equal the surviving corpus's
+    stats exactly.
+
+    Because df, dl, N and sum_dl are all linear in the document set,
+    BM25 served after a forget is BIT-IDENTICAL to an index rebuilt
+    from the surviving corpus (equivalence-tested) — erasure costs
+    O(deleted rows), never a corpus re-tokenization.
+
+    Contract (mirrors the append contract's "new docs only"): every id
+    must have been ingested exactly once. Ids never ingested would
+    corrupt the N decrement — the index stores no membership row for
+    zero-token docs, so this is uncheckable here and is the caller's
+    invariant. ``physical=True`` additionally compacts (applies the
+    deletion vectors), expires old snapshots and vacuums, so no
+    remaining parquet file under the index contains a forgotten row —
+    the physical guarantee erasure actually requires.
+    """
+    import os
+
+    from .freshness import invalidate_stamp
+    from .manifest import ManifestTable
+
+    ids = sorted(set(doc_ids))
+    if not ids:
+        return
+    # the forgotten index serves LESS than any stamped corpus — drop
+    # the idempotency stamp before mutating (the freshness protocol)
+    invalidate_stamp(path)
+    doclen_t = ManifestTable(os.path.join(path, _DOCLEN))
+    gone = (
+        doclen_t.read(spark)
+        .filter(F.col("doc_id").isin(ids))
+        .agg(
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
+            F.count("*").cast("long").alias("n_dl"),
+        )
+        .first()
+    )
+    neg = spark.createDataFrame(
+        [(-len(ids), -int(gone["sum_dl"]), -int(gone["n_dl"]))],
+        "n_docs long, sum_dl long, n_dl long",
+    )
+    post_t = ManifestTable(os.path.join(path, _POSTINGS))
+    post_t.delete_where(spark, [("doc_id", "in", ids)], merge_on_read=True)
+    doclen_t.delete_where(spark, [("doc_id", "in", ids)], merge_on_read=True)
+    stats_t = ManifestTable(os.path.join(path, _LEX_STATS))
+    stats_t.append_with_retry(neg.coalesce(1), max_attempts=max_attempts)
+    if physical:
+        # keep the term clustering through the rewrite so query probes
+        # stay stats-pruned after erasure maintenance
+        for t, cl in ((post_t, ["term"]), (doclen_t, None), (stats_t, None)):
+            t.compact(spark, cluster_by=cl)
+            t.expire(keep_last=1)
+            t.vacuum(older_than_s=0.0)
+
+
 def lexical_index_bm25(
     spark: SparkSession,
     path: str,

@@ -531,3 +531,104 @@ def curated_outputs(
         eager=True
     )
     return temperature_sample_and_shard(t, n_shards)
+
+
+def forget_docs(
+    spark: SparkSession,
+    state_dir: str,
+    doc_ids: list,
+    vectors: DataFrame | None = None,
+    physical: bool = True,
+) -> dict[str, int]:
+    """GDPR right-to-be-forgotten across ALL derived curation state —
+    the erasure twin of `ingest_shard`. Erasing a document from the
+    source table is not enough once a pipeline has built indexes over
+    it: fingerprints, MinHash signatures, postings, PQ codes and score
+    rows are all DERIVED personal data and must go with it. One call
+    removes the ids from every persisted surface:
+
+    * d45 fingerprint registry — the doc's fingerprint rows are deleted
+      entirely (content-derived identifier; a later ingest of identical
+      content classifies ``new`` again — the rebuilt-registry answer).
+    * d46 MinHash index — per-doc band + signature rows deleted.
+    * d42 lexical index — postings/doclen rows deleted + a negative
+      stats delta, so BM25 afterwards is bit-identical to an index
+      rebuilt from the survivors.
+    * s8 IVF-PQ index — the doc's PQ code rows deleted (FAISS
+      remove_ids semantics; pass ``vectors`` to also decrement the
+      routing sums exactly).
+    * ``_clusters`` / ``_curated`` / ``_train_scores`` — the doc's
+      membership, flag and score rows deleted. Cluster members that
+      were deduplicated AGAINST an erased keeper stay suppressed
+      (conservative: near-duplicates of erased content are quasi-copies
+      of it; a fresh ingest of such content is judged on its own).
+    * ``_ingest_log`` — untouched: aggregate funnel counts carry no
+      per-document data.
+
+    ``physical=True`` (default — erasure is the one caller that wants
+    it) compacts, expires and vacuums every touched table, so no
+    parquet file under the state dir still contains a forgotten row.
+    Cost: stats-pruned in-list deletes + O(state) single-pass rewrites
+    of the touched files — the corpus is never re-read, nothing is
+    retrained. Returns per-surface deleted-row counts (the erasure
+    audit record)."""
+    from ..operators.ann_index import _CODES, forget_from_ivfpq_index
+    from ..operators.dedup import (
+        forget_fingerprint_registry,
+        forget_from_minhash_index,
+    )
+    from ..operators.retrieval import forget_from_lexical_index
+
+    p = _paths(state_dir)
+    ids = sorted(set(doc_ids))
+    if not ids:
+        return {}
+
+    audit: dict[str, int] = {}
+
+    def _count(t: ManifestTable, col: str, vals: list) -> int:
+        if not os.path.isdir(os.path.join(t.path, "_manifests")) or not t.versions():
+            return 0
+        return t.read(spark).filter(F.col(col).isin(vals)).count()
+
+    # audit BEFORE deleting (the counts are the erasure receipt)
+    fp_t = ManifestTable(os.path.join(p["exact"], "_fingerprints"))
+    doomed_fp = sorted(
+        r["fingerprint"]
+        for r in ManifestTable(os.path.join(p["exact"], "_fingerprints"))
+        .read(spark)
+        .groupBy("fingerprint")
+        .agg(F.min("keeper").alias("keeper"))
+        .filter(F.col("keeper").isin(ids))
+        .collect()
+    )
+    audit["fingerprints"] = _count(fp_t, "fingerprint", doomed_fp) if doomed_fp else 0
+    audit["minhash_bands"] = _count(
+        ManifestTable(os.path.join(p["minhash"], "_bands")), "doc_id", ids
+    )
+    audit["postings"] = _count(
+        ManifestTable(os.path.join(p["lexical"], "postings")), "doc_id", ids
+    )
+    audit["ann_codes"] = _count(
+        ManifestTable(os.path.join(p["ann"], _CODES)), "vec_id", ids
+    )
+
+    forget_fingerprint_registry(spark, p["exact"], ids, physical=physical)
+    forget_from_minhash_index(spark, p["minhash"], ids, physical=physical)
+    forget_from_lexical_index(spark, p["lexical"], ids, physical=physical)
+    if os.path.isdir(os.path.join(p["ann"], _CODES, "_manifests")):
+        forget_from_ivfpq_index(
+            spark, p["ann"], ids, vectors=vectors, physical=physical
+        )
+
+    for key, col in (("clusters", "doc_id"), ("curated", "doc_id"), ("train_scores", "doc_id")):
+        t = ManifestTable(p[key])
+        if not t.versions():
+            continue
+        audit[key] = _count(t, col, ids)
+        t.delete_where(spark, [(col, "in", ids)], merge_on_read=True)
+        if physical:
+            t.compact(spark)
+            t.expire(keep_last=1)
+            t.vacuum(older_than_s=0.0)
+    return audit

@@ -2036,14 +2036,20 @@ _BM25_QUERY_TERMS = (
 )
 _BM25_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERY_TERMS)
 
-_D40_ORACLE = f"""
+def _bm25_census_oracle(doc_where: str = "") -> str:
+    """The d40 census oracle, parameterized by a survivor filter on the
+    documents source — '' is d40 itself; d52 passes the NOT-IN erasure
+    filter so the same chain scores the surviving corpus (what a
+    rebuilt-from-survivors index would serve, which the forget path
+    must equal bit for bit)."""
+    return f"""
 WITH tok AS MATERIALIZED (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
-  FROM documents
+  FROM documents {doc_where}
 ), dl AS MATERIALIZED (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1
 ), stats AS MATERIALIZED (
-  SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n_docs,
+  SELECT CAST((SELECT COUNT(*) FROM documents {doc_where}) AS DOUBLE) AS n_docs,
          CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
   FROM dl
 ), q(query_id, term) AS (VALUES {_BM25_VALUES}),
@@ -2082,6 +2088,9 @@ FROM (
          ) AS BIGINT) AS rank
   FROM agg) WHERE rank <= 10
 """
+
+
+_D40_ORACLE = _bm25_census_oracle()
 
 
 @register(
@@ -2929,3 +2938,84 @@ def d51_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ))
     ]
     return spark.createDataFrame(rows, "pass_id bigint, stage string, n bigint")
+
+
+# ---------------------------------------------------------------------------
+# d52 — GDPR erasure reaching the DERIVED lexical index (r8: the
+# right-to-be-forgotten composition over d42's persisted state). A
+# source-table delete (q49's MOR machinery) is not erasure once a
+# pipeline has indexed the corpus: postings, doc lengths and corpus
+# stats are all content-derived. `forget_from_lexical_index` deletes
+# the per-doc rows by a stats-pruned in-list merge-on-read predicate
+# and lands ONE negative stats delta — and because df/dl/N/sum_dl are
+# all LINEAR in the document set, serving BM25 afterwards is
+# bit-identical to an index rebuilt from the survivors. That identity
+# is exactly what this oracle checks: the SQL recomputes the census
+# over `documents` MINUS the erased ids from scratch, and the Spark
+# side must land on it serving the forgotten index.
+# ---------------------------------------------------------------------------
+_D52_FORGET_IDS = (3, 53, 103, 153, 203, 253, 303, 353, 403, 453)
+_D52_ORACLE = _bm25_census_oracle(
+    f"WHERE doc_id NOT IN ({', '.join(str(i) for i in _D52_FORGET_IDS)})"
+)
+
+
+@register(
+    "d52_bm25_forget",
+    _D52_ORACLE,
+    doc="BM25 census served from the persisted lexical index AFTER "
+    "erasing 10 documents (GDPR right-to-be-forgotten over derived "
+    "state): per-doc postings/doclen rows deleted via a stats-pruned "
+    "in-list MOR predicate + one negative stats delta, then physical "
+    "compact/expire/vacuum. BM25's sufficient statistics are linear "
+    "in the doc set, so forget+serve is bit-identical to a "
+    "rebuild-from-survivors — the oracle recomputes the survivor "
+    "census from scratch and the forgotten index must match it.",
+)
+def d52_bm25_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 BM25 per query, served from the lexical index after the
+    fixed 10-id erasure (build + forget are fingerprint-stamped as one
+    unit, so repeat calls serve without rebuilding)."""
+    from ..operators.freshness import BuildStamp
+    from ..operators.retrieval import (
+        bm25_literal_queries,
+        forget_from_lexical_index,
+        lexical_index_bm25,
+        write_lexical_index,
+    )
+    from . import work_dir
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    path = work_dir("d52_lexforget", sf_dir)
+    # ONE stamp over the build+forget sequence: deterministic in
+    # (corpus, erased ids), so a current stamp certifies the forgotten
+    # index and repeat calls skip straight to serving (the s11/d42
+    # write-once convention, extended to cover the erasure step)
+    stamp = BuildStamp(
+        spark,
+        path,
+        {"kind": "lexical+forget", "ids": list(_D52_FORGET_IDS), "n_files": 8},
+        docs,
+        ("doc_id", "text"),
+    )
+    if not stamp.is_current():
+        stamp.invalidate()
+        write_lexical_index(docs, path, n_files=8)
+        forget_from_lexical_index(
+            spark, path, list(_D52_FORGET_IDS), physical=True
+        )
+        stamp.write()
+    q = bm25_literal_queries(spark, _BM25_QUERY_TERMS)
+    agg = lexical_index_bm25(spark, path, q)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_x"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "doc_id",
+            "n_terms_matched",
+            F.col("score_x").cast("double").alias("bm25"),
+            "rank",
+        )
+    )

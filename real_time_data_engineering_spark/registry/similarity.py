@@ -475,19 +475,26 @@ def s7_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # routing body (s3/s5), with ADC scoring restricted to routed-cell
 # candidates. Everything is exact-int deterministic end to end.
 # ---------------------------------------------------------------------------
-def _s8_chain(n_queries: int) -> str:
+def _s8_chain(n_queries: int, qv_where: str = "") -> str:
     """The full IVF-PQ oracle chain (Lloyd cells + PQ codebooks + IVF
     routing + ADC scoring), ending at the CTE ``s8scored``
     (qid, nid, est_dist) — wrapped directly by `_S8_ORACLE`'s top-5
-    read, and composed by s11 into the hybrid-fusion oracle."""
+    read, and composed by s11 into the hybrid-fusion oracle.
+
+    ``qv_where`` filters the SERVED corpus (routing stats + candidates)
+    while both quantizer trainings stay full-corpus — exactly the state
+    of a written index after `forget_from_ivfpq_index` with an exact
+    routing decrement (s18's erasure semantics: codes gone, routing
+    sums decremented, trained quantizers frozen)."""
     return (
         _kmeans_cte(k=10, iters=10)
         + ", "
         + _pq_chain(k=16, iters=5, m=8, sub_dim=8, n_queries=n_queries)
-        + """, qv AS MATERIALIZED (
+        + f""", qv AS MATERIALIZED (
   SELECT e.vec_id, ka.cluster AS label, list_transform(e.embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS emb
   FROM embeddings e JOIN kasg ka ON ka.vec_id = e.vec_id
+  {qv_where}
 """
         + _ivf_route_body(n_queries)
         + """, s8scored AS (
@@ -1324,4 +1331,88 @@ def s17_semdedup_autok(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.semdedup(
         emb, max_iter=10, threshold=0.35, target_cell_rows=_S17_TARGET
+    )
+
+
+# ---------------------------------------------------------------------------
+# s18 — GDPR erasure reaching the DENSE index (r8: FAISS remove_ids
+# with lakehouse semantics, the s8 counterpart of d52's lexical
+# forget). PQ codes ARE derived personal data — a lossy encoding of
+# the erased embedding — so a source-table delete without an index
+# forget would keep serving the erased vectors as neighbors. The
+# Spark side writes the persisted IVF-PQ index over the full corpus,
+# erases a fixed 10-id set (codes deleted via the stats-pruned
+# in-list MOR predicate, routing sums decremented exactly via a
+# negative delta, then physical compact/expire/vacuum) and serves
+# top-5 from what remains. Oracle: the verified s8 chain with the
+# SERVED corpus filtered to survivors while both quantizer trainings
+# stay full-corpus — precisely "the original index minus the erased
+# vectors", which is what a no-retrain erasure must equal.
+# ---------------------------------------------------------------------------
+_S18_FORGET_IDS = (23, 73, 123, 173, 223, 273, 323, 373, 423, 473)
+
+_S18_ORACLE = (
+    _s8_chain(
+        _N_QUERIES,
+        qv_where="WHERE e.vec_id NOT IN ("
+        + ", ".join(str(i) for i in _S18_FORGET_IDS)
+        + ")",
+    )
+    + """
+SELECT qid, nid, est_dist, rank FROM (
+  SELECT qid, nid, est_dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY est_dist ASC, nid ASC) AS BIGINT) AS rank
+  FROM s8scored) WHERE rank <= 5
+"""
+)
+
+
+@register(
+    "s18_ann_forget",
+    _S18_ORACLE,
+    doc="IVF-PQ top-5 served from the persisted index AFTER erasing 10 "
+    "vectors (FAISS remove_ids as lakehouse state): code rows deleted "
+    "by a stats-pruned in-list MOR predicate, routing sums decremented "
+    "exactly by a negative centroid delta, physical "
+    "compact/expire/vacuum — quantizers stay frozen, nothing retrains, "
+    "the corpus is never rescanned. Oracle = the verified s8 chain "
+    "serving only the survivors (training still full-corpus) — the "
+    "no-retrain erasure identity.",
+)
+def s18_ann_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 ADC neighbors per query from the forgotten IVF-PQ index
+    (build + erase are fingerprint-stamped as one unit, so repeat
+    calls serve without retraining)."""
+    from ..operators.ann_index import (
+        forget_from_ivfpq_index,
+        ivfpq_index_topk,
+        write_ivfpq_index,
+    )
+    from ..operators.freshness import BuildStamp
+    from . import work_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = work_dir("s18_annforget", sf_dir)
+    params = dict(n_cells=10, m=8, k_codes=16, pq_iter=5, km_iter=10)
+    stamp = BuildStamp(
+        spark,
+        path,
+        {"kind": "ivfpq+forget", "ids": list(_S18_FORGET_IDS), **params},
+        emb,
+        ("vec_id", "embedding"),
+    )
+    if not stamp.is_current():
+        stamp.invalidate()
+        write_ivfpq_index(emb, path, manifest_codes=True, **params)
+        forget_from_ivfpq_index(
+            spark,
+            path,
+            list(_S18_FORGET_IDS),
+            vectors=emb,  # exact routing decrement (the oracle's shape)
+            physical=True,
+        )
+        stamp.write()
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return ivfpq_index_topk(
+        spark, path, queries, topk=5, n_probe=2, exclude_self=True
     )

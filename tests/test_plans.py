@@ -348,6 +348,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "s14_ivfpq_refine",  # shortlist comes from the index probe (s8's routing fan-out)
         "s15_triplet_mining",  # anchor block broadcast over the corpus (s1's fan-out)
         "s16_mmr_diversified",  # shortlist from s10's fan-out; MMR rounds are metadata-sized
+        "s18_ann_forget",  # persisted-index probe = s8's centroid-routing fan-out
     }
     for name, spec in all_specs().items():
         plan = spec.spark(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
