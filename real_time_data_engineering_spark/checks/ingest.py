@@ -104,6 +104,8 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> int:
 
         leaked: set[int] = set()
         for dirpath, _dirs, files in os.walk(state):
+            if "_erasure_log" in dirpath:
+                continue  # the Art. 30 record retains erased IDs lawfully
             for f in files:
                 if not f.endswith(".parquet"):
                     continue

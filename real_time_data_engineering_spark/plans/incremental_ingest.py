@@ -81,6 +81,7 @@ _CLUSTERS = "_clusters"
 _CURATED = "_curated"
 _LOG = "_ingest_log"
 _TRAIN_SCORES = "_train_scores"
+_ERASURE_LOG = "_erasure_log"
 
 _MINHASH_PARAMS = {"n": 3, "k": 16, "bands": 4}
 
@@ -96,6 +97,7 @@ def _paths(state_dir: str) -> dict[str, str]:
         "curated": os.path.join(state_dir, _CURATED),
         "log": os.path.join(state_dir, _LOG),
         "train_scores": os.path.join(state_dir, _TRAIN_SCORES),
+        "erasure_log": os.path.join(state_dir, _ERASURE_LOG),
     }
 
 
@@ -564,6 +566,15 @@ def forget_docs(
       of it; a fresh ingest of such content is judged on its own).
     * ``_ingest_log`` — untouched: aggregate funnel counts carry no
       per-document data.
+    * ``_erasure_log`` — gains one row per erased id (the GDPR Art. 30
+      record of processing: WHAT was erased, whether physically, and
+      the total derived rows removed — no document content).
+
+    Idempotent: forgetting already-forgotten ids erases zero rows and
+    appends a zero-count audit entry. Rectification (a content EDIT)
+    composes as forget(old ids) + `ingest_shard` of the corrected docs
+    under fresh monotone ids — the monotone-id invariant means an id,
+    once erased, is never reused.
 
     ``physical=True`` (default — erasure is the one caller that wants
     it) compacts, expires and vacuums every touched table, so no
@@ -583,6 +594,26 @@ def forget_docs(
     ids = sorted(set(doc_ids))
     if not ids:
         return {}
+
+    # only ids with a live cluster row were ever INDEXED (the ladder
+    # indexes exact-unique docs only; dups were classified and dropped
+    # without touching the four indexes) — and an already-forgotten id
+    # has no row left. Filtering here is what makes the plan-level
+    # forget IDEMPOTENT and dup-id-safe: the lexical stats decrement
+    # in particular must count only docs currently in the index.
+    clusters_t = ManifestTable(p["clusters"])
+    present = (
+        sorted(
+            int(r.doc_id)
+            for r in clusters_t.read(spark)
+            .filter(F.col("doc_id").isin(ids))
+            .select("doc_id")
+            .distinct()
+            .collect()
+        )
+        if clusters_t.versions()
+        else []
+    )
 
     audit: dict[str, int] = {}
 
@@ -613,13 +644,17 @@ def forget_docs(
         ManifestTable(os.path.join(p["ann"], _CODES)), "vec_id", ids
     )
 
-    forget_fingerprint_registry(spark, p["exact"], ids, physical=physical)
-    forget_from_minhash_index(spark, p["minhash"], ids, physical=physical)
-    forget_from_lexical_index(spark, p["lexical"], ids, physical=physical)
-    if os.path.isdir(os.path.join(p["ann"], _CODES, "_manifests")):
-        forget_from_ivfpq_index(
-            spark, p["ann"], ids, vectors=vectors, physical=physical
-        )
+    if present:
+        forget_fingerprint_registry(spark, p["exact"], present, physical=physical)
+        forget_from_minhash_index(spark, p["minhash"], present, physical=physical)
+        forget_from_lexical_index(spark, p["lexical"], present, physical=physical)
+        # versions(), not isdir: the audit counter's ManifestTable
+        # constructor mkdirs the manifest dir even when no ANN index
+        # was ever built (embedding-less ingests)
+        if ManifestTable(os.path.join(p["ann"], _CODES)).versions():
+            forget_from_ivfpq_index(
+                spark, p["ann"], present, vectors=vectors, physical=physical
+            )
 
     for key, col in (("clusters", "doc_id"), ("curated", "doc_id"), ("train_scores", "doc_id")):
         t = ManifestTable(p[key])
@@ -631,4 +666,26 @@ def forget_docs(
             t.compact(spark)
             t.expire(keep_last=1)
             t.vacuum(older_than_s=0.0)
+
+    # erasure audit trail (GDPR Art. 30 record of processing): one row
+    # per forgotten id per call, CAS-appended so concurrent erasures
+    # each land exactly once. The ids being erased are themselves
+    # lawful audit content (the record of WHAT was erased is the
+    # compliance artifact; it carries no document content).
+    seq = 0
+    log_t = ManifestTable(p["erasure_log"])
+    if log_t.versions():
+        prev = log_t.read(spark).agg(F.max("erasure_id")).first()[0]
+        seq = int(prev) + 1 if prev is not None else 0
+    rows = spark.createDataFrame(
+        [
+            (seq, int(i), bool(physical), sum(audit.values()))
+            for i in ids
+        ],
+        "erasure_id long, doc_id long, physical boolean, rows_erased_total long",
+    )
+    if log_t.versions():
+        log_t.append_with_retry(rows.coalesce(1))
+    else:
+        log_t.write(rows.coalesce(1))
     return audit

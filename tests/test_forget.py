@@ -46,9 +46,14 @@ def _parquet_ids_under(root: str, col: str) -> set[int]:
     """Every value of ``col`` readable from ANY parquet data file under
     ``root`` — reads files directly (NOT through the manifest), so
     merge-on-read tombstones don't hide rows: this is what a disk
-    forensics pass would see."""
+    forensics pass would see. The ``_erasure_log`` is excluded by
+    design: the GDPR Art. 30 record of WHAT was erased retains the
+    erased IDS (no content) lawfully — it is the compliance artifact,
+    not a leak."""
     out: set[int] = set()
     for dirpath, _dirs, files in os.walk(root):
+        if "_erasure_log" in dirpath:
+            continue
         for f in files:
             if not f.endswith(".parquet"):
                 continue
@@ -291,3 +296,60 @@ def test_plan_forget_docs_erases_every_surface(spark, tmp_path):
     )
     rep = I.ingest_shard(spark, state, reborn)
     assert rep.n_new == len(gone)
+
+
+def test_plan_forget_docs_is_idempotent_and_dup_safe(spark, tmp_path):
+    """Forgetting the same ids twice — or ids that were never indexed
+    (exact dups the ladder classified and dropped) — must erase zero
+    rows the second time and leave the lexical stats EXACT: the N
+    decrement counts only docs currently in the index, so BM25 after
+    any forget sequence still equals a rebuild from the survivors."""
+    from real_time_data_engineering_spark.operators.manifest import ManifestTable
+    from real_time_data_engineering_spark.operators.retrieval import (
+        bm25_literal_queries,
+        lexical_index_bm25,
+        write_lexical_index,
+    )
+    from real_time_data_engineering_spark.plans import incremental_ingest as I
+
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 120)
+    # append an exact dup of doc 5 under id 200: classified dup, never indexed
+    dup = docs.filter("doc_id == 5").select(
+        F.lit(200).cast("long").alias("doc_id"), "text", "source", "lang"
+    )
+    state = str(tmp_path / "state")
+    I.ingest_shard(spark, state, docs)
+    I.ingest_shard(spark, state, dup)
+
+    kept = I.stage_sets(spark, state)["neardup_keep"]
+    gone = sorted(int(r.doc_id) for r in kept.limit(2).collect())
+    first = I.forget_docs(spark, state, gone + [200], physical=True)
+    assert first["postings"] > 0
+    # second pass: nothing left to erase on any index surface
+    second = I.forget_docs(spark, state, gone + [200], physical=True)
+    assert all(v == 0 for v in second.values()), second
+
+    # lexical stats stayed exact through dup-id + double forget: the
+    # served index equals one rebuilt from the curated survivors
+    survivors = docs.join(
+        I.stage_sets(spark, state)["exact_unique"], "doc_id"
+    )
+    rebuilt = str(tmp_path / "rebuilt")
+    write_lexical_index(survivors, rebuilt)
+    q = bm25_literal_queries(spark, ((1, "hash"), (2, "stream")))
+
+    def scores(path):
+        return {
+            (r.query_id, r.doc_id, str(r.score_x))
+            for r in lexical_index_bm25(spark, path, q).collect()
+        }
+
+    assert scores(I._paths(state)["lexical"]) == scores(rebuilt)
+
+    # audit trail: one row per requested id per call, zero-count rows
+    # recorded for the no-op second pass (the Art. 30 record)
+    log = ManifestTable(I._paths(state)["erasure_log"]).read(spark)
+    assert log.count() == 2 * (len(gone) + 1)
+    assert log.filter(F.col("erasure_id") == 1).agg(
+        F.max("rows_erased_total")
+    ).first()[0] == 0
