@@ -137,6 +137,7 @@ EXTRA = [
     "d50_probe_drift",
     "d52_bm25_forget",
     "s18_ann_forget",
+    "s19_range_search",
     # d51_incremental_ingest is deliberately NOT benched: it is a
     # stateful two-pass INGEST JOB (wipes + rebuilds 4 indexes per
     # call), not a query; its timing evidence is the per-round

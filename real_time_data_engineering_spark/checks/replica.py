@@ -53,6 +53,7 @@ DEFAULT_QUERIES = [
     "s17_semdedup_autok",
     "d52_bm25_forget",
     "s18_ann_forget",
+    "s19_range_search",
 ]
 
 _SHIFTS = {

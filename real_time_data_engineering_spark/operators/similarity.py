@@ -114,6 +114,38 @@ def cosine_topk(
     )
 
 
+def cosine_range(
+    emb: DataFrame,
+    query_pred: Column,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact range search (the FAISS `range_search` analogue): ALL
+    neighbors with cosine ≥ ``threshold`` per query — no k. This is the
+    primitive every similarity-threshold operation actually wants
+    (semantic dedup at τ, near-dup blocking, "find everything close
+    enough"), where top-k silently truncates dense neighborhoods and
+    over-returns sparse ones.
+
+    Same kernel and scale shape as `cosine_topk` (broadcast query
+    block over a partition-local corpus scan, exact quantized cosine),
+    but the tail is a plain FILTER — no window, no shuffle at all: the
+    plan is one broadcast join and a predicate, so output cost is
+    exactly the matching pairs. Returns (qid, nid, cosine)."""
+    base = with_quantized(emb, emb_col)
+    q = base.filter(query_pred).select(
+        F.col(id_col).alias("qid"), F.col("emb_q").alias("q_emb"), F.col("norm_q").alias("q_norm")
+    )
+    v = base.select(F.col(id_col).alias("nid"), F.col("emb_q").alias("v_emb"), F.col("norm_q").alias("v_norm"))
+    pairs = v.crossJoin(F.broadcast(q)).filter(F.col("qid") != F.col("nid"))
+    return pairs.select(
+        "qid",
+        "nid",
+        cosine_q(dot_q(F.col("q_emb"), F.col("v_emb")), F.col("q_norm"), F.col("v_norm")).alias("cosine"),
+    ).filter(F.col("cosine") >= F.lit(threshold))
+
+
 def knn_label_vote(
     emb: DataFrame,
     query_pred: Column,

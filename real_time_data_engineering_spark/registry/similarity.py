@@ -1416,3 +1416,33 @@ def s18_ann_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_index_topk(
         spark, path, queries, topk=5, n_probe=2, exclude_self=True
     )
+
+
+# ---------------------------------------------------------------------------
+# s19 — exact range search (FAISS range_search): every neighbor with
+# cosine ≥ τ, no k. Top-k truncates dense neighborhoods and
+# over-returns sparse ones; the threshold form is what semantic dedup
+# (s9's 0.35 radius), near-dup blocking and recall-complete retrieval
+# actually specify. Plan shape: ONE broadcast fan-out + a predicate —
+# no window, no shuffle; output cost is exactly the matching pairs.
+# Oracle: the verified s1 quantized-cosine chain with the rank tail
+# replaced by the threshold filter.
+# ---------------------------------------------------------------------------
+_S19_ORACLE = _QUANT_CTE + """
+SELECT qid, nid, cosine FROM scored WHERE cosine >= 0.35
+"""
+
+
+@register(
+    "s19_range_search",
+    _S19_ORACLE,
+    doc="Exact range search: all neighbors with cosine >= 0.35 for the "
+    "20-query block (FAISS range_search analogue — the no-k threshold "
+    "primitive semantic dedup and blocking specify). One broadcast "
+    "fan-out + a filter: no window, no shuffle; exact quantized-cosine "
+    "kernel shared with s1.",
+)
+def s19_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, nid, cosine) for every pair at or above the 0.35 radius."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_range(emb, F.col("vec_id") < _N_QUERIES, threshold=0.35)

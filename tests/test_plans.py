@@ -349,6 +349,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "s15_triplet_mining",  # anchor block broadcast over the corpus (s1's fan-out)
         "s16_mmr_diversified",  # shortlist from s10's fan-out; MMR rounds are metadata-sized
         "s18_ann_forget",  # persisted-index probe = s8's centroid-routing fan-out
+        "s19_range_search",  # threshold scan IS s1's broadcast query fan-out
     }
     for name, spec in all_specs().items():
         plan = spec.spark(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
