@@ -704,7 +704,10 @@ def forget_from_ivfpq_index(
     erased embedding) are deleted by an ``in``-list merge-on-read
     predicate through the manifest, so a probe immediately after the
     forget serves the original index MINUS the erased vectors — no
-    retrain, no corpus scan, O(deleted rows) write cost. Requires an
+    retrain, no corpus scan, O(deleted rows) write cost (code files
+    are clustered by CELL, so the id predicate scans most of them, but
+    the MOR scan emits only the deletion-vector sidecar and rewrites
+    nothing until maintenance compaction — the batched-erasure trade). Requires an
     index written with ``manifest_codes=True`` (the same precondition
     as appends: row-level operations need the manifest, not hive dirs).
 

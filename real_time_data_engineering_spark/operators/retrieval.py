@@ -318,8 +318,7 @@ def forget_from_lexical_index(
     """Erase documents from the persisted index — the GDPR
     right-to-be-forgotten reaching DERIVED state, not just the source
     table. Postings and doc lengths are per-doc rows, deleted by an
-    ``in``-list merge-on-read predicate (stats-pruned: only files whose
-    min/max admit a doomed id are touched); the scalar stats get one
+    ``in``-list merge-on-read predicate; the scalar stats get one
     NEGATIVE delta row (−n_docs, −Σdl, −n_dl read from the stored
     doclen rows), so the summed deltas equal the surviving corpus's
     stats exactly.
@@ -328,6 +327,15 @@ def forget_from_lexical_index(
     BM25 served after a forget is BIT-IDENTICAL to an index rebuilt
     from the surviving corpus (equivalence-tested) — erasure costs
     O(deleted rows), never a corpus re-tokenization.
+
+    Cost honesty at scale: postings files are clustered by TERM (for
+    query pruning), so their doc-id min/max stats are wide and an
+    id-set delete scans most postings files — but merge-on-read means
+    that scan emits only an O(deleted rows) deletion-vector sidecar
+    and rewrites NOTHING; erasure requests batch, the one scan
+    amortizes, and the rewrite is deferred to the next maintenance
+    `compact()` — the Delta-DV / Iceberg positional-delete trade for
+    frequent small deletes.
 
     Contract (mirrors the append contract's "new docs only"): every id
     must have been ingested exactly once. Ids never ingested would
