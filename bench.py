@@ -138,6 +138,8 @@ EXTRA = [
     "d52_bm25_forget",
     "s18_ann_forget",
     "s19_range_search",
+    "s20_range_search_ivf",
+    "s21_range_recall",
     # d51_incremental_ingest is deliberately NOT benched: it is a
     # stateful two-pass INGEST JOB (wipes + rebuilds 4 indexes per
     # call), not a query; its timing evidence is the per-round
@@ -418,8 +420,47 @@ def main() -> None:
 
     for name in HEADLINE:
         bench_query(name, times)
+    # Extra-suite rotation (VERDICT r8 #7): at the DEFAULT budget — the
+    # driver's per-round invocation — the fixed wall budget was
+    # degrading ever more of the growing extra suite (48/73 by r8) to
+    # the short protocol. Each driver run now times a rotating
+    # HALF-slice at the full protocol and SKIPS the complement; the
+    # rotation key is the repo HEAD (advances every round), so every
+    # extra still gets periodic full-protocol driver-side timing, and
+    # n_degraded is bounded by the slice size = ceil(|EXTRA|/2).
+    # Raised-budget runs (make round-artifacts → the committed
+    # BENCH_local.json) still time the ENTIRE suite, zero-degraded —
+    # round-over-round comparability lives there.
+    extras_to_run = list(EXTRA)
+    rotation: dict = {}
+    if not os.environ.get("SPARK_GRAFT_BENCH_BUDGET"):
+        import hashlib
+        import subprocess
+
+        try:
+            key = (
+                subprocess.run(
+                    ["git", "rev-parse", "HEAD"],
+                    capture_output=True,
+                    text=True,
+                    cwd=str(Path(__file__).resolve().parent),
+                    timeout=10,
+                ).stdout.strip()
+                or "nohead"
+            )
+        except Exception:
+            key = "nohead"
+        start = int(hashlib.md5(key.encode()).hexdigest(), 16) % len(EXTRA)
+        n_sel = (len(EXTRA) + 1) // 2
+        extras_to_run = [EXTRA[(start + i) % len(EXTRA)] for i in range(n_sel)]
+        rotation = {
+            "key": key[:12],
+            "n_total": len(EXTRA),
+            "n_selected": n_sel,
+            "skipped": sorted(set(EXTRA) - set(extras_to_run)),
+        }
     extra_times: dict[str, float] = {}
-    for name in EXTRA:
+    for name in extras_to_run:
         bench_query(name, extra_times)
 
     # Streaming sessionization twins (VERDICT r3 #4): the JVM-side
@@ -610,6 +651,7 @@ def main() -> None:
         "startup_sec": round(startup, 3),
         "ingestion_sec": ingestion_s,
         "extra_queries": extra_times,
+        "extras_rotation": rotation,  # {} on full-suite (raised-budget) runs
         "percentiles": percentiles,
         "query_peak_mb": query_peak_mb,
         "top_memory_queries": top_memory,
@@ -628,7 +670,9 @@ def main() -> None:
             f"per query: {iters} iterations, first {warmups} discarded as warm-up "
             f"(after {budget:.0f}s of query phases, remaining queries degrade to "
             "1 warm-up + 2 runs and are listed in `degraded`; per-query kept-sample "
-            "count is percentiles[q].n), "
+            "count is percentiles[q].n); default-budget runs time a rotating "
+            "HEAD-keyed half-slice of the extra suite (`extras_rotation` names the "
+            "skipped complement — raised-budget committed runs time everything), "
             "p50/p95/p99 over the kept samples (reference protocol, "
             "shared/benchmarks/queries/README.md:41-74); resource sampler: 0.2s "
             "process-tree RSS/CPU (suite peak/avg + per-query peak); spill_bytes: "
@@ -679,6 +723,8 @@ def main() -> None:
         "startup_sec": round(startup, 3),
         "extra_suite_sec": round(sum(extra_times.values()), 3),
         "n_extra_queries": len(extra_times),
+        "n_extra_registered": len(EXTRA),
+        "extras_rotated": bool(rotation),
         "peak_memory_mb": peak_mb,
         "peak_during": sampler.peak_label,
         "avg_memory_mb": avg_mb,

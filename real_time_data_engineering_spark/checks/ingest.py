@@ -57,16 +57,21 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> int:
             print(f"shard {int(r.shard):>2d}  {int(r.n_docs):>7d}  {int(r.total_tokens):>10d}", flush=True)
 
         # equivalence verdict: incremental state read vs one batch pass
+        # — semantic stage INCLUDED (r9): both sides bucket with the
+        # bootstrap-frozen coarse quantizer and judge at the 0.35 radius
         weights = load_probe(spark, I._paths(state)["probe"])
         batch = curate_corpus(
             spark, sf_dir, probe_weights=weights,
             decontam_phrases=I.DEFAULT_PHRASES,
+            semantic_dedup=True,
+            semantic_centroids=I.frozen_centroids(spark, state),
         )
         inc = I.stage_sets(spark, state)
         bad = 0
         for stage, bdf in (
             ("exact_unique", batch.exact_unique),
             ("neardup_keep", batch.neardup_keep),
+            ("semantic_keep", batch.semantic_keep),
             ("quality_pass", batch.quality_pass),
             ("probe_keep", batch.probe_keep),
             ("decontaminated", batch.decontaminated),
@@ -110,7 +115,7 @@ def main(sf_dir: str = "/root/testdata/sf0.1") -> int:
                 if not f.endswith(".parquet"):
                     continue
                 tbl = pq.read_table(os.path.join(dirpath, f))
-                for col in ("doc_id", "vec_id", "keeper"):
+                for col in ("doc_id", "vec_id", "keeper", "root", "twin"):
                     if col in tbl.column_names:
                         leaked |= set(tbl.column(col).to_pylist()) & set(gone)
         served = {

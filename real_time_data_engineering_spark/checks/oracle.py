@@ -125,15 +125,22 @@ class OracleDiffer:
     def run(self, name: str) -> DiffResult:
         from ..registry import get
 
-        spec = get(name)
+        return self.run_spec(get(name))
+
+    def run_spec(self, spec) -> DiffResult:
+        """Diff an ad-hoc QuerySpec (not necessarily registered) — the
+        replica harness uses this to value-check a lineage under a
+        replica-scale parameterization (e.g. s17 with a larger
+        target_cell_rows so the unrolled-Lloyd oracle's k stays
+        DuckDB-sized at 10x)."""
         sdf: DataFrame = spec.spark(self.spark, self.sf_dir)
         spark_pdf = sdf.toPandas()
         if spec.oracle is None:
             # rows-only check: the query must execute and return a stable schema
-            return DiffResult(name=name, spark_rows=len(spark_pdf), oracle_rows=-1)
+            return DiffResult(name=spec.name, spark_rows=len(spark_pdf), oracle_rows=-1)
         cur = self.con.execute(spec.oracle)
         cols = [d[0] for d in cur.description]
         # fetchall preserves native Python types (datetime.date for DATE)
         # instead of pandas' datetime64 coercion — matching Spark's toPandas.
         oracle_pdf = pd.DataFrame(cur.fetchall(), columns=cols)
-        return compare_frames(name, spark_pdf, oracle_pdf)
+        return compare_frames(spec.name, spark_pdf, oracle_pdf)

@@ -27,8 +27,8 @@ import os
 import sys
 import time
 
-#: This round's touched lineages (r7): the new registrations, the ops
-#: the verdict asked to re-time, and their r6 feeders.
+#: Touched lineages, cumulative r7→r9: the new registrations, the ops
+#: each verdict asked to re-time, and their feeders.
 DEFAULT_QUERIES = [
     "d40_bm25_retrieval",
     "d41_countmin_freq",
@@ -54,6 +54,8 @@ DEFAULT_QUERIES = [
     "d52_bm25_forget",
     "s18_ann_forget",
     "s19_range_search",
+    "s20_range_search_ivf",
+    "s21_range_recall",
 ]
 
 _SHIFTS = {
@@ -94,6 +96,46 @@ def _noop_time(df) -> float:
     return time.time() - t0
 
 
+#: s17's REPLICA-scale parameterization (r8 verdict item 5): the shipped
+#: target_cell_rows=100 derives k = ceil(N/100) = 200 at the 10x corpus,
+#: and the DuckDB unrolled-Lloyd oracle's per-round join is N·k·dim rows
+#: — that ONE oracle cost 1459 s of the r8 replica run. k is a pure
+#: function of (N, target), so the replica value-checks the IDENTICAL
+#: auto-k lineage with target=1000 (k = 20 at N = 20 000, the same k the
+#: sf0.1 sweep trains): both engines still derive k from the corpus
+#: inside the query, and the shipped target=100 config stays fully
+#: value-checked at sf0.001/0.01/0.1 by the driver and the sweep.
+_S17_REPLICA_TARGET = 1000
+
+
+def _s17_replica_spec():
+    from ..registry import QuerySpec
+    from ..registry.similarity import _S9_TAIL, _kmeans_cte
+
+    t = _S17_REPLICA_TARGET
+    oracle = (
+        _kmeans_cte(
+            k=f"(SELECT (COUNT(*) + {t - 1}) // {t} FROM embeddings)", iters=10
+        )
+        + _S9_TAIL
+    )
+
+    def fn(spark, sf_dir):
+        from ..operators.similarity import semdedup
+        from ..sources.readers import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        return semdedup(emb, max_iter=10, threshold=0.35, target_cell_rows=t)
+
+    return QuerySpec(
+        name=f"s17_semdedup_autok[target={t}]",
+        spark=fn,
+        oracle=oracle,
+        doc="s17's auto-k lineage at the replica-scale target (see "
+        "_S17_REPLICA_TARGET note)",
+    )
+
+
 def main(queries: list[str]) -> int:
     from pyspark.sql import functions as F
 
@@ -116,7 +158,11 @@ def main(queries: list[str]) -> int:
     for name in queries:
         t0 = time.time()
         try:
-            res = differ.run(name)
+            if name == "s17_semdedup_autok":
+                res = differ.run_spec(_s17_replica_spec())
+                name = res.name  # label the row with the replica target
+            else:
+                res = differ.run(name)
             ok = res.ok
             note = "" if ok else "; ".join(
                 f"[{m.kind}] {m.detail}" for m in res.mismatches[:2]

@@ -32,7 +32,14 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .similarity import cosine_q, dot_dec, dot_q, kmeans_assign, with_quantized
+from .similarity import (
+    assign_with_centroids,
+    cosine_q,
+    dot_dec,
+    dot_q,
+    kmeans_assign,
+    with_quantized,
+)
 
 _CENTROIDS = "_centroids"
 
@@ -347,32 +354,20 @@ def _probed_codes(spark: SparkSession, path: str, probe_cells: list) -> DataFram
     return spark.read.parquet(codes_path).filter(F.col("cluster").isin(probe_cells))
 
 
-def ivfpq_index_topk(
+def _adc_scores(
     spark: SparkSession,
     path: str,
     queries: DataFrame,
-    topk: int = 5,
     n_probe: int = 2,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     exclude_self: bool = False,
 ) -> DataFrame:
-    """Top-k over a written IVF-PQ index for an external query frame
-    (``queries``: id_col + emb_col — fresh vectors, not the corpus;
-    the index stores no raw vectors to filter). Routing broadcasts the
-    stored centroids; the probe becomes a PARTITION filter on the
-    codes scan (unprobed cells' files stay unread); scoring is the
-    exact-int64 ADC LUT over codes only. Same deterministic contracts
-    as `similarity.ivfpq_topk` — a written index answers exactly like
-    the in-memory composition (equivalence-tested).
-
-    ``exclude_self`` drops candidates whose corpus id equals the query
-    id. It is OFF by default because external query ids share no id
-    space with the corpus — a fresh query whose id happens to collide
-    with a vec_id must NOT lose a legitimate neighbor. Turn it on only
-    when queries are drawn from the indexed corpus itself (the
-    `similarity.ivfpq_topk` / registry s8 convention, and what the
-    disk↔memory equivalence test asserts)."""
+    """The shared probe half of every persisted-index search: route the
+    query frame against the stored centroids (broadcast), stats-prune
+    the codes scan to the probed cells, and ADC-score EVERY candidate —
+    (qid, nid, est_dist), no rank cut. `ivfpq_index_topk` windows it to
+    top-k; `ivfpq_index_range` filters it at an ADC radius."""
     cent = _routing_stats(spark, path)
     cb = spark.read.parquet(os.path.join(path, _CODEBOOKS))
     q = with_quantized(queries, emb_col).select(
@@ -437,7 +432,7 @@ def ivfpq_index_topk(
         F.col("cluster").alias("l_cluster"),
         "dist",
     )
-    scored = (
+    return (
         cand.select("qid", F.col(id_col).alias("nid"), "sub", "code")
         .join(
             F.broadcast(lut_r),
@@ -448,12 +443,134 @@ def ivfpq_index_topk(
         .groupBy("qid", "nid")
         .agg(F.sum("dist").cast("long").alias("est_dist"))
     )
+
+
+def ivfpq_index_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    topk: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Top-k over a written IVF-PQ index for an external query frame
+    (``queries``: id_col + emb_col — fresh vectors, not the corpus;
+    the index stores no raw vectors to filter). Routing broadcasts the
+    stored centroids; the probe becomes a PARTITION filter on the
+    codes scan (unprobed cells' files stay unread); scoring is the
+    exact-int64 ADC LUT over codes only. Same deterministic contracts
+    as `similarity.ivfpq_topk` — a written index answers exactly like
+    the in-memory composition (equivalence-tested).
+
+    ``exclude_self`` drops candidates whose corpus id equals the query
+    id. It is OFF by default because external query ids share no id
+    space with the corpus — a fresh query whose id happens to collide
+    with a vec_id must NOT lose a legitimate neighbor. Turn it on only
+    when queries are drawn from the indexed corpus itself (the
+    `similarity.ivfpq_topk` / registry s8 convention, and what the
+    disk↔memory equivalence test asserts)."""
+    scored = _adc_scores(
+        spark, path, queries, n_probe=n_probe, id_col=id_col,
+        emb_col=emb_col, exclude_self=exclude_self,
+    )
     w = Window.partitionBy("qid").orderBy(F.asc("est_dist"), F.asc("nid"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= topk)
         .select("qid", "nid", "est_dist", "rank")
     )
+
+
+def ivfpq_index_range(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.35,
+    adc_limit: int = 1_600_000_000_000,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Index-served RANGE search — s19's scale twin (the FAISS
+    `range_search` over an IVF index): every neighbor with cosine ≥
+    ``threshold``, no k, but touching only the probed cells' CODE files
+    instead of the whole corpus. The s14 shortlist→refine pattern
+    applied to a radius:
+
+    1. route each query to its ``n_probe`` cells, ADC-score the probed
+       candidates over codes only (`_adc_scores` — the verified s8
+       probe half);
+    2. prefilter at ``adc_limit``, the radius in ADC's quantized
+       squared-L2 domain. For unit-norm embeddings ‖a−b‖² = 2−2·cos, so
+       cos ≥ τ ⟺ d² ≤ (2−2τ)·10¹²; the default 1.6e12 sits at the
+       cos ≈ 0.2 ball — slack below τ = 0.35 that PQ quantization error
+       must exceed before a true neighbor is dropped (recall@τ vs the
+       exact s19 is MEASURED, the s7 precedent — registry s21);
+    3. exact refine: recompute the exact quantized cosine against the
+       raw ``corpus`` vectors for just the surviving candidates
+       (|matches|-sized, never corpus-sized) and keep cosine ≥ τ —
+       failing loudly on a candidate the corpus lacks (the s14
+       invariant).
+
+    Returned pairs are therefore EXACT (every emitted cosine is true
+    and ≥ τ); only completeness is approximate, bounded by routing
+    recall × the ADC prefilter — both measured by s21. Cost per query:
+    probed cells' codes + |prefilter survivors| vector reads; no
+    window, no shuffle of the corpus. Returns (qid, nid, cosine)."""
+    from .similarity import cosine_q, dot_q
+
+    cand = (
+        _adc_scores(
+            spark, path, queries, n_probe=n_probe, id_col=id_col,
+            emb_col=emb_col, exclude_self=exclude_self,
+        )
+        .filter(F.col("est_dist") <= F.lit(int(adc_limit)))
+        .select("qid", "nid")
+    )
+    q = with_quantized(queries, emb_col).select(
+        F.col(id_col).alias("qid"),
+        F.col("emb_q").alias("q_emb"),
+        F.col("norm_q").alias("q_norm"),
+    )
+    v = with_quantized(corpus, emb_col).select(
+        F.col(id_col).alias("nid"),
+        F.col("emb_q").alias("v_emb"),
+        F.col("norm_q").alias("v_norm"),
+    )
+    pairs = v.join(F.broadcast(cand), "nid").join(F.broadcast(q), "qid")
+    scored = pairs.select(
+        "qid",
+        "nid",
+        cosine_q(
+            dot_q(F.col("q_emb"), F.col("v_emb")), F.col("q_norm"), F.col("v_norm")
+        ).alias("cosine"),
+    )
+    # the s14 invariant: every prefilter survivor must have a raw vector
+    exact = cand.join(F.broadcast(scored), ["qid", "nid"], "left").select(
+        "qid",
+        "nid",
+        F.when(
+            F.col("cosine").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("ivfpq_index_range: candidate nid="),
+                    F.col("nid").cast("string"),
+                    F.lit(
+                        " has no raw vector in `corpus` — the index at "
+                        f"{path} serves rows the supplied corpus lacks "
+                        "(appended index vs stale base corpus?)"
+                    ),
+                )
+            ).cast("double"),
+        )
+        .otherwise(F.col("cosine"))
+        .alias("cosine"),
+    )
+    return exact.filter(F.col("cosine") >= F.lit(threshold))
 
 
 def ivfpq_index_topk_refined(
@@ -628,36 +745,12 @@ def append_to_ivfpq_index(
     for r in cb_rows:
         C[r.sub, r.cluster] = r.cf
 
-    # zero-norm exclusion + quantized components, same as the write path
+    # zero-norm exclusion + quantized components, same as the write
+    # path; routing through the shared frozen-quantizer kernel
     base_new = with_quantized(new_emb, emb_col)
-    narrow = base_new.select(
-        F.col(id_col).alias("id"), F.col(emb_col).cast("array<double>").alias("v")
-    )
-
-    def assign_fn(cents_arr):
-        Cc = cents_arr.copy()
-
-        def go(it):
-            import numpy as _np
-            import pandas as _pd
-
-            for pdf in it:
-                if len(pdf) == 0:
-                    continue
-                M = _np.array(list(pdf["v"]), dtype=_np.float64)
-                d2 = ((M[:, None, :] - Cc[None, :, :]) ** 2).sum(axis=2)
-                cl = d2.argmin(axis=1)  # first-min → lowest-cluster tie-break
-                yield _pd.DataFrame(
-                    {"id": pdf["id"].to_numpy(), "cluster": cl.astype("int32")}
-                )
-
-        return go
-
-    assign = (
-        narrow.mapInPandas(assign_fn(cents), "id bigint, cluster int")
-        .select(F.col("id").alias(id_col), "cluster")
-        .localCheckpoint(eager=True)
-    )
+    assign = assign_with_centroids(
+        base_new, cents, id_col=id_col, emb_col=emb_col
+    ).localCheckpoint(eager=True)
     coded = pq_encode(new_emb, C, id_col, emb_col).join(assign, id_col)
     n_cells_hit = assign.select("cluster").distinct().count()
     if n_cells_hit == 0:
@@ -721,11 +814,19 @@ def forget_from_ivfpq_index(
     delta: the re-aggregated stats then equal the surviving corpus's
     sums exactly, so routing behaves as if the erased vectors had never
     been added (while the trained quantizers stay frozen either way).
+    Ids are first restricted to those with codes rows actually PRESENT
+    (one column-pruned probe of the codes table), so ids the index
+    never saw — mixed ingests that skipped embeddings, or an
+    already-forgotten id — are true no-ops rather than routing-stat
+    corruption: the negative delta only ever covers vectors that were
+    added.
 
     ``physical=True`` compacts (applies the deletion vectors), expires
     and vacuums the codes table — after it, no parquet file under the
     index contains an erased vector's codes (the on-disk guarantee,
-    property-tested)."""
+    property-tested), and the rewrite re-pins the one-file-per-cell
+    clustering (n_files = live cell count) so probe-side stats pruning
+    survives erasure maintenance."""
     from .freshness import invalidate_stamp
     from .manifest import _MANIFEST_DIR, ManifestTable
 
@@ -738,10 +839,28 @@ def forget_from_ivfpq_index(
     doomed = sorted(set(ids))
     if not doomed:
         return
+    codes_t = ManifestTable(codes_path)
+    # restrict the erasure to ids that actually HAVE codes rows: in a
+    # mixed ingest (some shards appended without embeddings) a caller
+    # may pass ids the index never saw, and an already-forgotten id has
+    # no rows left — decrementing routing sums for either would corrupt
+    # the stats (cell counts drift toward zero/negative) and break the
+    # rebuilt-from-survivors identity. One column-pruned probe of the
+    # codes table, collected as an O(|ids|) driver scalar (sanctioned:
+    # bounded by the erase set, never the corpus).
+    doomed = sorted(
+        int(r[0])
+        for r in codes_t.read(spark)
+        .filter(F.col(id_col).isin(doomed))
+        .select(id_col)
+        .distinct()
+        .collect()
+    )
+    if not doomed:
+        return  # nothing indexed under these ids: a true no-op
     # the forgotten index serves LESS than any stamped corpus — drop
     # the idempotency stamp before mutating (the freshness protocol)
     invalidate_stamp(path)
-    codes_t = ManifestTable(codes_path)
     codes_t.delete_where(spark, [(id_col, "in", doomed)], merge_on_read=True)
     if vectors is not None:
         # negative routing delta: assign the erased vectors through the
@@ -762,34 +881,9 @@ def forget_from_ivfpq_index(
             dtype=np.float64,
         )
         base_gone = with_quantized(erased, emb_col)
-        narrow = base_gone.select(
-            F.col(id_col).alias("id"), F.col(emb_col).cast("array<double>").alias("v")
-        )
-
-        def assign_fn(cents_arr):
-            Cc = cents_arr.copy()
-
-            def go(it):
-                import numpy as _np
-                import pandas as _pd
-
-                for pdf in it:
-                    if len(pdf) == 0:
-                        continue
-                    M = _np.array(list(pdf["v"]), dtype=_np.float64)
-                    d2 = ((M[:, None, :] - Cc[None, :, :]) ** 2).sum(axis=2)
-                    cl = d2.argmin(axis=1)
-                    yield _pd.DataFrame(
-                        {"id": pdf["id"].to_numpy(), "cluster": cl.astype("int32")}
-                    )
-
-            return go
-
-        assign = (
-            narrow.mapInPandas(assign_fn(cents), "id bigint, cluster int")
-            .select(F.col("id").alias(id_col), "cluster")
-            .localCheckpoint(eager=True)
-        )
+        assign = assign_with_centroids(
+            base_gone, cents, id_col=id_col, emb_col=emb_col
+        ).localCheckpoint(eager=True)
         joined = base_gone.join(assign, id_col)
         if joined.limit(1).count() > 0:
             neg = (
@@ -811,6 +905,13 @@ def forget_from_ivfpq_index(
                 neg.coalesce(1), max_attempts=max_attempts
             )
     if physical:
-        codes_t.compact(spark, cluster_by=["cluster"])
+        # preserve the build's ONE-FILE-PER-CELL layout through the
+        # erasure rewrite: a byte-targeted compact would collapse a
+        # small codes table to a single file, and every later probe's
+        # manifest stats-pruning would read everything. Live cell count
+        # from one column-pruned distinct over the codes (the cells the
+        # rewrite will lay out).
+        live_cells = codes_t.read(spark).select("cluster").distinct().count()
+        codes_t.compact(spark, cluster_by=["cluster"], n_files=max(1, int(live_cells)))
         codes_t.expire(keep_last=1)
         codes_t.vacuum(older_than_s=0.0)

@@ -314,6 +314,8 @@ def forget_from_lexical_index(
     doc_ids: list,
     max_attempts: int = 5,
     physical: bool = False,
+    strict: bool = True,
+    n_files: int | None = None,
 ) -> None:
     """Erase documents from the persisted index — the GDPR
     right-to-be-forgotten reaching DERIVED state, not just the source
@@ -338,13 +340,22 @@ def forget_from_lexical_index(
     frequent small deletes.
 
     Contract (mirrors the append contract's "new docs only"): every id
-    must have been ingested exactly once. Ids never ingested would
-    corrupt the N decrement — the index stores no membership row for
-    zero-token docs, so this is uncheckable here and is the caller's
-    invariant. ``physical=True`` additionally compacts (applies the
-    deletion vectors), expires old snapshots and vacuums, so no
-    remaining parquet file under the index contains a forgotten row —
-    the physical guarantee erasure actually requires.
+    must have been ingested exactly once. Ids never ingested — or
+    forgotten TWICE — would corrupt the N decrement, and the index
+    stores no membership row for zero-token docs, so full presence is
+    uncheckable here. ``strict=True`` (the default) therefore enforces
+    the checkable half AT THE DECREMENT SITE: every id must have a
+    doclen row, else the call raises instead of silently corrupting N
+    (double-forgets and never-ingested ids both trip it). A caller that
+    legitimately forgets zero-token docs — it must hold the membership
+    invariant some other way, e.g. the curation plan's cluster
+    registry — passes ``strict=False``. ``physical=True`` additionally
+    compacts (applies the deletion vectors), expires old snapshots and
+    vacuums, so no remaining parquet file under the index contains a
+    forgotten row — the physical guarantee erasure actually requires;
+    ``n_files`` re-pins the build's postings file layout through the
+    rewrite (pass the same value the index was written with) so
+    term-stats pruning survives erasure maintenance.
     """
     import os
 
@@ -354,9 +365,6 @@ def forget_from_lexical_index(
     ids = sorted(set(doc_ids))
     if not ids:
         return
-    # the forgotten index serves LESS than any stamped corpus — drop
-    # the idempotency stamp before mutating (the freshness protocol)
-    invalidate_stamp(path)
     doclen_t = ManifestTable(os.path.join(path, _DOCLEN))
     gone = (
         doclen_t.read(spark)
@@ -367,6 +375,18 @@ def forget_from_lexical_index(
         )
         .first()
     )
+    if strict and int(gone["n_dl"]) != len(ids):
+        raise ValueError(
+            f"forget_from_lexical_index: {len(ids) - int(gone['n_dl'])} of "
+            f"{len(ids)} ids have no doclen row — never ingested, already "
+            "forgotten, or zero-token docs. Decrementing n_docs for them "
+            "would corrupt BM25's N. Pass strict=False ONLY if the caller "
+            "holds the membership invariant itself (e.g. the curation "
+            "plan's cluster registry) and the gap is all zero-token docs."
+        )
+    # the forgotten index serves LESS than any stamped corpus — drop
+    # the idempotency stamp before mutating (the freshness protocol)
+    invalidate_stamp(path)
     neg = spark.createDataFrame(
         [(-len(ids), -int(gone["sum_dl"]), -int(gone["n_dl"]))],
         "n_docs long, sum_dl long, n_dl long",
@@ -377,10 +397,16 @@ def forget_from_lexical_index(
     stats_t = ManifestTable(os.path.join(path, _LEX_STATS))
     stats_t.append_with_retry(neg.coalesce(1), max_attempts=max_attempts)
     if physical:
-        # keep the term clustering through the rewrite so query probes
-        # stay stats-pruned after erasure maintenance
-        for t, cl in ((post_t, ["term"]), (doclen_t, None), (stats_t, None)):
-            t.compact(spark, cluster_by=cl)
+        # keep the term clustering AND the build's file-count layout
+        # through the rewrite so query probes stay stats-pruned after
+        # erasure maintenance (a byte-targeted compact would collapse a
+        # small postings table to one file and un-prune every probe)
+        for t, cl, nf in (
+            (post_t, ["term"], n_files),
+            (doclen_t, None, None),
+            (stats_t, None, None),
+        ):
+            t.compact(spark, cluster_by=cl, n_files=nf)
             t.expire(keep_last=1)
             t.vacuum(older_than_s=0.0)
 

@@ -811,6 +811,53 @@ def kmeans_assign(
     return (final, centroids) if with_centroids else final
 
 
+def assign_with_centroids(
+    emb: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest FROZEN centroid — the
+    serve-time half of `kmeans_assign`, factored out so every consumer
+    of a trained coarse quantizer (IVF-PQ index appends/forgets, the
+    frozen-centroid SemDeDup twin) routes through the IDENTICAL kernel:
+    float64 squared-L2, numpy argmin's first-minimum = lowest-cluster
+    tie-break, centroids riding in the closure (k·dim doubles — tiny).
+    One Arrow-batched narrow pass, no shuffle. ``centroids`` is a
+    (k, dim) float64 ndarray (e.g. `kmeans_assign(with_centroids=True)`
+    output, or a persisted index's ``_quantizer`` table). Returns
+    (id_col, cluster)."""
+
+    def assign_fn(cents_arr):
+        Cc = cents_arr.copy()
+
+        def go(it):
+            import numpy as _np
+            import pandas as _pd
+
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                M = _np.array(list(pdf["v"]), dtype=_np.float64)
+                d2 = ((M[:, None, :] - Cc[None, :, :]) ** 2).sum(axis=2)
+                cl = d2.argmin(axis=1)  # first-min → lowest-cluster tie-break
+                yield _pd.DataFrame(
+                    {"id": pdf["id"].to_numpy(), "cluster": cl.astype("int32")}
+                )
+
+        return go
+
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    narrow = emb.select(
+        F.col(id_col).alias("id"), F.col(emb_col).cast("array<double>").alias("v")
+    )
+    return narrow.mapInPandas(assign_fn(cents), "id bigint, cluster int").select(
+        F.col("id").alias(id_col), "cluster"
+    )
+
+
 def pq_train_codes(
     emb: DataFrame,
     m: int = 8,
@@ -1175,6 +1222,7 @@ def semdedup(
     emb_col: str = "embedding",
     target_cell_rows: int | None = None,
     sample_n: int | None = None,
+    centroids=None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster the
@@ -1204,13 +1252,24 @@ def semdedup(
     engine-reproducible; zero-norm vectors are excluded with the usual
     `with_quantized` cosine-domain contract.
 
+    ``centroids`` (a (k, dim) float64 ndarray) REPLACES the Lloyd
+    training with frozen-quantizer assignment (`assign_with_centroids`)
+    — the production serve-time shape, and the alignment knob for the
+    incremental-ingest equivalence contract: batch and incremental must
+    bucket with the SAME frozen cells (the `probe_weights` precedent)
+    for the within-cell pair decision to be a pure per-pair function.
+    ``k``/``target_cell_rows``/``sample_n`` are ignored when it is set.
+
     Returns (id_col, cluster, is_dup, dup_of)."""
-    if target_cell_rows is not None:
-        n = emb.count()  # O(1) driver scalar (d24 precedent)
-        k = max(1, -(-n // int(target_cell_rows)))
-    assign = kmeans_assign(
-        emb, k=k, max_iter=max_iter, id_col=id_col, emb_col=emb_col, sample_n=sample_n
-    ).select(id_col, "cluster")
+    if centroids is not None:
+        assign = assign_with_centroids(emb, centroids, id_col=id_col, emb_col=emb_col)
+    else:
+        if target_cell_rows is not None:
+            n = emb.count()  # O(1) driver scalar (d24 precedent)
+            k = max(1, -(-n // int(target_cell_rows)))
+        assign = kmeans_assign(
+            emb, k=k, max_iter=max_iter, id_col=id_col, emb_col=emb_col, sample_n=sample_n
+        ).select(id_col, "cluster")
     base = (
         with_quantized(emb, emb_col)
         .join(assign, id_col)

@@ -105,6 +105,7 @@ def curate_corpus(
     semantic_dedup: bool = False,
     semantic_threshold: float = 0.35,
     semantic_target_cell_rows: int = 100,
+    semantic_centroids=None,
     probe_gate: bool = False,
     probe_iters: int = 20,
     probe_weights: list[int] | None = None,
@@ -123,6 +124,13 @@ def curate_corpus(
     zero-norm one) pass through unjudged — absence of evidence keeps a
     doc. OFF by default: the stage requires the embeddings table and
     the registered d35 pins the 6-stage composition.
+    ``semantic_centroids`` (implies nothing about the flag — pass
+    ``semantic_dedup=True`` with it) replaces the stage's Lloyd
+    training with FROZEN-quantizer assignment: the alignment knob for
+    the incremental-ingest equivalence contract, exactly like
+    ``probe_weights`` — both sides must bucket with the same persisted
+    coarse quantizer for the within-cell pair verdicts to be pure
+    per-pair functions of the union corpus.
 
     ``probe_gate=True`` inserts the TRAINED-classifier filter (d48's
     kernel, `operators/quality.probe_scored_sampling`) after the
@@ -201,6 +209,7 @@ def curate_corpus(
             survivors_emb,
             threshold=semantic_threshold,
             target_cell_rows=semantic_target_cell_rows,
+            centroids=semantic_centroids,
         )
         sem_dups = sem.filter(F.col("is_dup")).select(
             F.col("vec_id").alias("doc_id")

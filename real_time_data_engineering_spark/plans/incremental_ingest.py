@@ -10,6 +10,10 @@ shard through the whole ladder at per-shard cost:
 
     shard → d45 fingerprint-registry probe   (exact dedup, no corpus text)
           → d46 MinHash-band index probe     (near-dup, corpus shingled once ever)
+          → SEMANTIC dedup, index-served     (frozen coarse-quantizer cells,
+                                              exact within-cell cosine at the
+                                              s9/s19 0.35 radius — r8 verdict
+                                              item 1, the ladder's last rung)
           → heuristic gates (Gopher + repetition, per-doc)
           → d47/d48 FROZEN probe gate        (weights served from the registry)
           → d44 index-served phrase decontam (postings probe + exact verify)
@@ -27,6 +31,14 @@ of the union corpus). The mechanism per stage:
 
 * exact: the registry keeper is MIN-associative over append deltas, so
   the read-time keeper equals the batch min-id keeper.
+* semantic: cell assignment is FROZEN (the bootstrap-trained coarse
+  quantizer both sides bucket with — the `probe_weights` alignment
+  precedent), so "same cell ∧ cos ≥ τ ∧ lower id" is a pure per-pair
+  function. Edges are stored for every kept-doc pair that satisfies it
+  (monotone ids mean a new doc can only ever be the HIGHER side, so the
+  edge set is append-only), and the read-time verdict — suppressed iff
+  some edge twin is a CURRENT near-dup keeper — re-evaluates as keepers
+  retire, which is exactly the batch verdict over the union.
 * near-dup: `_clusters` stores (doc_id, root, root_q) rows where the
   root is the cluster keeper under the batch ladder's
   (quality DESC, doc_id ASC) order. That order is a semilattice — a
@@ -82,6 +94,8 @@ _CURATED = "_curated"
 _LOG = "_ingest_log"
 _TRAIN_SCORES = "_train_scores"
 _ERASURE_LOG = "_erasure_log"
+_VECTORS = "_vectors"
+_SEMANTIC = "_semantic"
 
 _MINHASH_PARAMS = {"n": 3, "k": 16, "bands": 4}
 
@@ -98,6 +112,8 @@ def _paths(state_dir: str) -> dict[str, str]:
         "log": os.path.join(state_dir, _LOG),
         "train_scores": os.path.join(state_dir, _TRAIN_SCORES),
         "erasure_log": os.path.join(state_dir, _ERASURE_LOG),
+        "vectors": os.path.join(state_dir, _VECTORS),
+        "semantic": os.path.join(state_dir, _SEMANTIC),
     }
 
 
@@ -113,7 +129,8 @@ class IngestReport:
     n_dup_in_shard: int
     n_kept: int  # near-dup keepers among the new docs
     n_retired: int  # previously-kept keepers this shard defeats
-    n_gate_pass: int  # kept ∧ Gopher ∧ ¬repetitive
+    n_sem_kept: int  # kept ∧ no live semantic twin (== n_kept, rung off)
+    n_gate_pass: int  # semantic ∧ Gopher ∧ ¬repetitive
     n_probe_pass: int  # gate ∧ (frozen-probe accept ∨ eval bypass)
     n_decontam_pass: int  # probe ∧ train-side ∧ ¬phrase-contaminated
 
@@ -126,6 +143,7 @@ class IngestReport:
             "dup_in_shard": self.n_dup_in_shard,
             "neardup_kept": self.n_kept,
             "retired_keepers": self.n_retired,
+            "semantic_keep": self.n_sem_kept,
             "gate_pass": self.n_gate_pass,
             "probe_pass": self.n_probe_pass,
             "decontam_pass": self.n_decontam_pass,
@@ -161,12 +179,31 @@ def ingest_shard(
     ann_cells: int = 4,
     ann_m: int = 4,
     ann_codes: int = 8,
+    semantic: bool | None = None,
+    semantic_threshold: float = 0.35,
 ) -> IngestReport:
     """Take one NEW shard through the whole incremental ladder and
     append survivors + index deltas. First call on an empty state dir
     bootstraps: builds all four indexes from the shard and trains +
     persists the probe (frozen thereafter — FineWeb's
     train-once/apply-to-the-crawl shape).
+
+    ``semantic`` (default: on exactly when ``shard_emb`` is given)
+    inserts the SEMANTIC rung between near-dup keeper selection and the
+    gates — the SemDeDup pipeline position, served INCREMENTALLY from
+    the plan's own dense-index state: each kept doc routes through the
+    bootstrap-frozen coarse quantizer (`_quantizer`, the same cells the
+    s8 index buckets by), its cell's stored survivor vectors are
+    range-scanned at the exact ``semantic_threshold`` cosine radius
+    (s19's kernel over the persisted `_vectors` cell store — only the
+    shard's touched cells are read, stats-pruned), and the resulting
+    (doc, lower-id twin) edges land in `_semantic`. Suppression is
+    READ-TIME: a doc is a semantic dup iff some edge twin is a CURRENT
+    near-dup keeper, so keeper retirement re-evaluates the verdict
+    exactly like one batch `curate_corpus(semantic_dedup=True,
+    semantic_centroids=frozen_centroids(...))` pass over the union
+    (the equivalence test's semantic stage). Requires the bootstrap
+    pass to have provided ``shard_emb`` (it trains the quantizer).
 
     Scale shape per pass: every stage touches SHARD-sized data plus
     index metadata — fingerprints via one shard projection + a
@@ -250,11 +287,17 @@ def ingest_shard(
         cur = spark.createDataFrame([], "doc_id bigint, root bigint, root_q double")
     else:
         cur = clusters_current(spark, state_dir).localCheckpoint(eager=True)
+        # root >= 0 drops erasure tombstones (`forget_docs` re-roots an
+        # erased keeper's members to root=-1): tombstoned members are
+        # retired evidence — quasi-copies of erased content — so they
+        # neither root new clusters nor pull new docs into one (a shared
+        # -1 node would otherwise bridge unrelated erased clusters)
         cross = (
             D.minhash_index_probe(spark, new_docs, p["minhash"], **_MINHASH_PARAMS, parts=parts)
             .select("new_id", "old_id")
             .distinct()
             .join(cur.select(F.col("doc_id").alias("old_id"), "root"), "old_id")
+            .filter(F.col("root") >= 0)
             .select("new_id", F.col("root").alias("old_root"))
             .distinct()
         )
@@ -274,7 +317,11 @@ def ingest_shard(
     comp = D.connected_components(edges).select("node", "cluster_id")
     q_new = _quality_score(new_docs).localCheckpoint(eager=True)
 
-    old_roots = cur.select(F.col("root").alias("node"), F.col("root_q").alias("q")).distinct()
+    old_roots = (
+        cur.filter(F.col("root") >= 0)  # erasure tombstones are not roots
+        .select(F.col("root").alias("node"), F.col("root_q").alias("q"))
+        .distinct()
+    )
     members = (
         q_new.select(F.col("doc_id").alias("node"), F.col("quality_score").alias("q"))
         .unionByName(old_roots)
@@ -338,6 +385,34 @@ def ingest_shard(
         shard_rows.filter(F.col("root") == F.col("doc_id")).select("doc_id"), "doc_id"
     ).localCheckpoint(eager=True)
 
+    # ---- dense index (serving ANN over the exact-unique corpus).
+    # BEFORE the semantic rung: the bootstrap write trains the frozen
+    # coarse quantizer (`_quantizer`) the semantic probe routes through.
+    if shard_emb is not None:
+        from ..operators.ann_index import append_to_ivfpq_index, write_ivfpq_index
+
+        emb_new = shard_emb.join(
+            new_docs.select(F.col("doc_id").alias("vec_id")), "vec_id"
+        )
+        if bootstrap:
+            write_ivfpq_index(
+                emb_new, p["ann"], n_cells=ann_cells, m=ann_m, k_codes=ann_codes,
+                manifest_codes=True,
+            )
+        else:
+            append_to_ivfpq_index(spark, p["ann"], emb_new)
+
+    # ---- rung 2b: SEMANTIC dedup, index-served (see docstring)
+    if semantic is None:
+        semantic = shard_emb is not None
+    if semantic:
+        pass_sem_ids = _semantic_ingest(
+            spark, state_dir, kept, shard_emb, semantic_threshold, bootstrap
+        )
+    else:
+        pass_sem_ids = kept.select("doc_id").localCheckpoint(eager=True)
+    n_sem_kept = pass_sem_ids.count()
+
     # ---- gates: Gopher + repetition (per-doc heuristics)
     gates = (
         kept.join(gopher_quality_rules(kept).select("doc_id", "passes_gopher"), "doc_id")
@@ -351,9 +426,13 @@ def ingest_shard(
         )
     )
 
-    # ---- probe gate: train+freeze at bootstrap, serve frozen after
+    # ---- probe gate: train+freeze at bootstrap, serve frozen after.
+    # The training corpus is the gates' own input — the semantic
+    # survivors — matching the batch ladder's probe position.
     if bootstrap:
-        gate_pass_docs = kept.join(gates.filter("passes_gates").select("doc_id"), "doc_id")
+        gate_pass_docs = kept.join(pass_sem_ids, "doc_id").join(
+            gates.filter("passes_gates").select("doc_id"), "doc_id"
+        )
         weights, _scored = train_quality_probe(gate_pass_docs, iters=probe_iters, lr_den=1)
         save_probe(spark, p["probe"], weights, meta={"iters": probe_iters, "lr_den": 1})
         ManifestTable(p["train_scores"]).write(
@@ -407,31 +486,21 @@ def ingest_shard(
     else:
         curated_t.append_with_retry(flags, cluster_by=["doc_id"])
 
-    # ---- dense index (serving ANN over the exact-unique corpus)
-    if shard_emb is not None:
-        from ..operators.ann_index import append_to_ivfpq_index, write_ivfpq_index
-
-        emb_new = shard_emb.join(
-            new_docs.select(F.col("doc_id").alias("vec_id")), "vec_id"
-        )
-        if bootstrap:
-            write_ivfpq_index(
-                emb_new, p["ann"], n_cells=ann_cells, m=ann_m, k_codes=ann_codes,
-                manifest_codes=True,
-            )
-        else:
-            append_to_ivfpq_index(spark, p["ann"], emb_new)
-
-    # ---- funnel counts + persisted log row
+    # ---- funnel counts + persisted log row (the gate/probe/decontam
+    # stages count within this pass's SEMANTIC survivors, matching the
+    # batch funnel's stage order; the flags themselves are stored for
+    # every kept doc — per-doc pure — so read-time re-filtering under a
+    # later semantic/keeper change needs no recompute)
     by_status = {
         r["status"]: r["n"]
         for r in classified.groupBy("status").agg(F.count("*").alias("n")).collect()
     }
-    n_gate = flags.filter("passes_gates").count()
-    n_probe = flags.filter(
+    sem_flags = flags.join(pass_sem_ids, "doc_id")
+    n_gate = sem_flags.filter("passes_gates").count()
+    n_probe = sem_flags.filter(
         F.col("passes_gates") & (F.col("probe_accepted") | F.col("is_eval"))
     ).count()
-    n_decon = flags.filter(
+    n_decon = sem_flags.filter(
         F.col("passes_gates")
         & (F.col("probe_accepted") | F.col("is_eval"))
         & ~F.col("is_eval")
@@ -445,6 +514,7 @@ def ingest_shard(
         n_dup_in_shard=int(by_status.get("dup_in_shard", 0)),
         n_kept=kept.count(),
         n_retired=int(n_retired),
+        n_sem_kept=int(n_sem_kept),
         n_gate_pass=int(n_gate),
         n_probe_pass=int(n_probe),
         n_decontam_pass=int(n_decon),
@@ -454,13 +524,13 @@ def ingest_shard(
             (
                 pass_id, n_raw, lo, int(mm["hi"]), report.n_new,
                 report.n_dup_of_corpus, report.n_dup_in_shard, report.n_kept,
-                report.n_retired, report.n_gate_pass, report.n_probe_pass,
-                report.n_decontam_pass,
+                report.n_retired, report.n_sem_kept, report.n_gate_pass,
+                report.n_probe_pass, report.n_decontam_pass,
             )
         ],
         "pass_id long, n_raw long, min_doc_id long, max_doc_id long, n_new long, "
         "n_dup_of_corpus long, n_dup_in_shard long, n_kept long, n_retired long, "
-        "n_gate_pass long, n_probe_pass long, n_decontam_pass long",
+        "n_sem_kept long, n_gate_pass long, n_probe_pass long, n_decontam_pass long",
     )
     if bootstrap:
         log_t.write(row.coalesce(1))
@@ -469,20 +539,186 @@ def ingest_shard(
     return report
 
 
+def frozen_centroids(spark: SparkSession, state_dir: str):
+    """The bootstrap-trained coarse quantizer (the plan's IVF-PQ
+    ``_quantizer`` table) as a (k, dim) float64 ndarray — the alignment
+    input for ``curate_corpus(semantic_centroids=...)`` so batch and
+    incremental bucket the semantic stage with the SAME frozen cells
+    (the `probe_weights` precedent)."""
+    import numpy as np
+
+    q = spark.read.parquet(os.path.join(_paths(state_dir)["ann"], "_quantizer"))
+    return np.array(
+        [r.cent_f for r in q.orderBy("cluster").collect()], dtype=np.float64
+    )
+
+
+def _semantic_ingest(
+    spark: SparkSession,
+    state_dir: str,
+    kept: DataFrame,
+    shard_emb: DataFrame | None,
+    threshold: float,
+    bootstrap: bool,
+) -> DataFrame:
+    """The semantic rung's per-pass work: route this pass's kept docs
+    through the FROZEN coarse quantizer, range-scan ONLY their cells of
+    the persisted `_vectors` survivor store at the exact quantized
+    cosine radius (s19's kernel, index-served), append the
+    (doc_id, lower-id twin) edges + this pass's vectors, and return the
+    pass's semantic survivors (kept docs with no live twin).
+
+    Scale shape: the shard side is broadcast into an equi-join on the
+    cell key (a daily shard ≪ the corpus; a shuffle join on the
+    low-cardinality cell column would skew instead), the corpus side is
+    the stats-pruned read of the touched cells' files only, and the
+    within-shard half self-joins on the same cell key — per-pass pair
+    work is exactly SemDeDup's Σ|shard∩cell|·|cell|, linear in the
+    shard. Monotone ids make the edge relation append-only (a new doc
+    is always the HIGHER side), and zero-norm / embedding-less docs
+    pass through unjudged on both engines (the `with_quantized` /
+    inner-join contract the batch stage shares)."""
+    import numpy as np
+
+    from ..operators.similarity import (
+        assign_with_centroids,
+        cosine_q,
+        dot_q,
+        with_quantized,
+    )
+
+    p = _paths(state_dir)
+    if shard_emb is None:
+        raise ValueError("ingest_shard: the semantic rung needs shard_emb")
+    quant_dir = os.path.join(p["ann"], "_quantizer")
+    if not os.path.isdir(quant_dir):
+        raise ValueError(
+            "ingest_shard: the semantic rung serves from the IVF-PQ coarse "
+            "quantizer trained at bootstrap — the bootstrap pass must have "
+            "provided shard_emb"
+        )
+    cents = np.array(
+        [r.cent_f for r in spark.read.parquet(quant_dir).orderBy("cluster").collect()],
+        dtype=np.float64,
+    )
+    kept_emb = shard_emb.join(
+        kept.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    )
+    assign = assign_with_centroids(kept_emb, cents)
+    new_vecs = (
+        with_quantized(kept_emb, "embedding")
+        .join(assign, "vec_id")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cell"),
+            "emb_q",
+            "norm_q",
+        )
+        .localCheckpoint(eager=True)  # 3 consumers: within, cross, the append
+    )
+    a = new_vecs.select(
+        "cell",
+        F.col("vec_id").alias("doc_id"),
+        F.col("emb_q").alias("a_emb"),
+        F.col("norm_q").alias("a_norm"),
+    )
+    close = F.col("_cos") >= F.lit(threshold)
+    within = (
+        a.join(
+            new_vecs.select(
+                "cell",
+                F.col("vec_id").alias("twin"),
+                F.col("emb_q").alias("b_emb"),
+                F.col("norm_q").alias("b_norm"),
+            ),
+            "cell",
+        )
+        .filter(F.col("twin") < F.col("doc_id"))
+        .withColumn(
+            "_cos",
+            cosine_q(dot_q(F.col("a_emb"), F.col("b_emb")), F.col("a_norm"), F.col("b_norm")),
+        )
+        .filter(close)
+        .select("doc_id", "twin")
+    )
+    vec_t = ManifestTable(p["vectors"])
+    if bootstrap:
+        edges = within
+    else:
+        # the touched-cell list is an O(n_cells) driver scalar
+        cells = sorted(int(r.cell) for r in new_vecs.select("cell").distinct().collect())
+        old = vec_t.read_any_of(spark, "cell", cells).select(
+            "cell",
+            F.col("vec_id").alias("twin"),
+            F.col("emb_q").alias("b_emb"),
+            F.col("norm_q").alias("b_norm"),
+        )
+        cross = (
+            old.join(F.broadcast(a), "cell")
+            .filter(F.col("twin") < F.col("doc_id"))
+            .withColumn(
+                "_cos",
+                cosine_q(
+                    dot_q(F.col("a_emb"), F.col("b_emb")), F.col("a_norm"), F.col("b_norm")
+                ),
+            )
+            .filter(close)
+            .select("doc_id", "twin")
+        )
+        edges = within.unionByName(cross)
+    edges = edges.localCheckpoint(eager=True)  # consumed by append + the verdict
+    sem_t = ManifestTable(p["semantic"])
+    if bootstrap:
+        sem_t.write(edges, cluster_by=["doc_id"])
+        vec_t.write(new_vecs, cluster_by=["cell"])
+    else:
+        sem_t.append_with_retry(edges, cluster_by=["doc_id"])
+        vec_t.append_with_retry(new_vecs, cluster_by=["cell"])
+    # this pass's semantic survivors: kept docs with no edge to a twin
+    # that is a CURRENT near-dup keeper (post-append cluster state)
+    kept_now = (
+        clusters_current(spark, state_dir)
+        .filter(F.col("root") == F.col("doc_id"))
+        .select(F.col("doc_id").alias("twin"))
+    )
+    suppressed = edges.join(kept_now, "twin").select("doc_id").distinct()
+    return (
+        kept.select("doc_id")
+        .join(suppressed, "doc_id", "left_anti")
+        .localCheckpoint(eager=True)  # consumers: count, probe training, flag counts
+    )
+
+
 def stage_sets(spark: SparkSession, state_dir: str) -> dict[str, DataFrame]:
     """Read-time per-stage doc-id sets over the curated state — the
     frames the batch `CurationRun` exposes, derived from appended
-    deltas only (the equivalence-test surface)."""
+    deltas only (the equivalence-test surface). The semantic verdict is
+    evaluated HERE, not frozen at ingest: a doc is a semantic dup iff
+    some stored edge twin is a current near-dup keeper — so keeper
+    retirement (or twin erasure) re-opens the doc exactly like a batch
+    rebuild over the survivors would."""
     p = _paths(state_dir)
     cur = clusters_current(spark, state_dir)
     kept_ids = cur.filter(F.col("root") == F.col("doc_id")).select("doc_id")
-    flags = ManifestTable(p["curated"]).read(spark).join(kept_ids, "doc_id")
+    sem_t = ManifestTable(p["semantic"])
+    if sem_t.versions():
+        live = (
+            sem_t.read(spark)
+            .join(kept_ids.select(F.col("doc_id").alias("twin")), "twin")
+            .select("doc_id")
+            .distinct()
+        )
+        sem_ids = kept_ids.join(live, "doc_id", "left_anti")
+    else:
+        sem_ids = kept_ids
+    flags = ManifestTable(p["curated"]).read(spark).join(sem_ids, "doc_id")
     gate = flags.filter("passes_gates")
     probe = gate.filter(F.col("probe_accepted") | F.col("is_eval"))
     decon = probe.filter(~F.col("is_eval") & ~F.col("is_contaminated"))
     return {
         "exact_unique": cur.select("doc_id"),
         "neardup_keep": kept_ids,
+        "semantic_keep": sem_ids,
         "quality_pass": gate.select("doc_id"),
         "probe_keep": probe.select("doc_id"),
         "decontaminated": decon.select("doc_id"),
@@ -559,16 +795,26 @@ def forget_docs(
     * s8 IVF-PQ index — the doc's PQ code rows deleted (FAISS
       remove_ids semantics; pass ``vectors`` to also decrement the
       routing sums exactly).
+    * ``_vectors`` / ``_semantic`` (the semantic rung's state) — the
+      doc's stored quantized embedding and every semantic edge naming
+      it on EITHER side are deleted; a survivor whose only semantic
+      twin is erased serves again (rebuild-over-survivors semantics —
+      see the inline note for why this differs from near-dup members).
     * ``_clusters`` / ``_curated`` / ``_train_scores`` — the doc's
       membership, flag and score rows deleted. Cluster members that
       were deduplicated AGAINST an erased keeper stay suppressed
       (conservative: near-duplicates of erased content are quasi-copies
-      of it; a fresh ingest of such content is judged on its own).
+      of it; a fresh ingest of such content is judged on its own) — but
+      their rows are RE-ROOTED to a -1 tombstone so the erased id (and
+      its quality score) disappears from the ``root``/``root_q``
+      columns too, not just from ``doc_id``.
     * ``_ingest_log`` — untouched: aggregate funnel counts carry no
       per-document data.
-    * ``_erasure_log`` — gains one row per erased id (the GDPR Art. 30
-      record of processing: WHAT was erased, whether physically, and
-      the total derived rows removed — no document content).
+    * ``_erasure_log`` — gains ONE summary row per call (the GDPR
+      Art. 30 record of processing: the requested ids, per-surface
+      erased-row counts, whether physical — no document content). The
+      ``erasure_id`` is the row's CAS-committed manifest version, so
+      concurrent erasures always mint distinct ids.
 
     Idempotent: forgetting already-forgotten ids erases zero rows and
     appends a zero-count audit entry. Rectification (a content EDIT)
@@ -647,7 +893,13 @@ def forget_docs(
     if present:
         forget_fingerprint_registry(spark, p["exact"], present, physical=physical)
         forget_from_minhash_index(spark, p["minhash"], present, physical=physical)
-        forget_from_lexical_index(spark, p["lexical"], present, physical=physical)
+        # strict=False: `present` is exact membership knowledge from the
+        # cluster registry (every exact-unique doc was lexically indexed
+        # exactly once, including zero-token docs the doclen relation
+        # lawfully lacks a row for) — the documented strict-mode escape
+        forget_from_lexical_index(
+            spark, p["lexical"], present, physical=physical, strict=False
+        )
         # versions(), not isdir: the audit counter's ManifestTable
         # constructor mkdirs the manifest dir even when no ANN index
         # was ever built (embedding-less ingests)
@@ -656,7 +908,75 @@ def forget_docs(
                 spark, p["ann"], present, vectors=vectors, physical=physical
             )
 
-    for key, col in (("clusters", "doc_id"), ("curated", "doc_id"), ("train_scores", "doc_id")):
+    # semantic-rung state: the doc's stored quantized embedding row and
+    # every semantic edge NAMING it (either side) are deleted. Unlike
+    # near-dup members (lexical quasi-copies, kept suppressed), a doc
+    # whose only semantic twin is erased SERVES AGAIN afterwards:
+    # semantic twins are independent expressions of similar meaning, so
+    # the read view equals a batch rebuild over the survivors (the
+    # d52/s18 rebuild identity — `stage_sets` re-evaluates twin
+    # liveness at read time, no rewrite of surviving rows needed).
+    vec_t = ManifestTable(p["vectors"])
+    if vec_t.versions():
+        audit["vectors"] = _count(vec_t, "vec_id", ids)
+        vec_t.delete_where(spark, [("vec_id", "in", ids)], merge_on_read=True)
+        if physical:
+            vec_t.compact(spark, cluster_by=["cell"])
+            vec_t.expire(keep_last=1)
+            vec_t.vacuum(older_than_s=0.0)
+    sem_t = ManifestTable(p["semantic"])
+    if sem_t.versions():
+        audit["semantic"] = (
+            sem_t.read(spark)
+            .filter(F.col("doc_id").isin(ids) | F.col("twin").isin(ids))
+            .count()
+        )
+        sem_t.delete_where(spark, [("doc_id", "in", ids)], merge_on_read=True)
+        sem_t.delete_where(spark, [("twin", "in", ids)], merge_on_read=True)
+        if physical:
+            sem_t.compact(spark, cluster_by=["doc_id"])
+            sem_t.expire(keep_last=1)
+            sem_t.vacuum(older_than_s=0.0)
+
+    # clusters: the erased doc's OWN rows go, and every row that names
+    # an erased keeper through its `root` column goes too — surviving
+    # members of an erased keeper are re-rooted to the -1 TOMBSTONE
+    # (root_q = +inf, so the semilattice max keeps the tombstone current
+    # forever). Members stay suppressed — near-duplicates of erased
+    # content are quasi-copies of it — but after the rewrite no parquet
+    # file under the state dir retains the erased id in ANY column,
+    # root included, nor the erased keeper's quality score (the
+    # tombstone's +inf carries nothing derived from the document).
+    # Tombstoned members are retired evidence: `ingest_shard` excludes
+    # root=-1 rows from probe edges and root election.
+    if clusters_t.versions():
+        audit["clusters"] = (
+            clusters_t.read(spark)
+            .filter(F.col("doc_id").isin(ids) | F.col("root").isin(ids))
+            .count()
+        )
+        tombstones = (
+            clusters_current(spark, state_dir)
+            .filter(F.col("root").isin(ids) & ~F.col("doc_id").isin(ids))
+            .select(
+                "doc_id",
+                F.lit(-1).cast("long").alias("root"),
+                F.lit(float("inf")).alias("root_q"),
+            )
+            # materialize BEFORE the delete/vacuum below rewrites the
+            # very files this lazy plan would read
+            .localCheckpoint(eager=True)
+        )
+        clusters_t.delete_where(spark, [("doc_id", "in", ids)], merge_on_read=True)
+        clusters_t.delete_where(spark, [("root", "in", ids)], merge_on_read=True)
+        if tombstones.limit(1).count() > 0:
+            clusters_t.append_with_retry(tombstones, cluster_by=["doc_id"])
+        if physical:
+            clusters_t.compact(spark)
+            clusters_t.expire(keep_last=1)
+            clusters_t.vacuum(older_than_s=0.0)
+
+    for key, col in (("curated", "doc_id"), ("train_scores", "doc_id")):
         t = ManifestTable(p[key])
         if not t.versions():
             continue
@@ -667,25 +987,82 @@ def forget_docs(
             t.expire(keep_last=1)
             t.vacuum(older_than_s=0.0)
 
-    # erasure audit trail (GDPR Art. 30 record of processing): one row
-    # per forgotten id per call, CAS-appended so concurrent erasures
-    # each land exactly once. The ids being erased are themselves
-    # lawful audit content (the record of WHAT was erased is the
-    # compliance artifact; it carries no document content).
-    seq = 0
-    log_t = ManifestTable(p["erasure_log"])
-    if log_t.versions():
-        prev = log_t.read(spark).agg(F.max("erasure_id")).first()[0]
-        seq = int(prev) + 1 if prev is not None else 0
-    rows = spark.createDataFrame(
-        [
-            (seq, int(i), bool(physical), sum(audit.values()))
-            for i in ids
-        ],
-        "erasure_id long, doc_id long, physical boolean, rows_erased_total long",
-    )
-    if log_t.versions():
-        log_t.append_with_retry(rows.coalesce(1))
-    else:
-        log_t.write(rows.coalesce(1))
+    # erasure audit trail (GDPR Art. 30 record of processing): ONE
+    # summary row per call — the requested ids, per-surface erased-row
+    # counts, and whether the erasure was physical. The ids being
+    # erased are themselves lawful audit content (the record of WHAT
+    # was erased is the compliance artifact; it carries no document
+    # content).
+    _append_erasure_log(spark, p["erasure_log"], ids, audit, physical)
     return audit
+
+
+#: one summary row per forget_docs call; per-surface columns mirror the
+#: audit dict's keys (0 when a surface had no table / no rows)
+_ERASURE_LOG_SCHEMA = (
+    "erasure_id long, doc_ids array<long>, n_ids long, physical boolean, "
+    "fingerprints long, minhash_bands long, postings long, ann_codes long, "
+    "vectors long, semantic long, clusters long, curated long, "
+    "train_scores long, rows_erased_total long"
+)
+
+
+def _append_erasure_log(
+    spark: SparkSession,
+    log_path: str,
+    ids: list,
+    audit: dict[str, int],
+    physical: bool,
+    max_attempts: int = 5,
+) -> int:
+    """CAS-append one erasure summary row; returns its ``erasure_id``.
+
+    The id IS the manifest version the row commits as — versions are
+    unique per table by the O_EXCL commit, so two CONCURRENT erasures
+    can never mint the same id (the read-max-then-append scheme this
+    replaces could): a loser of the version race rebases on the
+    winner's snapshot, restamps, and retries. Bootstrap commits an
+    EMPTY v1 first so every data row lands through the same append CAS;
+    two concurrent first-ever erasures both attempt it and the loser's
+    CommitConflict is benign (both wanted the same empty table)."""
+    from ..operators.manifest import CommitConflict
+
+    log_t = ManifestTable(log_path)
+    if not log_t.versions():
+        try:
+            log_t.write(spark.createDataFrame([], _ERASURE_LOG_SCHEMA).coalesce(1))
+        except CommitConflict:
+            pass  # a concurrent bootstrap won; append below rebases on it
+    total = int(sum(audit.values()))
+    last: Exception | None = None
+    for _ in range(max_attempts):
+        seq = log_t.snapshot().version + 1  # the version THIS commit lands as
+        row = spark.createDataFrame(
+            [
+                (
+                    seq,
+                    [int(i) for i in ids],
+                    len(ids),
+                    bool(physical),
+                    int(audit.get("fingerprints", 0)),
+                    int(audit.get("minhash_bands", 0)),
+                    int(audit.get("postings", 0)),
+                    int(audit.get("ann_codes", 0)),
+                    int(audit.get("vectors", 0)),
+                    int(audit.get("semantic", 0)),
+                    int(audit.get("clusters", 0)),
+                    int(audit.get("curated", 0)),
+                    int(audit.get("train_scores", 0)),
+                    total,
+                )
+            ],
+            _ERASURE_LOG_SCHEMA,
+        )
+        try:
+            log_t.write(row.coalesce(1), mode="append")
+            return seq
+        except CommitConflict as exc:
+            last = exc  # rebase on the winner's snapshot and restamp
+    raise CommitConflict(
+        f"erasure log append lost the version race {max_attempts} times: {last}"
+    )

@@ -2886,8 +2886,8 @@ def d50_probe_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _D51_STAGES = (
     "shard_raw", "exact_new", "dup_of_corpus", "dup_in_shard",
-    "neardup_kept", "retired_keepers", "gate_pass", "probe_pass",
-    "decontam_pass",
+    "neardup_kept", "retired_keepers", "semantic_keep", "gate_pass",
+    "probe_pass", "decontam_pass",
 )
 
 
@@ -2895,12 +2895,15 @@ _D51_STAGES = (
     "d51_incremental_ingest",
     None,
     doc="Production incremental curation: two consecutive shards pushed "
-    "through all four persisted indexes (d45 exact registry, d46 "
-    "MinHash bands, d42 postings, s8 IVF-PQ codes) plus the frozen d47 "
-    "probe gate and d44 phrase decontam, with cluster re-rooting that "
+    "through all persisted indexes (d45 exact registry, d46 MinHash "
+    "bands, d42 postings, s8 IVF-PQ codes) plus the index-served "
+    "SEMANTIC rung (frozen coarse-quantizer cells, exact 0.35-radius "
+    "within-cell cosine — r8 verdict item 1), the frozen d47 probe "
+    "gate and d44 phrase decontam, with cluster re-rooting that "
     "retires previously-kept keepers a later shard defeats; returns the "
     "persisted per-pass funnel. Incremental ≡ batch equivalence-tested "
-    "per stage (rows-only here, the d35 composition precedent).",
+    "per stage with semantic_dedup=True (rows-only here, the d35 "
+    "composition precedent).",
 )
 def d51_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(pass_id, stage, n) funnel rows for two consecutive shard
@@ -2933,8 +2936,8 @@ def d51_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in reports
         for stage, v in zip(_D51_STAGES, (
             r.n_raw, r.n_new, r.n_dup_of_corpus, r.n_dup_in_shard,
-            r.n_kept, r.n_retired, r.n_gate_pass, r.n_probe_pass,
-            r.n_decontam_pass,
+            r.n_kept, r.n_retired, r.n_sem_kept, r.n_gate_pass,
+            r.n_probe_pass, r.n_decontam_pass,
         ))
     ]
     return spark.createDataFrame(rows, "pass_id bigint, stage string, n bigint")
@@ -3002,7 +3005,7 @@ def d52_bm25_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
         stamp.invalidate()
         write_lexical_index(docs, path, n_files=8)
         forget_from_lexical_index(
-            spark, path, list(_D52_FORGET_IDS), physical=True
+            spark, path, list(_D52_FORGET_IDS), physical=True, n_files=8
         )
         stamp.write()
     q = bm25_literal_queries(spark, _BM25_QUERY_TERMS)

@@ -1446,3 +1446,152 @@ def s19_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(qid, nid, cosine) for every pair at or above the 0.35 radius."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.cosine_range(emb, F.col("vec_id") < _N_QUERIES, threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# s20 — INDEX-SERVED range search (r8 verdict item 2): s19's scale twin,
+# the FAISS range_search over an IVF index. s19 is the exact brute-force
+# baseline (linear in the corpus per query set); the 100 TB shape is:
+# route each query to its n_probe cells, ADC-prefilter the probed
+# candidates at a radius τ′ IN THE QUANTIZED-L2 DOMAIN (unit-norm
+# embeddings: ‖a−b‖² = 2−2cos, so the 1.6e12 limit is the cos ≈ 0.2
+# ball — slack under τ = 0.35 that PQ error must exceed to drop a true
+# neighbor), then exact-refine just the survivors against raw vectors
+# (the s14 pattern applied to a radius). Emitted pairs are EXACT; only
+# completeness is approximate — and s21 measures it (the s7 precedent).
+# Oracle: the verified s8 chain's s8scored (ALL probed candidates'
+# est_dist) + the same ADC filter + the exact quantized-cosine tail —
+# every stage mirrored, so the row set value-checks bit-for-bit.
+# ---------------------------------------------------------------------------
+_S20_ADC_LIMIT = 1_600_000_000_000
+
+_S20_TAIL = f""", rq AS MATERIALIZED (
+  SELECT qid, nid FROM s8scored WHERE est_dist <= {_S20_ADC_LIMIT}
+), rdot AS MATERIALIZED (
+  SELECT r.qid, r.nid, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+  FROM rq r
+  JOIN xu a ON a.vec_id = r.qid
+  JOIN xu b ON b.vec_id = r.nid AND b.i = a.i
+  GROUP BY 1, 2
+), rapprox AS MATERIALIZED (
+  SELECT d.qid, d.nid,
+         CAST(d.dot AS DOUBLE)
+             / (sqrt(CAST(na.norm_q AS DOUBLE)) * sqrt(CAST(nb.norm_q AS DOUBLE))) AS cosine
+  FROM rdot d
+  JOIN norms na ON na.vec_id = d.qid
+  JOIN norms nb ON nb.vec_id = d.nid
+  WHERE CAST(d.dot AS DOUBLE)
+        / (sqrt(CAST(na.norm_q AS DOUBLE)) * sqrt(CAST(nb.norm_q AS DOUBLE))) >= 0.35
+)"""
+
+_S20_ORACLE = (
+    _s8_chain(_N_QUERIES)
+    + _S20_TAIL
+    + """
+SELECT qid, nid, cosine FROM rapprox
+"""
+)
+
+
+def _s20_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build/reuse the persisted IVF-PQ index (the s11/s13/s14 path +
+    parameters, fingerprint-gated) and range-probe it at the 0.35
+    radius for the 20-query block."""
+    from ..operators.ann_index import ivfpq_index_range, write_ivfpq_index
+    from . import work_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = work_dir("s11_ivfpq", sf_dir)
+    write_ivfpq_index(
+        emb, path, n_cells=10, m=8, k_codes=16, pq_iter=5, km_iter=10,
+        skip_if_current=True,
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return ivfpq_index_range(
+        spark, path, queries, emb, threshold=0.35, adc_limit=_S20_ADC_LIMIT,
+        n_probe=2, exclude_self=True,
+    )
+
+
+@register(
+    "s20_range_search_ivf",
+    _S20_ORACLE,
+    doc="Index-served range search (FAISS range_search over IVF — s19's "
+    "scale twin): route to 2 of 10 cells, ADC-prefilter the probed "
+    "candidates at the 1.6e12 quantized-L2 radius (the cos~0.2 ball "
+    "for unit-norm vectors), exact-refine only the survivors at "
+    "cos >= 0.35. Every emitted pair is exact; completeness is "
+    "measured by s21. Oracle composes the verified s8 chain with the "
+    "identical ADC filter + exact-cosine tail.",
+)
+def s20_range_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, nid, cosine) at the 0.35 radius, served from the persisted
+    IVF-PQ index: probed cells' codes only, ADC prefilter, exact refine."""
+    return _s20_pairs(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# s21 — recall@τ of the index-served range search vs the exact s19
+# truth (the s7 precedent for radius queries): the accuracy/cost dial
+# an IVF range deployment is tuned by. s20's output is a SUBSET of the
+# exact truth by construction (its refine stage recomputes the true
+# cosine), so per-query recall = |index pairs| / |exact pairs| — both
+# sides already verified chains; queries with no exact neighbor at the
+# radius drop out (no denominator) on both engines identically.
+# Measured at sf0.01: micro-recall 17/25 at n_probe=2, 25/25 at
+# n_probe=10, IDENTICAL at a 6x-looser ADC limit — every miss is a
+# routing miss (the n_probe dial, s7's finding), never the prefilter.
+# ---------------------------------------------------------------------------
+_S21_ORACLE = (
+    _s8_chain(_N_QUERIES)
+    + _S20_TAIL
+    + """, rexd AS MATERIALIZED (
+  SELECT a.vec_id AS qid, b.vec_id AS nid, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+  FROM xu a
+  JOIN xu b ON b.i = a.i AND b.vec_id <> a.vec_id
+  WHERE a.vec_id < 20
+  GROUP BY 1, 2
+), rexact AS MATERIALIZED (
+  SELECT d.qid, d.nid
+  FROM rexd d
+  JOIN norms na ON na.vec_id = d.qid
+  JOIN norms nb ON nb.vec_id = d.nid
+  WHERE CAST(d.dot AS DOUBLE)
+        / (sqrt(CAST(na.norm_q AS DOUBLE)) * sqrt(CAST(nb.norm_q AS DOUBLE))) >= 0.35
+)
+SELECT e.qid,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COUNT(x.nid) AS BIGINT) AS n_index,
+       CAST(COUNT(x.nid) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall_at_tau
+FROM rexact e
+LEFT JOIN rapprox x ON x.qid = e.qid AND x.nid = e.nid
+GROUP BY 1
+"""
+)
+
+
+@register(
+    "s21_range_recall",
+    _S21_ORACLE,
+    doc="Per-query recall@tau of the index-served range search (s20) "
+    "against the exact range truth (s19's kernel) — the radius "
+    "analogue of s7's recall@5. s20 emits a subset of the truth by "
+    "construction, so recall = index pairs / exact pairs per query; "
+    "oracle composes the two verified chains.",
+)
+def s21_range_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, n_exact, n_index, recall_at_tau) per query with at least
+    one exact neighbor at the 0.35 radius."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = S.cosine_range(emb, F.col("vec_id") < _N_QUERIES, threshold=0.35).select(
+        "qid", "nid"
+    )
+    approx = _s20_pairs(spark, sf_dir).select("qid", "nid")
+    hits = exact.join(approx.withColumn("_hit", F.lit(1)), ["qid", "nid"], "left")
+    return hits.groupBy("qid").agg(
+        F.count("*").alias("n_exact"),
+        F.count("_hit").alias("n_index"),
+        (F.count("_hit").cast("double") / F.count("*").cast("double")).alias(
+            "recall_at_tau"
+        ),
+    )

@@ -248,6 +248,120 @@ def test_ivfpq_forget_excludes_erased_and_decrements_routing(spark, tmp_path):
     assert not set(gone) & _parquet_ids_under(os.path.join(path, "codes"), "vec_id")
 
 
+def test_lexical_double_forget_raises_instead_of_corrupting_n(
+    spark, documents, tmp_path
+):
+    """Forgetting an id with no doclen row (double-forget / never
+    ingested) must RAISE at the decrement site under the default strict
+    mode — a silent −1 on n_docs would skew every later idf."""
+    from real_time_data_engineering_spark.operators.retrieval import (
+        forget_from_lexical_index,
+        write_lexical_index,
+    )
+
+    path = str(tmp_path / "lex")
+    write_lexical_index(documents, path, n_files=4)
+    forget_from_lexical_index(spark, path, FORGET_IDS[:2], physical=True)
+    with pytest.raises(ValueError, match="no doclen row"):
+        forget_from_lexical_index(spark, path, FORGET_IDS[:2])  # double
+    with pytest.raises(ValueError, match="no doclen row"):
+        forget_from_lexical_index(spark, path, [987_654])  # never ingested
+    # stats untouched by the refused calls: N reflects exactly one forget
+    stats = (
+        ManifestTable(os.path.join(path, "_stats"))
+        .read(spark)
+        .agg(F.sum("n_docs"))
+        .first()[0]
+    )
+    assert int(stats) == documents.count() - 2
+
+
+def test_lexical_forget_physical_keeps_postings_layout(
+    spark, documents, tmp_path
+):
+    """The erasure rewrite must preserve the build's n_files postings
+    layout (term clustering + file count), not collapse to one file —
+    collapsed files un-prune every later term probe."""
+    from real_time_data_engineering_spark.operators.retrieval import (
+        forget_from_lexical_index,
+        write_lexical_index,
+    )
+
+    path = str(tmp_path / "lex")
+    write_lexical_index(documents, path, n_files=4)
+    forget_from_lexical_index(
+        spark, path, FORGET_IDS, physical=True, n_files=4
+    )
+    post_t = ManifestTable(os.path.join(path, "postings"))
+    assert len(post_t.snapshot().files) == 4
+
+
+def test_ivfpq_forget_ignores_ids_without_codes(spark, tmp_path):
+    """Mixed-ingest safety (ADVICE r8): forgetting ids the index never
+    saw — with `vectors` covering them — must not corrupt the routing
+    stats: the negative delta only covers vectors whose codes rows were
+    actually present, so the survivor-sum identity still holds."""
+    from real_time_data_engineering_spark.operators.ann_index import (
+        _routing_stats,
+        forget_from_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    indexed = emb.filter(F.col("vec_id") < 200)
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(indexed, path, n_cells=4, m=4, k_codes=8, manifest_codes=True)
+    before = {
+        (r.cluster, tuple(r.cent_s), r.c)
+        for r in _routing_stats(spark, path).collect()
+    }
+    # ids 300/301 were never indexed (the embedding-less-shard shape);
+    # passing the FULL corpus as `vectors` must still be a no-op for them
+    forget_from_ivfpq_index(spark, path, [300, 301], vectors=emb, physical=True)
+    after = {
+        (r.cluster, tuple(r.cent_s), r.c)
+        for r in _routing_stats(spark, path).collect()
+    }
+    assert after == before
+    # a real forget mixed with phantom ids decrements ONLY the real one
+    forget_from_ivfpq_index(spark, path, [7, 300, 301], vectors=emb, physical=True)
+    # double-forgetting the same mix is again a no-op
+    mid = {
+        (r.cluster, tuple(r.cent_s), r.c)
+        for r in _routing_stats(spark, path).collect()
+    }
+    forget_from_ivfpq_index(spark, path, [7, 300], vectors=emb, physical=True)
+    assert {
+        (r.cluster, tuple(r.cent_s), r.c)
+        for r in _routing_stats(spark, path).collect()
+    } == mid
+    assert 7 not in _parquet_ids_under(os.path.join(path, "codes"), "vec_id")
+
+
+def test_ivfpq_forget_physical_keeps_per_cell_layout(spark, tmp_path):
+    """The erasure rewrite must re-pin one file per live cell so the
+    manifest's per-file cluster stats keep pruning unprobed cells."""
+    from real_time_data_engineering_spark.operators.ann_index import (
+        forget_from_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 300)
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(emb, path, n_cells=4, m=4, k_codes=8, manifest_codes=True)
+    forget_from_ivfpq_index(spark, path, [23, 73], vectors=emb, physical=True)
+    codes_t = ManifestTable(os.path.join(path, "codes"))
+    live_cells = codes_t.read(spark).select("cluster").distinct().count()
+    files = codes_t.snapshot().files
+    # range partitioning may merge adjacent small cells into one file,
+    # but must never collapse to the single unprunable file a
+    # byte-targeted compact would emit
+    assert 1 < len(files) <= live_cells
+    # and the layout actually prunes: one cell's probe admits < all files
+    some_cell = int(codes_t.read(spark).select("cluster").first()[0])
+    assert len(codes_t.files_for([("cluster", "in", [some_cell])])) < len(files)
+
+
 def test_ivfpq_forget_requires_manifest_codes(spark, tmp_path):
     from real_time_data_engineering_spark.operators.ann_index import (
         forget_from_ivfpq_index,
@@ -286,8 +400,9 @@ def test_plan_forget_docs_erases_every_surface(spark, tmp_path):
     # no surface serves the ids any more...
     for stage, df in I.stage_sets(spark, state).items():
         assert not {int(r.doc_id) for r in df.select("doc_id").collect()} & set(gone), stage
-    # ...and no parquet file under the whole state dir still carries them
-    for col in ("doc_id", "vec_id", "keeper"):
+    # ...and no parquet file under the whole state dir still carries
+    # them in ANY id-bearing column — root pointers included
+    for col in ("doc_id", "vec_id", "keeper", "root", "twin"):
         assert not set(gone) & _parquet_ids_under(state, col), col
 
     # erased content re-ingested under fresh ids is judged on its own: new
@@ -346,10 +461,107 @@ def test_plan_forget_docs_is_idempotent_and_dup_safe(spark, tmp_path):
 
     assert scores(I._paths(state)["lexical"]) == scores(rebuilt)
 
-    # audit trail: one row per requested id per call, zero-count rows
-    # recorded for the no-op second pass (the Art. 30 record)
-    log = ManifestTable(I._paths(state)["erasure_log"]).read(spark)
-    assert log.count() == 2 * (len(gone) + 1)
-    assert log.filter(F.col("erasure_id") == 1).agg(
-        F.max("rows_erased_total")
-    ).first()[0] == 0
+    # audit trail: ONE summary row per call with DISTINCT CAS-derived
+    # ids; the no-op second pass records an explicit zero-count entry
+    # (the Art. 30 record), and per-surface counts sum to the total
+    log = sorted(
+        ManifestTable(I._paths(state)["erasure_log"]).read(spark).collect(),
+        key=lambda r: int(r.erasure_id),
+    )
+    assert len(log) == 2
+    assert log[0].erasure_id != log[1].erasure_id
+    for row in log:
+        assert sorted(row.doc_ids) == sorted(gone + [200])
+        assert int(row.n_ids) == len(gone) + 1
+        surfaces = (
+            row.fingerprints + row.minhash_bands + row.postings + row.ann_codes
+            + row.vectors + row.semantic + row.clusters + row.curated
+            + row.train_scores
+        )
+        assert int(row.rows_erased_total) == int(surfaces)
+    assert int(log[0].rows_erased_total) == sum(first.values())
+    assert int(log[1].rows_erased_total) == 0
+
+
+def test_forget_keeper_tombstones_member_root_pointers(spark, tmp_path):
+    """Erasing a near-dup KEEPER must also scrub its id from surviving
+    members' `root` columns (ADVICE r8: the forensics walk now scans
+    `root`): members re-root to the -1 tombstone, stay suppressed, and
+    later ingests neither elect the tombstone nor bridge through it."""
+    from real_time_data_engineering_spark.plans import incremental_ingest as I
+
+    base_text = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the quiet green field before it rests for a while"
+    )
+    rows = [
+        (1, "a", base_text + " zz"),
+        (2, "a", base_text + " qq"),  # near-dup of 1; 1 keeps (min-id tie)
+        (3, "a", "completely unrelated words live here today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    state = str(tmp_path / "state")
+    I.ingest_shard(spark, state, docs)
+    kept = {int(r.doc_id) for r in I.stage_sets(spark, state)["neardup_keep"].collect()}
+    assert kept == {1, 3}  # 2 suppressed under keeper 1
+
+    I.forget_docs(spark, state, [1], physical=True)
+    # the member stays suppressed (quasi-copy of erased content)...
+    after = {int(r.doc_id) for r in I.stage_sets(spark, state)["neardup_keep"].collect()}
+    assert after == {3}
+    # ...and NO column on disk still carries the erased id — root included
+    for col in ("doc_id", "keeper", "root"):
+        assert 1 not in _parquet_ids_under(state, col), col
+    # the tombstone is current for the member and carries no erased score
+    cur = {int(r.doc_id): r for r in I.clusters_current(spark, state).collect()}
+    assert int(cur[2].root) == -1 and cur[2].root_q == float("inf")
+
+    # a later shard near-dup of the SUPPRESSED member is judged on its
+    # own: it neither roots at -1 nor resurrects the member
+    fresh = spark.createDataFrame(
+        [(10, "a", base_text + " rr")], "doc_id long, source string, text string"
+    )
+    I.ingest_shard(spark, state, fresh)
+    final = {int(r.doc_id) for r in I.stage_sets(spark, state)["neardup_keep"].collect()}
+    assert final == {3, 10}
+    cur2 = {int(r.doc_id): int(r.root) for r in I.clusters_current(spark, state).collect()}
+    assert cur2[10] == 10 and cur2[2] == -1
+
+
+def test_erasure_log_ids_are_unique_under_concurrency(spark, tmp_path):
+    """Two (here: four) concurrent forgets must mint DISTINCT erasure
+    ids and each land exactly once — the read-max-then-append scheme
+    this replaced could double-assign an id (r8 verdict item; the id is
+    now the CAS-committed manifest version)."""
+    import threading
+
+    from real_time_data_engineering_spark.plans import incremental_ingest as I
+
+    log_path = str(tmp_path / "_erasure_log")
+    seqs: list[int] = []
+    errors: list[Exception] = []
+    lock = threading.Lock()
+
+    def go(i: int) -> None:
+        try:
+            s = I._append_erasure_log(
+                spark, log_path, [i], {"clusters": i}, True, max_attempts=20
+            )
+            with lock:
+                seqs.append(s)
+        except Exception as exc:  # surface, don't swallow
+            with lock:
+                errors.append(exc)
+
+    threads = [threading.Thread(target=go, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert len(set(seqs)) == 4, seqs
+    rows = ManifestTable(log_path).read(spark).collect()
+    assert len(rows) == 4
+    assert {int(r.erasure_id) for r in rows} == set(seqs)
+    # per-call totals are PER ROW (never a repeated call-wide sum)
+    assert {int(r.rows_erased_total) for r in rows} == {0, 1, 2, 3}

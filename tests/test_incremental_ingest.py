@@ -47,19 +47,24 @@ def state(spark, tmp_path_factory):
 def test_two_pass_ingest_equals_batch_ladder(spark, state):
     """THE equivalence gate: every stage's surviving doc-id set from
     the incremental state read equals the batch curate_corpus over the
-    union, with the batch ladder aligned to the same frozen probe
-    weights and phrase list."""
+    union — SEMANTIC STAGE INCLUDED (r8 verdict item 1: the batch side
+    runs semantic_dedup=True) — with the batch ladder aligned to the
+    same frozen probe weights, frozen coarse quantizer and phrase
+    list."""
     from real_time_data_engineering_spark.operators.quality import load_probe
 
     state_dir, _r1, _r2, _mid = state
     weights = load_probe(spark, I._paths(state_dir)["probe"])
     batch = curate_corpus(
-        spark, SF_DIR, probe_weights=weights, decontam_phrases=PHRASES
+        spark, SF_DIR, probe_weights=weights, decontam_phrases=PHRASES,
+        semantic_dedup=True,
+        semantic_centroids=I.frozen_centroids(spark, state_dir),
     )
     inc = I.stage_sets(spark, state_dir)
     for stage, batch_df in (
         ("exact_unique", batch.exact_unique),
         ("neardup_keep", batch.neardup_keep),
+        ("semantic_keep", batch.semantic_keep),
         ("quality_pass", batch.quality_pass),
         ("probe_keep", batch.probe_keep),
         ("decontaminated", batch.decontaminated),
@@ -69,6 +74,8 @@ def test_two_pass_ingest_equals_batch_ladder(spark, state):
             f"{stage}: inc-only={sorted(got - want)[:10]} "
             f"batch-only={sorted(want - got)[:10]}"
         )
+    # the stage is LIVE at this corpus: it must actually drop something
+    assert _ids(inc["semantic_keep"]) < _ids(inc["neardup_keep"])
 
 
 def test_final_outputs_match_batch(spark, state):
@@ -79,7 +86,9 @@ def test_final_outputs_match_batch(spark, state):
     state_dir = state[0]
     weights = load_probe(spark, I._paths(state_dir)["probe"])
     batch = curate_corpus(
-        spark, SF_DIR, probe_weights=weights, decontam_phrases=PHRASES
+        spark, SF_DIR, probe_weights=weights, decontam_phrases=PHRASES,
+        semantic_dedup=True,
+        semantic_centroids=I.frozen_centroids(spark, state_dir),
     )
     sampled, sharded, accounting = I.curated_outputs(spark, state_dir, n_shards=8)
     want = {(r.doc_id, r.source, r.est_tokens, r.shard) for r in batch.sharded.collect()}
@@ -104,7 +113,10 @@ def test_funnel_rows_are_persisted_and_monotone(spark, state):
     for rep in (r1, r2):
         row = rows[rep.pass_id]
         assert int(row.n_raw) == rep.n_raw
-        seq = [rep.n_raw, rep.n_new, rep.n_kept, rep.n_gate_pass, rep.n_probe_pass]
+        seq = [
+            rep.n_raw, rep.n_new, rep.n_kept, rep.n_sem_kept,
+            rep.n_gate_pass, rep.n_probe_pass,
+        ]
         assert all(a >= b for a, b in zip(seq, seq[1:])), seq
         # the eval bypass can only ever shrink further stages
         assert rep.n_decontam_pass <= rep.n_probe_pass
@@ -164,6 +176,72 @@ def test_bridge_merge_retires_previous_keeper(spark, tmp_path):
     assert kept2 == _ids(batch.neardup_keep)
     if 10 in kept2 and 1 not in kept2:
         assert rep.n_retired == 1
+
+
+def test_semantic_twin_across_passes_suppresses_then_erasure_reopens(
+    spark, tmp_path
+):
+    """A pass-2 doc that is SEMANTICALLY close to a pass-1 keeper (same
+    frozen cell, cos >= 0.35) but lexically unrelated must be caught by
+    the semantic rung — the case every n-gram rung misses — and erasing
+    the twin must re-open it (rebuild-over-survivors semantics),
+    scrubbing the erased id from every on-disk column including
+    `twin`."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    docs8 = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 8)
+    # synthetic near-orthogonal embeddings: doc i -> basis vector e_i
+    dim = 8
+    emb_rows = [(i, [1.0 if j == i else 0.0 for j in range(dim)]) for i in range(8)]
+    emb8 = spark.createDataFrame(emb_rows, "vec_id long, embedding array<float>")
+    state = str(tmp_path / "state")
+    I.ingest_shard(spark, state, docs8, emb8, phrases=PHRASES)
+
+    # pass 2: lexically UNRELATED text (custom vocabulary — the synthetic
+    # corpus shares token pools, so a corpus text would near-dup collide),
+    # embedding ~ e_0 (doc 0's semantic twin)
+    fresh = spark.createDataFrame(
+        [(
+            100,
+            "granite rivers wander beneath amber cliffs while distant "
+            "glaciers carve silent valleys toward the waiting sea",
+            "a",
+            "en",
+        )],
+        "doc_id long, text string, source string, lang string",
+    )
+    femb = spark.createDataFrame(
+        [(100, [0.95 if j == 0 else 0.02 for j in range(dim)])],
+        "vec_id long, embedding array<float>",
+    )
+    rep = I.ingest_shard(spark, state, fresh, femb, phrases=PHRASES)
+    assert rep.n_kept == 1 and rep.n_sem_kept == 0  # lexically new, semantically dup
+    ss = I.stage_sets(spark, state)
+    assert 100 in _ids(ss["neardup_keep"])
+    assert 100 not in _ids(ss["semantic_keep"])
+
+    # erase the twin: the survivor serves again (a batch rebuild over
+    # the survivors would keep it — semantic twins are independent
+    # expressions, unlike near-dup quasi-copies)
+    I.forget_docs(spark, state, [0], physical=True)
+    ss2 = I.stage_sets(spark, state)
+    assert 0 not in _ids(ss2["exact_unique"])
+    assert 100 in _ids(ss2["semantic_keep"])
+    # forensics: no parquet file carries id 0 in ANY id column
+    leaked = set()
+    for dirpath, _dirs, files in os.walk(state):
+        if "_erasure_log" in dirpath:
+            continue
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(dirpath, f))
+            for col in ("doc_id", "vec_id", "keeper", "root", "twin"):
+                if col in t.column_names:
+                    leaked |= {x for x in t.column(col).to_pylist() if x == 0}
+    assert not leaked
 
 
 def test_probe_drift_monitor_trips_on_shifted_shard(spark, state):
