@@ -37,7 +37,7 @@ bench:  # writes BENCH_local.json (full report) + results.csv; prints the short 
 	# query gets the full 10-iteration protocol (no `degraded` tail); the
 	# driver's own invocation keeps bench.py's safe 420s default so it can
 	# never outrun the harness timeout.
-	SPARK_GRAFT_BENCH_BUDGET=1500 python bench.py 2>/dev/null | tail -1
+	SPARK_GRAFT_BENCH_BUDGET=2400 python bench.py 2>/dev/null | tail -1
 
 test:
 	python -m pytest tests/ -x -q

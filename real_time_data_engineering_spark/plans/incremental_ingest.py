@@ -642,7 +642,12 @@ def _semantic_ingest(
         .select("doc_id", "twin")
     )
     vec_t = ManifestTable(p["vectors"])
-    if bootstrap:
+    # a bootstrap that indexed zero vectors (all zero-norm / no embedded
+    # kept docs) commits a file-less snapshot — nothing to probe against
+    has_corpus = (
+        not bootstrap and bool(vec_t.versions()) and bool(vec_t.snapshot().files)
+    )
+    if not has_corpus:
         edges = within
     else:
         # the touched-cell list is an O(n_cells) driver scalar
