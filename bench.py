@@ -140,10 +140,11 @@ EXTRA = [
     "s19_range_search",
     "s20_range_search_ivf",
     "s21_range_recall",
-    # d51_incremental_ingest is deliberately NOT benched: it is a
-    # stateful two-pass INGEST JOB (wipes + rebuilds 4 indexes per
-    # call), not a query; its timing evidence is the per-round
-    # INGEST_r{N}.txt artifact (make ingest).
+    # d51_incremental_ingest and d53_drift_retrain are deliberately NOT
+    # benched: each is a stateful multi-pass INGEST/RETRAIN JOB (wipes
+    # + rebuilds the persisted indexes per call), not a query; their
+    # timing evidence is the per-round INGEST_r{N}.txt artifact and the
+    # sweep row.
 ]
 
 # Queries whose lineage persists an exploded working relation DISK_ONLY

@@ -761,6 +761,116 @@ def probe_drift_vs_training(
     return exact_ks_counts(a, b)
 
 
+def retrain_probe(
+    spark: SparkSession,
+    state_dir: str,
+    docs: DataFrame,
+    probe_iters: int = 20,
+) -> dict[str, int]:
+    """Close the d50 drift loop: when `probe_drift_vs_training` fires,
+    retrain the quality probe on the CURRENT curated population and
+    backfill every served decision — the periodic retrain-and-re-score
+    cycle a production quality model actually runs (FineWeb-Edu's
+    retrain cadence), composed from the already-verified kernels:
+
+    1. **Retrain** on the gates' own current input — the kept ∧
+       semantic ∧ gate-passing survivors (`stage_sets`'s
+       ``quality_pass``), exactly the population the bootstrap trained
+       on, now grown by every ingested shard. Same fixed-point-GD
+       config as bootstrap (d47's deterministic contract).
+    2. **Re-version the registry**: `save_probe` is an atomic manifest
+       overwrite, so every later `ingest_shard` serves the new weights
+       with no half-updated vector ever visible; ``_train_scores`` is
+       REPLACED with the new population's scores — the d50 baseline
+       must track the model actually being served, which is what makes
+       the monitor fire again only on drift *beyond the retrain*.
+    3. **Backfill**: re-score every ``_curated`` flag row with the new
+       weights and rewrite ``probe_accepted``/``score_micro``
+       (per-doc pure flags — every other column carries over), one
+       atomic overwrite. After it, `stage_sets` equals a batch
+       `curate_corpus(probe_weights=<new>)` pass over the union again
+       — the incremental≡batch contract survives the retrain
+       (equivalence-tested).
+
+    ``docs`` is the text relation (the plan persists no document text);
+    it must cover every flagged doc_id — checked UP FRONT, so a gap
+    raises before anything mutates (a mid-backfill failure would leave
+    the registry re-versioned while flags still carry the retired
+    model). Cost: one
+    training pass over the curated survivors + one narrow re-scoring
+    projection over the flagged ids joined to the lake — the corpus'
+    raw shards are never re-deduplicated, no index is touched.
+    Returns {"n_train", "n_rescored", "n_flipped"}."""
+    from ..operators.quality import (
+        probe_banded_decision,
+        save_probe,
+        score_with_probe,
+        train_quality_probe,
+    )
+
+    p = _paths(state_dir)
+    # coverage check FIRST, before anything mutates: a gap discovered
+    # mid-backfill would leave the registry re-versioned while the
+    # flags still carry the retired model's decisions — every later
+    # shard would then be judged inconsistently with the stored flags
+    flags_t = ManifestTable(p["curated"])
+    flags = flags_t.read(spark)
+    missing = (
+        flags.select("doc_id")
+        .join(docs.select("doc_id"), "doc_id", "left_anti")
+        .limit(1)
+        .collect()
+    )
+    if missing:
+        raise ValueError(
+            f"retrain_probe: flagged doc_id={int(missing[0].doc_id)} has no "
+            "row in `docs` — the backfill needs text for every curated flag "
+            "row; nothing was mutated"
+        )
+    train_docs = docs.join(
+        stage_sets(spark, state_dir)["quality_pass"], "doc_id"
+    ).localCheckpoint(eager=True)  # consumed by T GD rounds + the score pass
+    n_train = train_docs.count()
+    if n_train == 0:
+        raise ValueError("retrain_probe: no curated gate-passing docs to train on")
+    weights, _scored = train_quality_probe(train_docs, iters=probe_iters, lr_den=1)
+    save_probe(spark, p["probe"], weights, meta={"iters": probe_iters, "lr_den": 1})
+    ManifestTable(p["train_scores"]).write(
+        score_with_probe(train_docs, weights).select("doc_id", "score_micro")
+    )
+
+    rescored = probe_banded_decision(
+        score_with_probe(docs, weights, keep_cols=("source",))
+    ).select(
+        "doc_id",
+        F.col("score_micro").alias("_new_score"),
+        F.col("accepted").alias("_new_acc"),
+    )
+    cols = flags.columns
+    joined = (
+        flags.join(rescored, "doc_id")  # coverage proven above: inner == left
+        .select(
+            *[c for c in cols if c not in ("probe_accepted", "score_micro")],
+            F.col("probe_accepted").alias("_old_acc"),
+            "_new_acc",
+            "_new_score",
+        )
+        .localCheckpoint(eager=True)  # materialize BEFORE overwriting the source files
+    )
+    n_rescored = joined.count()
+    n_flipped = joined.filter(F.col("_old_acc") != F.col("_new_acc")).count()
+    new_flags = joined.select(
+        *[
+            F.col("_new_acc").alias("probe_accepted") if c == "probe_accepted"
+            else F.col("_new_score").alias("score_micro") if c == "score_micro"
+            else c
+            for c in cols
+        ]
+    )
+    flags_t.write(new_flags, mode="overwrite", cluster_by=["doc_id"])
+    return {"n_train": int(n_train), "n_rescored": int(n_rescored), "n_flipped": int(n_flipped)}
+
+
 def curated_outputs(
     spark: SparkSession, state_dir: str, n_shards: int = 8
 ) -> tuple[DataFrame, DataFrame, DataFrame]:

@@ -3022,3 +3022,81 @@ def d52_bm25_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d53 — the drift→retrain→backfill cycle, registered (r9): d50 is the
+# monitor, this is the RESPONSE — the lifecycle a served quality model
+# actually runs. Fresh state; shard 1 ingests normally; shard 2 arrives
+# DEGRADED (truncated texts) and the d50 monitor fires against the
+# stored training baseline; the shard still lands (curation is not
+# admission control); `retrain_probe` then retrains on the grown
+# curated population, atomically re-versions the weight registry,
+# REPLACES the _train_scores baseline (the monitor must track the model
+# actually served) and backfills every curated decision — after which
+# re-scoring the stored baseline is exactly D = 0 (the recalibration
+# identity, asserted as an output row rather than a hidden invariant).
+# Rows-only by design (the d35/d51 multi-stage-composition precedent):
+# the value evidence is the post-retrain incremental≡batch equivalence
+# under the NEW weights in tests/test_incremental_ingest.py.
+# ---------------------------------------------------------------------------
+@register(
+    "d53_drift_retrain",
+    None,
+    doc="Drift-triggered model lifecycle over the incremental-ingest "
+    "state: a degraded shard trips the d50 KS monitor, retrain_probe "
+    "retrains on the current curated population, re-versions the "
+    "probe registry, replaces the drift baseline and backfills every "
+    "served decision; returns the cycle's audit rows including the "
+    "exact D=0 recalibration check. Rows-only (the d51 precedent); "
+    "post-retrain incremental==batch equivalence is the value gate.",
+)
+def d53_drift_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(stage, n) audit rows: drift_before, n_train, n_rescored,
+    n_flipped, drift_after_dnum (exactly 0 after recalibration)."""
+    import shutil
+
+    from ..operators.manifest import ManifestTable
+    from ..plans import incremental_ingest as I
+    from . import work_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    state = work_dir("d53_retrain", sf_dir)
+    shutil.rmtree(state, ignore_errors=True)
+    mm = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    mid = (int(mm[0]) + int(mm[1])) // 2
+    I.ingest_shard(
+        spark, state, docs.filter(F.col("doc_id") <= mid),
+        emb.filter(F.col("vec_id") <= mid),
+    )
+    # distribution shift that stays GATE-PASSING (a unique boilerplate
+    # tail per doc): the probe's served population actually changes, so
+    # the retrain both fires the monitor and moves the model
+    degraded = docs.filter(F.col("doc_id") > mid).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" extended commentary section number "),
+            F.col("doc_id").cast("string"),
+            F.lit(" provides additional context for the reader today"),
+        ),
+    )
+    drift_before = int(bool(I.probe_drift_vs_training(spark, state, degraded).first().drift))
+    I.ingest_shard(spark, state, degraded, emb.filter(F.col("vec_id") > mid))
+    union_docs = docs.filter(F.col("doc_id") <= mid).unionByName(degraded)
+    rep = I.retrain_probe(spark, state, union_docs)
+    train_ids = (
+        ManifestTable(I._paths(state)["train_scores"]).read(spark).select("doc_id")
+    )
+    calm = I.probe_drift_vs_training(
+        spark, state, union_docs.join(train_ids, "doc_id")
+    ).first()
+    rows = [
+        ("drift_before", drift_before),
+        ("n_train", int(rep["n_train"])),
+        ("n_rescored", int(rep["n_rescored"])),
+        ("n_flipped", int(rep["n_flipped"])),
+        ("drift_after_dnum", int(calm.d_num)),
+    ]
+    return spark.createDataFrame(rows, "stage string, n bigint")

@@ -244,6 +244,87 @@ def test_semantic_twin_across_passes_suppresses_then_erasure_reopens(
     assert not leaked
 
 
+def test_drift_triggered_retrain_backfills_and_realigns(spark, tmp_path):
+    """The full d50 loop closed: drift fires on a degraded shard →
+    `retrain_probe` retrains on the current curated population,
+    re-versions the registry, replaces the _train_scores baseline and
+    backfills every flag row — and the state read still equals one
+    batch pass under the NEW weights (the incremental≡batch contract
+    survives a retrain)."""
+    from real_time_data_engineering_spark.operators.manifest import ManifestTable
+    from real_time_data_engineering_spark.operators.quality import load_probe
+
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    state = str(tmp_path / "state")
+    I.ingest_shard(
+        spark, state, docs.filter("doc_id < 250"),
+        emb.filter("vec_id < 250"), phrases=PHRASES,
+    )
+    # shard 2 arrives DISTRIBUTION-SHIFTED (a boilerplate tail on every
+    # doc — still gate-passing, so the population the probe serves
+    # actually changes): the monitor fires...
+    degraded = docs.filter("doc_id >= 250").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" extended commentary section number "),
+            F.col("doc_id").cast("string"),
+            F.lit(" provides additional context for the reader today"),
+        ),
+    )
+    assert bool(I.probe_drift_vs_training(spark, state, degraded).first().drift)
+    # ...the shard still lands (curation is not admission control)...
+    I.ingest_shard(
+        spark, state, degraded, emb.filter("vec_id >= 250"), phrases=PHRASES
+    )
+    old_w = load_probe(spark, I._paths(state)["probe"])
+
+    # ...and the scheduled retrain covers the grown population
+    union_docs = docs.filter("doc_id < 250").unionByName(degraded)
+    rep = I.retrain_probe(spark, state, union_docs)
+    assert rep["n_train"] > 0
+    new_w = load_probe(spark, I._paths(state)["probe"])
+    assert new_w != old_w  # the degraded half moved the model
+    # every flag row re-scored under the new model
+    n_flags = ManifestTable(I._paths(state)["curated"]).read(spark).count()
+    assert rep["n_rescored"] == n_flags
+
+    # the monitor is recalibrated: the stored baseline re-scored is D=0
+    train_ids = (
+        ManifestTable(I._paths(state)["train_scores"]).read(spark).select("doc_id")
+    )
+    calm = I.probe_drift_vs_training(
+        spark, state, union_docs.join(train_ids, "doc_id")
+    ).first()
+    assert int(calm.d_num) == 0 and not bool(calm.drift)
+
+    # full realignment: the state read equals a batch pass over the
+    # union under the NEW weights, semantic stage included
+    union_docs.write.mode("overwrite").parquet(
+        str(tmp_path / "u" / "documents.parquet")
+    )
+    emb.write.mode("overwrite").parquet(str(tmp_path / "u" / "embeddings.parquet"))
+    batch = curate_corpus(
+        spark, str(tmp_path / "u"), probe_weights=new_w,
+        decontam_phrases=PHRASES, semantic_dedup=True,
+        semantic_centroids=I.frozen_centroids(spark, state),
+    )
+    inc = I.stage_sets(spark, state)
+    for stage, bdf in (
+        ("quality_pass", batch.quality_pass),
+        ("probe_keep", batch.probe_keep),
+        ("decontaminated", batch.decontaminated),
+    ):
+        assert _ids(inc[stage]) == _ids(bdf), stage
+
+    # the backfill FAILS LOUDLY when the text relation misses a flagged
+    # doc — a silent inner join would freeze that doc's decision under
+    # the retired model
+    with pytest.raises(Exception, match="has no row in `docs`"):
+        I.retrain_probe(spark, state, union_docs.filter("doc_id % 2 = 0"))
+
+
 def test_probe_drift_monitor_trips_on_shifted_shard(spark, state):
     """A degraded shard (truncated texts) must trip the KS drift flag
     against the persisted training scores; a same-distribution shard
