@@ -140,6 +140,7 @@ EXTRA = [
     "s19_range_search",
     "s20_range_search_ivf",
     "s21_range_recall",
+    "s22_semantic_cell_census",
     # d51_incremental_ingest and d53_drift_retrain are deliberately NOT
     # benched: each is a stateful multi-pass INGEST/RETRAIN JOB (wipes
     # + rebuilds the persisted indexes per call), not a query; their
@@ -173,11 +174,21 @@ def _pct(sorted_vals: list[float], p: float) -> float:
 
 
 class TreeSampler(threading.Thread):
-    """Samples RSS + CPU of this process AND its descendants (the
+    """Samples memory + CPU of this process AND its descendants (the
     pyspark JVM is a child) from /proc — the in-process analogue of the
     reference's per-container docker-stats sampler
     (shared/benchmarks/metrics.py:47-141). Keeps a suite-wide peak/avg
-    and a resettable per-query peak window."""
+    and a resettable per-query peak window.
+
+    Memory is PSS (proportional set size, /proc/<pid>/smaps_rollup):
+    each shared page is divided by its mapper count, so the local[32]
+    fork tree's COW-shared daemon/worker image and Arrow buffers are
+    counted ONCE. Summed per-process RSS counts them once per fork —
+    the r9 driver run reported a physically impossible 249.8 GB "peak"
+    in a 128 GiB sandbox that way. Per-process RSS remains the fallback
+    where smaps_rollup is unreadable, and the total is clamped at
+    MemTotal with `mem_overcounted` flagged, so an impossible reading
+    is never reported as fact."""
 
     def __init__(self, interval: float = 0.2, disk_probe=None):
         super().__init__(daemon=True)
@@ -204,6 +215,19 @@ class TreeSampler(threading.Thread):
         self._page = os.sysconf("SC_PAGE_SIZE")
         self._hz = os.sysconf("SC_CLK_TCK")
         self._ncpu = os.cpu_count() or 1
+        self._memtotal_mb = self._read_memtotal_mb()
+        self.mem_overcounted = False  # True iff the RSS fallback ever clamped
+
+    @staticmethod
+    def _read_memtotal_mb() -> float:
+        try:
+            with open("/proc/meminfo") as f:
+                for line in f:
+                    if line.startswith("MemTotal:"):
+                        return int(line.split()[1]) / 1e3  # kB → MB
+        except (OSError, ValueError, IndexError):
+            pass
+        return float("inf")
 
     def _tree_pids(self) -> set[int]:
         ppid: dict[int, int] = {}
@@ -227,19 +251,47 @@ class TreeSampler(threading.Thread):
         return tree
 
     def _sample(self) -> tuple[float, float]:
-        """(tree RSS in MB, cumulative tree CPU seconds)."""
-        rss_pages = 0
+        """(tree PSS in MB, cumulative tree CPU seconds)."""
+        mem_mb = 0.0
+        clamped = False
         cpu_ticks = 0
         for p in self._tree_pids():
             try:
-                with open(f"/proc/{p}/statm") as f:
-                    rss_pages += int(f.read().split()[1])
                 with open(f"/proc/{p}/stat") as f:
                     after = f.read().rsplit(")", 1)[1].split()
                 cpu_ticks += int(after[11]) + int(after[12])  # utime+stime
             except (OSError, IndexError, ValueError):
                 continue
-        return rss_pages * self._page / 1e6, cpu_ticks / self._hz
+            pss = None
+            try:
+                with open(f"/proc/{p}/smaps_rollup") as f:
+                    for line in f:
+                        if line.startswith("Pss:"):
+                            pss = int(line.split()[1]) / 1e3  # kB → MB
+                            break
+            except (OSError, IndexError, ValueError):
+                pss = None
+            if pss is not None:
+                mem_mb += pss
+                continue
+            # no smaps_rollup (old kernel / hardened proc / exit race):
+            # RSS fallback — flagged as over-counting only when it
+            # actually contributes pages (a process that died between
+            # listing and sampling contributes nothing either way)
+            try:
+                with open(f"/proc/{p}/statm") as f:
+                    pages = int(f.read().split()[1])
+            except (OSError, IndexError, ValueError):
+                continue
+            if pages:
+                mem_mb += pages * self._page / 1e6
+                clamped = True
+        if mem_mb > self._memtotal_mb:
+            mem_mb = self._memtotal_mb  # physically impossible → clamp
+            clamped = True
+        if clamped:
+            self.mem_overcounted = True
+        return mem_mb, cpu_ticks / self._hz
 
     def run(self) -> None:
         while not self._stop.is_set():
@@ -330,7 +382,12 @@ def main() -> None:
     # (the r3 protocol) and are stamped in `degraded`, so a partial
     # record with full-protocol headline numbers always beats a killed
     # run with no record at all. Raise the env to disable.
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+    # an EMPTY env var is explicitly "unset" (default budget): shell
+    # quoting accidents must not silently flip a run between the
+    # rotated driver protocol and the committed full-suite protocol
+    _budget_env = os.environ.get("SPARK_GRAFT_BENCH_BUDGET")
+    budget_raised = _budget_env is not None and _budget_env.strip() != ""
+    budget = float(_budget_env) if budget_raised else 420.0
     deadline = time.time() + grace
     contention = _sibling_jvms()
     while contention and time.time() < deadline:
@@ -421,43 +478,72 @@ def main() -> None:
 
     for name in HEADLINE:
         bench_query(name, times)
-    # Extra-suite rotation (VERDICT r8 #7): at the DEFAULT budget — the
-    # driver's per-round invocation — the fixed wall budget was
-    # degrading ever more of the growing extra suite (48/73 by r8) to
-    # the short protocol. Each driver run now times a rotating
-    # HALF-slice at the full protocol and SKIPS the complement; the
-    # rotation key is the repo HEAD (advances every round), so every
-    # extra still gets periodic full-protocol driver-side timing, and
-    # n_degraded is bounded by the slice size = ceil(|EXTRA|/2).
-    # Raised-budget runs (make round-artifacts → the committed
-    # BENCH_local.json) still time the ENTIRE suite, zero-degraded —
-    # round-over-round comparability lives there.
+    # Extra-suite rotation (VERDICT r8 #7, resized per r9 #3): at the
+    # DEFAULT budget — the driver's per-round invocation — the fixed
+    # wall budget can't time the whole extra suite at the full
+    # protocol, and the r8 half-slice still degraded 33 of its 38
+    # picks. The slice is now COST-MODELED against the budget actually
+    # left when the extras phase starts: each candidate's full-protocol
+    # cost is estimated from the committed BENCH_local.json p50s
+    # (iters × p50 + overhead), and candidates are taken in rotation
+    # order until 90% of the remaining window is spoken for — so every
+    # selected extra runs the FULL protocol (n_degraded == 0 is the
+    # design point, with the in-loop degrade check as the belt when the
+    # estimate is beaten by a cold cache). Rotation advances a
+    # PERSISTED start cursor by the actual selection size — strict
+    # cycling, so every extra gets a full-protocol driver timing within
+    # a bounded number of rounds GUARANTEED (the r9 HEAD-keyed slices
+    # were statistically independent: an unlucky extra could be skipped
+    # for many consecutive rounds). Raised-budget runs (make
+    # round-artifacts → the committed BENCH_local.json) still time the
+    # ENTIRE suite, zero-degraded — round-over-round comparability
+    # lives there.
     extras_to_run = list(EXTRA)
     rotation: dict = {}
-    if not os.environ.get("SPARK_GRAFT_BENCH_BUDGET"):
-        import hashlib
-        import subprocess
-
+    if not budget_raised:
+        counter_path = Path(__file__).resolve().parent / ".bench_rotation.json"
         try:
-            key = (
-                subprocess.run(
-                    ["git", "rev-parse", "HEAD"],
-                    capture_output=True,
-                    text=True,
-                    cwd=str(Path(__file__).resolve().parent),
-                    timeout=10,
-                ).stdout.strip()
-                or "nohead"
-            )
+            start = int(json.loads(counter_path.read_text())["start"]) % len(EXTRA)
         except Exception:
-            key = "nohead"
-        start = int(hashlib.md5(key.encode()).hexdigest(), 16) % len(EXTRA)
-        n_sel = (len(EXTRA) + 1) // 2
-        extras_to_run = [EXTRA[(start + i) % len(EXTRA)] for i in range(n_sel)]
+            start = 0
+        est: dict[str, float] = {}
+        try:
+            prev = json.loads(
+                (Path(__file__).resolve().parent / "BENCH_local.json").read_text()
+            )
+            est = {
+                q: float(p.get("p50", 2.0))
+                for q, p in prev.get("percentiles", {}).items()
+            }
+        except Exception:
+            pass  # no committed report yet: every query estimates at 2 s
+        n_forced = int(os.environ.get("SPARK_GRAFT_BENCH_ROTATION_N", "0") or 0)
+        window = max(0.0, budget - (time.time() - phase_start))
+        budget_left = 0.9 * window
+        extras_to_run = []
+        for i in range(len(EXTRA)):
+            q = EXTRA[(start + i) % len(EXTRA)]
+            if n_forced:
+                if len(extras_to_run) >= n_forced:
+                    break
+            else:
+                cost = iters * est.get(q, 2.0) + 1.0
+                if cost > budget_left:
+                    break
+                budget_left -= cost
+            extras_to_run.append(q)
+        n_sel = len(extras_to_run)
+        try:
+            counter_path.write_text(
+                json.dumps({"start": (start + n_sel) % len(EXTRA)}) + "\n"
+            )
+        except OSError:
+            pass  # read-only checkout: the cursor just stays put
         rotation = {
-            "key": key[:12],
+            "start": start,
             "n_total": len(EXTRA),
             "n_selected": n_sel,
+            "window_s": round(window, 1),
             "skipped": sorted(set(EXTRA) - set(extras_to_run)),
         }
     extra_times: dict[str, float] = {}
@@ -625,11 +711,7 @@ def main() -> None:
     # only zero-degraded raised-budget runs own the committed
     # results.csv; driver-budget runs write a git-ignored twin so the
     # two committed artifacts always come from the SAME run.
-    csv_name = (
-        "results.csv"
-        if os.environ.get("SPARK_GRAFT_BENCH_BUDGET")
-        else "results_driver.csv"
-    )
+    csv_name = "results.csv" if budget_raised else "results_driver.csv"
     with open(repo / csv_name, "w") as f:
         f.write(csv_header + "\n" + csv_row + "\n")
     # Per-query peak-RSS attribution (VERDICT r4 #5): name the suite's
@@ -659,6 +741,7 @@ def main() -> None:
         "peak_memory_mb": peak_mb,
         "peak_during": sampler.peak_label,
         "avg_memory_mb": avg_mb,
+        "mem_overcounted": sampler.mem_overcounted,
         "peak_cpu_pct": peak_cpu,
         "spill_bytes": spill_bytes,
         "degraded": degraded,
@@ -672,11 +755,14 @@ def main() -> None:
             f"(after {budget:.0f}s of query phases, remaining queries degrade to "
             "1 warm-up + 2 runs and are listed in `degraded`; per-query kept-sample "
             "count is percentiles[q].n); default-budget runs time a rotating "
-            "HEAD-keyed half-slice of the extra suite (`extras_rotation` names the "
-            "skipped complement — raised-budget committed runs time everything), "
+            "slice of the extra suite cost-modeled to the remaining window "
+            "(iters x committed p50 per candidate), cycled by a persisted "
+            "start cursor so full coverage is guaranteed within a bounded "
+            "number of rounds (`extras_rotation` names the skipped complement "
+            "— raised-budget committed runs time everything), "
             "p50/p95/p99 over the kept samples (reference protocol, "
             "shared/benchmarks/queries/README.md:41-74); resource sampler: 0.2s "
-            "process-tree RSS/CPU (suite peak/avg + per-query peak); spill_bytes: "
+            "process-tree PSS/CPU (suite peak/avg + per-query peak); spill_bytes: "
             "block-manager disk bytes of caches FIRST materialized by each "
             "DISK_ONLY-persisting query (plan-cache reuse reports 0 on the reuser); "
             "taxi_e2e_10k: p50 of 2 cold runs (fresh warehouse each; checks timed "
@@ -684,13 +770,11 @@ def main() -> None:
             "grace), stamps `contention` if any persist; the 26-check suite "
             "includes ONE deliberate warn-severity exemplar (passenger_count "
             "soft bound, checks/taxi_suite.py), so 25/26 PASS + WARN=1 is the "
-            "healthy steady state; process-tree RSS double-counts pages shared "
-            "between the python driver and the JVM — and the sessionization "
-            "window's forked pyspark.daemon workers each report their "
-            "copy-on-write share of the parent, multiplying it further — so "
-            "suite peak overstates true residency (samples above the "
-            "machine's physical RAM are definitionally double-counted; "
-            "per-query windows on batch queries are the meaningful numbers); "
+            "healthy steady state; memory is PSS from smaps_rollup — shared "
+            "COW pages (JVM/daemon fork image, Arrow buffers) are counted "
+            "once, not once per local[32] worker fork as summed RSS would "
+            "(the r9 249.8 GB artifact) — with a per-process RSS fallback "
+            "clamped at MemTotal and flagged in `mem_overcounted`; "
             "the sessionization phase reports PER-TWIN peak windows and the "
             "pandas-state twin runs under arrow.maxRecordsPerBatch=2048 to "
             "bound per-worker Arrow buffering (results unchanged — batch "
@@ -704,9 +788,7 @@ def main() -> None:
     # instead of clobbering the committed full-resolution report
     # (VERDICT r5 #7); SPARK_GRAFT_BENCH_REPORT still overrides both.
     default_report = (
-        "BENCH_local.json"
-        if os.environ.get("SPARK_GRAFT_BENCH_BUDGET")
-        else "BENCH_local_driver.json"
+        "BENCH_local.json" if budget_raised else "BENCH_local_driver.json"
     )
     report_path = repo / os.environ.get("SPARK_GRAFT_BENCH_REPORT", default_report)
     with open(report_path, "w") as f:
@@ -729,6 +811,7 @@ def main() -> None:
         "peak_memory_mb": peak_mb,
         "peak_during": sampler.peak_label,
         "avg_memory_mb": avg_mb,
+        "mem_overcounted": sampler.mem_overcounted,
         "peak_cpu_pct": peak_cpu,
         "top_memory_queries": top_memory,
         "n_degraded": len(degraded),

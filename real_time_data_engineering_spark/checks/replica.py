@@ -56,6 +56,7 @@ DEFAULT_QUERIES = [
     "s19_range_search",
     "s20_range_search_ivf",
     "s21_range_recall",
+    "s22_semantic_cell_census",
 ]
 
 _SHIFTS = {

@@ -845,13 +845,15 @@ def forget_from_ivfpq_index(
     # may pass ids the index never saw, and an already-forgotten id has
     # no rows left — decrementing routing sums for either would corrupt
     # the stats (cell counts drift toward zero/negative) and break the
-    # rebuilt-from-survivors identity. One column-pruned probe of the
-    # codes table, collected as an O(|ids|) driver scalar (sanctioned:
+    # rebuilt-from-survivors identity. One stats-pruned probe of the
+    # codes table — the manifest `in` predicate skips every cell file
+    # whose min/max excludes all doomed ids before the scan opens it
+    # (the cluster_by=[id] layout every write here pins makes that
+    # prune bite) — collected as an O(|ids|) driver scalar (sanctioned:
     # bounded by the erase set, never the corpus).
     doomed = sorted(
         int(r[0])
-        for r in codes_t.read(spark)
-        .filter(F.col(id_col).isin(doomed))
+        for r in codes_t.read(spark, predicate=[(id_col, "in", doomed)])
         .select(id_col)
         .distinct()
         .collect()

@@ -674,6 +674,7 @@ class ManifestTable:
         mode: str = "overwrite",
         cluster_by: list[str] | None = None,
         n_files: int | None = None,
+        expected_base_version: int | None = None,
     ) -> Snapshot:
         """Commit a new snapshot: `overwrite` replaces the visible file
         set, `append` extends it. Data is staged before the metadata
@@ -690,7 +691,19 @@ class ManifestTable:
         manifest's data skipping touching 1% of files and 100%.
         ``n_files`` pins the range-partition count (size files toward
         the 128 MB target); left None, AQE sizes them — which on small
-        relations coalesces to one file and leaves nothing to skip."""
+        relations coalesces to one file and leaves nothing to skip.
+
+        ``expected_base_version`` makes the commit a TRUE compare-and-
+        swap on the snapshot the caller decided from: the write raises
+        `CommitConflict` unless the table is still at exactly that
+        version, and the O_EXCL version-file create then guarantees the
+        commit lands at ``expected_base_version + 1`` or not at all.
+        Without it, `write` re-snapshots after staging and commits on
+        whatever base it finds — fine for blind appends, but any caller
+        that READ state to decide WHAT to write (an id stamped with the
+        target version, an overwrite replacing rows it just rebuilt)
+        must pin the base or a concurrent commit silently invalidates
+        the decision (the Delta/Iceberg optimistic-concurrency check)."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode}")
         if cluster_by:
@@ -702,6 +715,11 @@ class ManifestTable:
         new_files = self._stage(df)
         new_stats = self._stats_for(new_files)
         base = self.snapshot()
+        if expected_base_version is not None and base.version != expected_base_version:
+            raise CommitConflict(
+                f"{self.path}: expected base version {expected_base_version}, "
+                f"found {base.version} — a concurrent commit landed first"
+            )
         if mode == "overwrite":
             files, stats, dvs = new_files, new_stats, {}
             schema = df.schema.json()  # overwrite (re)sets the table schema

@@ -438,7 +438,12 @@ def ingest_shard(
         ManifestTable(p["train_scores"]).write(
             score_with_probe(gate_pass_docs, weights).select("doc_id", "score_micro")
         )
+        probe_v_at_load = None  # bootstrap IS the trainer; nothing to race
     else:
+        # record the registry version BEFORE loading the weights: if a
+        # retrain commits in between, the post-commit fence sees the
+        # version move and re-scores with the (idempotent) new weights
+        probe_v_at_load = ManifestTable(p["probe"]).snapshot().version
         weights = load_probe(spark, p["probe"])
     decided = probe_banded_decision(
         score_with_probe(kept, weights, keep_cols=("source",))
@@ -485,6 +490,14 @@ def ingest_shard(
         curated_t.write(flags, cluster_by=["doc_id"])
     else:
         curated_t.append_with_retry(flags, cluster_by=["doc_id"])
+        # post-commit freshness fence (the other half of retrain_probe's
+        # concurrency contract): if a retrain re-versioned the weights
+        # between our load and our commit, our rows may carry retired-
+        # weight scores the retrain's backfill never saw — re-score our
+        # own rows with the served weights and rewrite them
+        flags = _reconcile_probe_freshness(
+            spark, p["probe"], curated_t, flags, kept, probe_v_at_load
+        )
 
     # ---- funnel counts + persisted log row (the gate/probe/decontam
     # stages count within this pass's SEMANTIC survivors, matching the
@@ -537,6 +550,91 @@ def ingest_shard(
     else:
         log_t.append_with_retry(row.coalesce(1))
     return report
+
+
+def _reconcile_probe_freshness(
+    spark: SparkSession,
+    probe_path: str,
+    curated_t: ManifestTable,
+    own_flags: DataFrame,
+    kept: DataFrame,
+    probe_v_at_load: int,
+    max_attempts: int = 5,
+) -> DataFrame:
+    """Ingest-side half of the retrain_probe concurrency contract.
+
+    `retrain_probe` CASes its backfill on the flags snapshot it read,
+    so an append landing BEFORE the backfill is rebased and re-scored
+    by the retrainer. The one interleaving the retrainer cannot see is
+    an append landing AFTER its backfill committed, scored with weights
+    loaded BEFORE `save_probe` re-versioned the registry — those rows
+    would silently serve retired-weight scores forever. This fence
+    closes it: after the flag commit, re-read the probe registry
+    version; if it moved since the weights were loaded, re-score OUR
+    OWN rows (we still hold the shard text in ``kept``) with the served
+    weights and rewrite them under a version CAS, then re-check —
+    bounded optimistic validation, the same loop every other writer
+    here runs. Re-scoring is idempotent (deterministic fixed-point
+    scoring), so racing the retrainer's own backfill over the same rows
+    converges on identical values. Cost on the no-race path: one O(1)
+    manifest-version stat; the O(flags) rewrite happens only when a
+    retrain actually raced this ingest."""
+    from ..operators.manifest import CommitConflict
+    from ..operators.quality import load_probe, probe_banded_decision, score_with_probe
+
+    probe_t = ManifestTable(probe_path)
+    cols = own_flags.columns
+    for _ in range(max_attempts):
+        pv = probe_t.snapshot().version
+        if pv == probe_v_at_load:
+            return own_flags
+        weights = load_probe(spark, probe_path)
+        decided = probe_banded_decision(
+            score_with_probe(kept, weights, keep_cols=("source",))
+        ).select(
+            "doc_id",
+            F.col("score_micro").alias("_new_score"),
+            F.col("accepted").alias("_new_acc"),
+        )
+        healed = (
+            own_flags.join(decided, "doc_id")
+            .select(
+                *[
+                    F.col("_new_acc").alias("probe_accepted") if c == "probe_accepted"
+                    else F.col("_new_score").alias("score_micro") if c == "score_micro"
+                    else c
+                    for c in cols
+                ]
+            )
+            .localCheckpoint(eager=True)  # materialize before the rewrite
+        )
+        last: Exception | None = None
+        for _w in range(max_attempts):
+            cur_v = curated_t.snapshot().version
+            others = (
+                curated_t.read(spark, version=cur_v)
+                .join(healed.select("doc_id"), "doc_id", "left_anti")
+                .select(*cols)
+            )
+            try:
+                curated_t.write(
+                    others.unionByName(healed),
+                    mode="overwrite",
+                    cluster_by=["doc_id"],
+                    expected_base_version=cur_v,
+                )
+                break
+            except CommitConflict as exc:
+                last = exc  # another writer moved the table; rebase and retry
+        else:
+            raise CommitConflict(
+                f"probe-freshness heal lost the flags version race "
+                f"{max_attempts} times: {last}"
+            )
+        own_flags, probe_v_at_load = healed, pv  # loop: re-check for a newer retrain
+    raise CommitConflict(
+        f"probe registry kept re-versioning across {max_attempts} heal rounds"
+    )
 
 
 def frozen_centroids(spark: SparkSession, state_dir: str):
@@ -642,11 +740,23 @@ def _semantic_ingest(
         .select("doc_id", "twin")
     )
     vec_t = ManifestTable(p["vectors"])
+    if not bootstrap and not vec_t.versions():
+        # the quantizer exists (checked above) but the bootstrap pass
+        # never committed a `_vectors` snapshot: it ran with the rung
+        # DISABLED. Proceeding would create the survivor store fresh —
+        # the bootstrap's kept docs would silently never be semantic
+        # candidates, and the incremental view would diverge from the
+        # batch semantic_dedup=True rebuild instead of erroring (the
+        # missing-quantizer ValueError's mirror).
+        raise ValueError(
+            "ingest_shard: the semantic rung is enabled on this pass but the "
+            "bootstrap pass ran with it disabled (_vectors has no committed "
+            "snapshot while the quantizer exists) — re-bootstrap with the "
+            "rung enabled, or keep it disabled consistently"
+        )
     # a bootstrap that indexed zero vectors (all zero-norm / no embedded
     # kept docs) commits a file-less snapshot — nothing to probe against
-    has_corpus = (
-        not bootstrap and bool(vec_t.versions()) and bool(vec_t.snapshot().files)
-    )
+    has_corpus = not bootstrap and bool(vec_t.snapshot().files)
     if not has_corpus:
         edges = within
     else:
@@ -800,6 +910,24 @@ def retrain_probe(
     training pass over the curated survivors + one narrow re-scoring
     projection over the flagged ids joined to the lake — the corpus'
     raw shards are never re-deduplicated, no index is touched.
+
+    **Safe under concurrent `ingest_shard`** (the optimistic-
+    concurrency pair to the ingest side's post-commit freshness fence):
+    the backfill overwrite CASes on the flags snapshot it decided from
+    (``expected_base_version``), so a flag append that lands first
+    surfaces as `CommitConflict` and the backfill REBASES — re-reads
+    the flags, re-scores only the delta rows with the new weights
+    (they must be covered by ``docs``; an uncovered delta id raises
+    loudly naming the remedy instead of silently serving retired-weight
+    scores), and retries. An append that lands AFTER the backfill
+    committed is healed from the other side: `ingest_shard` re-checks
+    the probe-registry version after its flag commit and re-scores its
+    own rows when a retrain raced it. Between the two, no terminal
+    state leaves a flag row scored with retired weights. NOT safe
+    against a concurrent `retrain_probe` (single-retrainer by contract
+    — retrains are operator-initiated) or a concurrent `forget_docs`
+    (the rebase re-adds rows an interleaved erasure removed — quiesce
+    erasure during a retrain).
     Returns {"n_train", "n_rescored", "n_flipped"}."""
     from ..operators.quality import (
         probe_banded_decision,
@@ -814,7 +942,8 @@ def retrain_probe(
     # flags still carry the retired model's decisions — every later
     # shard would then be judged inconsistently with the stored flags
     flags_t = ManifestTable(p["curated"])
-    flags = flags_t.read(spark)
+    base_v = flags_t.snapshot().version  # the snapshot the backfill CASes on
+    flags = flags_t.read(spark, version=base_v)
     missing = (
         flags.select("doc_id")
         .join(docs.select("doc_id"), "doc_id", "left_anti")
@@ -847,28 +976,81 @@ def retrain_probe(
         F.col("accepted").alias("_new_acc"),
     )
     cols = flags.columns
-    joined = (
-        flags.join(rescored, "doc_id")  # coverage proven above: inner == left
-        .select(
-            *[c for c in cols if c not in ("probe_accepted", "score_micro")],
-            F.col("probe_accepted").alias("_old_acc"),
-            "_new_acc",
-            "_new_score",
+
+    def _backfill(fl: DataFrame) -> DataFrame:
+        # swap the two weight-dependent columns, carry everything else;
+        # checkpoint materializes BEFORE the source files are overwritten
+        return (
+            fl.join(rescored, "doc_id")  # coverage proven: inner == left
+            .select(
+                *[c for c in cols if c not in ("probe_accepted", "score_micro")],
+                F.col("probe_accepted").alias("_old_acc"),
+                "_new_acc",
+                "_new_score",
+            )
+            .localCheckpoint(eager=True)
         )
-        .localCheckpoint(eager=True)  # materialize BEFORE overwriting the source files
-    )
+
+    joined = _backfill(flags)
     n_rescored = joined.count()
     n_flipped = joined.filter(F.col("_old_acc") != F.col("_new_acc")).count()
-    new_flags = joined.select(
-        *[
-            F.col("_new_acc").alias("probe_accepted") if c == "probe_accepted"
-            else F.col("_new_score").alias("score_micro") if c == "score_micro"
-            else c
-            for c in cols
-        ]
+    from ..operators.manifest import CommitConflict
+
+    last: Exception | None = None
+    for _ in range(5):
+        new_flags = joined.select(
+            *[
+                F.col("_new_acc").alias("probe_accepted") if c == "probe_accepted"
+                else F.col("_new_score").alias("score_micro") if c == "score_micro"
+                else c
+                for c in cols
+            ]
+        )
+        try:
+            flags_t.write(
+                new_flags,
+                mode="overwrite",
+                cluster_by=["doc_id"],
+                expected_base_version=base_v,
+            )
+            return {
+                "n_train": int(n_train),
+                "n_rescored": int(n_rescored),
+                "n_flipped": int(n_flipped),
+            }
+        except CommitConflict as exc:
+            # a concurrent ingest appended flag rows after our read:
+            # rebase — re-score ONLY the delta rows with the new weights
+            # and retry on the mover's snapshot (append-only writers, so
+            # the delta is exactly the rows we haven't rescored yet)
+            last = exc
+            cur_v = flags_t.snapshot().version
+            delta = flags_t.read(spark, version=cur_v).join(
+                joined.select("doc_id"), "doc_id", "left_anti"
+            )
+            gap = (
+                delta.select("doc_id")
+                .join(docs.select("doc_id"), "doc_id", "left_anti")
+                .limit(1)
+                .collect()
+            )
+            if gap:
+                raise ValueError(
+                    f"retrain_probe: concurrently-ingested doc_id="
+                    f"{int(gap[0].doc_id)} has no row in `docs`, so the rebase "
+                    "cannot re-score it — the probe registry is already "
+                    "re-versioned; re-run retrain_probe with a `docs` relation "
+                    "covering every flagged doc_id to restore the "
+                    "incremental≡batch contract"
+                ) from exc
+            dj = _backfill(delta)
+            n_rescored += dj.count()
+            n_flipped += dj.filter(F.col("_old_acc") != F.col("_new_acc")).count()
+            joined = joined.unionByName(dj)
+            base_v = cur_v
+    raise CommitConflict(
+        f"retrain_probe: backfill lost the flags version race 5 times: {last}"
     )
-    flags_t.write(new_flags, mode="overwrite", cluster_by=["doc_id"])
-    return {"n_train": int(n_train), "n_rescored": int(n_rescored), "n_flipped": int(n_flipped)}
 
 
 def curated_outputs(
@@ -1132,22 +1314,30 @@ def _append_erasure_log(
 ) -> int:
     """CAS-append one erasure summary row; returns its ``erasure_id``.
 
-    The id IS the manifest version the row commits as — versions are
-    unique per table by the O_EXCL commit, so two CONCURRENT erasures
-    can never mint the same id (the read-max-then-append scheme this
-    replaces could): a loser of the version race rebases on the
-    winner's snapshot, restamps, and retries. Bootstrap commits an
-    EMPTY v1 first so every data row lands through the same append CAS;
-    two concurrent first-ever erasures both attempt it and the loser's
-    CommitConflict is benign (both wanted the same empty table)."""
+    The id IS the manifest version the row commits as, enforced by a
+    TRUE CAS: the append passes ``expected_base_version = seq - 1``, so
+    the commit either lands at exactly ``seq`` or raises
+    `CommitConflict` — a plain append would re-snapshot after staging
+    and happily commit the stale ``seq`` stamp at a later version,
+    minting a duplicate id whenever a concurrent erasure won the
+    window between the snapshot read and the commit. A loser of the
+    CAS rebases on the winner's snapshot, restamps, and retries.
+    Bootstrap commits an EMPTY v1 through the SAME CAS (expected base
+    0): a racer whose ``versions()`` check raced a winner's data
+    commit gets `CommitConflict` instead of landing a blind overwrite
+    that would truncate already-committed audit rows — GDPR audit-row
+    loss. Both conflict arms fall through to the append rebase."""
     from ..operators.manifest import CommitConflict
 
     log_t = ManifestTable(log_path)
     if not log_t.versions():
         try:
-            log_t.write(spark.createDataFrame([], _ERASURE_LOG_SCHEMA).coalesce(1))
+            log_t.write(
+                spark.createDataFrame([], _ERASURE_LOG_SCHEMA).coalesce(1),
+                expected_base_version=0,
+            )
         except CommitConflict:
-            pass  # a concurrent bootstrap won; append below rebases on it
+            pass  # a concurrent commit won; append below rebases on it
     total = int(sum(audit.values()))
     last: Exception | None = None
     for _ in range(max_attempts):
@@ -1174,7 +1364,7 @@ def _append_erasure_log(
             _ERASURE_LOG_SCHEMA,
         )
         try:
-            log_t.write(row.coalesce(1), mode="append")
+            log_t.write(row.coalesce(1), mode="append", expected_base_version=seq - 1)
             return seq
         except CommitConflict as exc:
             last = exc  # rebase on the winner's snapshot and restamp

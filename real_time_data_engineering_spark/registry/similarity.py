@@ -1545,11 +1545,11 @@ def s20_range_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _S21_ORACLE = (
     _s8_chain(_N_QUERIES)
     + _S20_TAIL
-    + """, rexd AS MATERIALIZED (
+    + f""", rexd AS MATERIALIZED (
   SELECT a.vec_id AS qid, b.vec_id AS nid, CAST(SUM(a.q * b.q) AS BIGINT) AS dot
   FROM xu a
   JOIN xu b ON b.i = a.i AND b.vec_id <> a.vec_id
-  WHERE a.vec_id < 20
+  WHERE a.vec_id < {_N_QUERIES}
   GROUP BY 1, 2
 ), rexact AS MATERIALIZED (
   SELECT d.qid, d.nid
@@ -1594,4 +1594,97 @@ def s21_range_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("_hit").cast("double") / F.count("*").cast("double")).alias(
             "recall_at_tau"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# s22 — semantic-rung cell census (r9 verdict item 6): the within-cell
+# contract (SemDeDup's own) means twins at the 0.35 radius whose
+# endpoints land in DIFFERENT coarse cells are invisible to both the
+# batch semantic stage and the incremental rung — correctly equivalent,
+# but unmeasured. This census makes the blind spot a number: for every
+# exact radius pair (s19's truth, query block), was it within-cell
+# (visible to cell-local semantic dedup) or cross-cell (invisible)?
+# Reported per QUERY-side cell — the recall dial a production retune of
+# `ann_cells` / `semantic_threshold` turns (more cells = cheaper pair
+# work but more cross-cell blindness; the s12 cell-health precedent).
+# The production twin is the same computation over the ingest plan's
+# `_vectors` store; here it runs over the shared embeddings corpus so
+# the oracle can rebuild both sides from scratch. Oracle = the verified
+# unrolled-Lloyd chain (s4/s5/s8's kasg, k=10 pinned) + s19's exact
+# quantized-cosine pair kernel + one per-cell rollup.
+# ---------------------------------------------------------------------------
+_S22_ORACLE = (
+    _kmeans_cte(k=10, iters=10)
+    + f""", cqv AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding,
+           e -> CAST(floor(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT)) AS emb
+  FROM embeddings
+), cnorms AS MATERIALIZED (
+  SELECT v.vec_id, CAST(SUM(u.e * u.e) AS BIGINT) AS norm_q
+  FROM cqv v, unnest(v.emb) AS u(e)
+  GROUP BY 1
+  HAVING SUM(u.e * u.e) > 0
+), cqu AS (
+  SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) AS i
+  FROM cqv WHERE vec_id < {_N_QUERIES}
+), cvu AS (
+  SELECT vec_id, unnest(emb) AS v, generate_subscripts(emb, 1) AS i FROM cqv
+), cdots AS (
+  SELECT q.vec_id AS qid, x.vec_id AS nid, CAST(SUM(q.v * x.v) AS BIGINT) AS dot
+  FROM cqu q JOIN cvu x ON q.i = x.i AND q.vec_id <> x.vec_id
+  GROUP BY 1, 2
+), cpairs AS (
+  SELECT d.qid, d.nid
+  FROM cdots d
+  JOIN cnorms nq ON nq.vec_id = d.qid
+  JOIN cnorms nv ON nv.vec_id = d.nid
+  WHERE CAST(d.dot AS DOUBLE)
+        / (sqrt(CAST(nq.norm_q AS DOUBLE)) * sqrt(CAST(nv.norm_q AS DOUBLE))) >= 0.35
+)
+SELECT ka.cluster AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN kb.cluster = ka.cluster THEN 1 ELSE 0 END) AS BIGINT) AS n_within,
+       CAST(SUM(CASE WHEN kb.cluster = ka.cluster THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS recall_within
+FROM cpairs p
+JOIN kasg ka ON ka.vec_id = p.qid
+JOIN kasg kb ON kb.vec_id = p.nid
+GROUP BY 1
+"""
+)
+
+
+@register(
+    "s22_semantic_cell_census",
+    _S22_ORACLE,
+    doc="Semantic-rung observability census: per coarse cell, how many "
+    "exact 0.35-radius pairs (s19's truth, query block) are "
+    "within-cell (visible to SemDeDup-style cell-local dedup) vs "
+    "cross-cell (structurally invisible) — the recall dial for "
+    "retuning ann_cells/semantic_threshold. Oracle composes the "
+    "verified Lloyd chain with s19's exact pair kernel.",
+)
+def s22_semantic_cell_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cell, n_exact, n_within, recall_within) per query-side cell
+    with at least one exact radius pair."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = S.cosine_range(emb, F.col("vec_id") < _N_QUERIES, threshold=0.35).select(
+        "qid", "nid"
+    )
+    assign = S.kmeans_assign(emb, k=10, max_iter=10).select("vec_id", "cluster")
+    qa = assign.select(F.col("vec_id").alias("qid"), F.col("cluster").alias("cell"))
+    na = assign.select(F.col("vec_id").alias("nid"), F.col("cluster").alias("n_cell"))
+    within = F.when(F.col("n_cell") == F.col("cell"), 1).otherwise(0)
+    return (
+        exact.join(qa, "qid")
+        .join(na, "nid")
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.sum(within).cast("bigint").alias("n_within"),
+            (F.sum(within).cast("double") / F.count("*").cast("double")).alias(
+                "recall_within"
+            ),
+        )
     )

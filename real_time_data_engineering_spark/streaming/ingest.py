@@ -395,3 +395,76 @@ def drift_monitor_stream(
         )
 
     return counts.writeStream.foreachBatch(_emit).outputMode("complete")
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin of the incremental curation ladder (r9 verdict item
+# 4): a micro-batch IS a shard. The reference's incremental half is the
+# Kafka→bronze→silver streaming path
+# (pipelines/02-kafka-spark-iceberg/spark/jobs/bronze_ingest.py:113-183)
+# this module mirrors for taxi events; `ingest_shard` is the batch-
+# shard production shape of the SAME ladder — so the streaming twin is
+# ST2's one-code-path stance applied to curation: wrap `ingest_shard`
+# in a foreachBatch sink over an availableNow file stream, and the
+# stream-ingested state equals the batch passes per doc (tested the
+# same way ST8 asserts silver-stream ≡ silver-batch).
+# ---------------------------------------------------------------------------
+def run_ingest_shard_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    embeddings: DataFrame | None = None,
+    schema: T.StructType | None = None,
+    **ingest_kw,
+) -> list:
+    """Drive the incremental ingest ladder from a document FILE STREAM:
+    each micro-batch (one file, ``maxFilesPerTrigger=1`` — shard files
+    must arrive in monotone doc-id order, the ladder's own contract)
+    goes through the full `plans.incremental_ingest.ingest_shard`
+    pipeline — dedup registries, semantic rung, gates, frozen probe,
+    decontam, atomic state appends. ``embeddings`` is a STATIC relation
+    (the stream-static pattern J6 uses): ingest_shard joins it down to
+    each batch's doc ids internally, so the same call serves every
+    micro-batch.
+
+    Exactly-once effect across checkpoint replays WITHOUT coupling the
+    state commit to the sink checkpoint: the ladder's own `_ingest_log`
+    already records each pass's [min_doc_id, max_doc_id], so a replayed
+    batch (its max ≤ the logged high-water mark) is skipped — the
+    durable-marker idempotence recipe ST3's `_batches` sink uses,
+    served here from state the plan persists anyway. Returns the
+    per-batch `IngestReport`s (skipped replays excluded)."""
+    from ..operators.manifest import ManifestTable
+    from ..plans.incremental_ingest import _paths, ingest_shard
+
+    if schema is None:
+        schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    reports: list = []
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        log_t = ManifestTable(_paths(state_dir)["log"])
+        if log_t.versions():
+            hi = log_t.read(spark).agg(F.max("max_doc_id")).first()[0]
+            batch_max = batch_df.agg(F.max("doc_id")).first()[0]
+            if hi is not None and int(batch_max) <= int(hi):
+                return  # checkpoint replay of an already-ingested shard
+        reports.append(
+            ingest_shard(spark, state_dir, batch_df, embeddings, **ingest_kw)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return reports

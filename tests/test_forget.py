@@ -565,3 +565,65 @@ def test_erasure_log_ids_are_unique_under_concurrency(spark, tmp_path):
     assert {int(r.erasure_id) for r in rows} == set(seqs)
     # per-call totals are PER ROW (never a repeated call-wide sum)
     assert {int(r.rows_erased_total) for r in rows} == {0, 1, 2, 3}
+
+
+def test_erasure_log_restamps_when_a_racer_wins_the_window(spark, tmp_path, monkeypatch):
+    """DETERMINISTIC version of the id-CAS contract (the threaded test
+    above only catches it by timing): force a competing erasure to
+    commit in the exact snapshot→commit window. Without the
+    expected-base-version CAS the loser's append would land at a later
+    version still stamped with the stale seq — a duplicate erasure_id;
+    with it the loser conflicts, restamps on the winner's snapshot and
+    retries."""
+    from real_time_data_engineering_spark.plans import incremental_ingest as I
+
+    log_path = str(tmp_path / "_erasure_log")
+    I._append_erasure_log(spark, log_path, [1], {"clusters": 1}, True)  # id 2
+    orig = ManifestTable.write
+    armed = {"on": True}
+
+    def racy(self, df, mode="overwrite", **kw):
+        if (
+            armed["on"]
+            and mode == "append"
+            and kw.get("expected_base_version") is not None
+            and self.path.endswith("_erasure_log")
+        ):
+            armed["on"] = False
+            I._append_erasure_log(spark, log_path, [99], {"clusters": 99}, True)
+        return orig(self, df, mode=mode, **kw)
+
+    monkeypatch.setattr(ManifestTable, "write", racy)
+    seq = I._append_erasure_log(spark, log_path, [2], {"clusters": 2}, True)
+    rows = ManifestTable(log_path).read(spark).collect()
+    ids = sorted(int(r.erasure_id) for r in rows)
+    assert len(rows) == 3 and len(set(ids)) == 3, ids
+    assert seq == max(ids)  # the loser restamped AFTER the winner
+    # ids really are the manifest versions the rows committed as
+    assert set(ids) <= set(ManifestTable(log_path).versions())
+
+
+def test_erasure_log_bootstrap_race_never_truncates_audit_rows(spark, tmp_path, monkeypatch):
+    """A racer whose empty-table check raced a winner's commit must NOT
+    land a blind overwrite that truncates committed audit rows (GDPR
+    audit-row loss): the bootstrap goes through the same version CAS
+    (expected base 0), so the stale racer conflicts and falls through
+    to a plain rebased append."""
+    from real_time_data_engineering_spark.plans import incremental_ingest as I
+
+    log_path = str(tmp_path / "_erasure_log")
+    I._append_erasure_log(spark, log_path, [7], {"clusters": 7}, True)  # id 2
+    orig = ManifestTable.versions
+    stale = {"armed": True}
+
+    def stale_versions(self):
+        if stale["armed"] and self.path.endswith("_erasure_log"):
+            stale["armed"] = False  # the racer's pre-check raced the winner
+            return []
+        return orig(self)
+
+    monkeypatch.setattr(ManifestTable, "versions", stale_versions)
+    seq = I._append_erasure_log(spark, log_path, [8], {"clusters": 8}, True)
+    rows = ManifestTable(log_path).read(spark).collect()
+    assert len(rows) == 2  # the winner's audit row SURVIVED
+    assert {int(r.erasure_id) for r in rows} == {2, seq}

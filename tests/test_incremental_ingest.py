@@ -345,3 +345,244 @@ def test_probe_drift_monitor_trips_on_shifted_shard(spark, state):
     )
     calm = I.probe_drift_vs_training(spark, state_dir, docs.join(train_ids, "doc_id")).first()
     assert int(calm.d_num) == 0 and bool(calm.drift) is False
+
+
+_SHIFT_TAIL = (
+    " extended commentary section provides additional context for the reader"
+)
+
+
+def _shift(df):
+    """Distribution-shift a doc frame (boilerplate tail, still
+    gate-passing) so a retrain on it provably moves the weights."""
+    return df.withColumn("text", F.concat(F.col("text"), F.lit(_SHIFT_TAIL)))
+
+
+def _assert_flags_match_served_weights(spark, state_dir, docs):
+    """THE terminal invariant of the retrain⇄ingest concurrency
+    contract: every `_curated` flag row's (score_micro, probe_accepted)
+    equals a fresh scoring of `docs` under the weights the registry
+    CURRENTLY serves — no row anywhere carries retired-weight scores —
+    and doc_ids are unique (no partial/duplicated end state)."""
+    from real_time_data_engineering_spark.operators.manifest import ManifestTable
+    from real_time_data_engineering_spark.operators.quality import (
+        load_probe,
+        probe_banded_decision,
+        score_with_probe,
+    )
+
+    w = load_probe(spark, I._paths(state_dir)["probe"])
+    expected = probe_banded_decision(
+        score_with_probe(docs, w, keep_cols=("source",))
+    ).select(
+        "doc_id",
+        F.col("score_micro").alias("e_score"),
+        F.col("accepted").alias("e_acc"),
+    )
+    flags = ManifestTable(I._paths(state_dir)["curated"]).read(spark)
+    n = flags.count()
+    assert n == flags.select("doc_id").distinct().count()
+    matched = flags.join(expected, "doc_id").filter(
+        (F.col("score_micro") == F.col("e_score"))
+        & (F.col("probe_accepted") == F.col("e_acc"))
+    )
+    assert matched.count() == n, (
+        flags.join(expected, "doc_id")
+        .filter(F.col("score_micro") != F.col("e_score"))
+        .select("doc_id", "score_micro", "e_score")
+        .limit(5)
+        .collect()
+    )
+
+
+def test_retrain_rebases_over_concurrent_flag_append(spark, tmp_path, monkeypatch):
+    """Forced interleaving (a) of the retrain race: an in-flight ingest
+    that loaded the RETIRED weights lands its flag rows in the exact
+    window between the backfill's flags read and its overwrite. The
+    CAS-pinned overwrite must conflict, rebase, re-score ONLY the delta
+    rows with the NEW weights and retry — no flag row ends up serving
+    retired-weight scores."""
+    from real_time_data_engineering_spark.operators.manifest import ManifestTable
+    from real_time_data_engineering_spark.operators.quality import (
+        load_probe,
+        probe_banded_decision,
+        score_with_probe,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    state = str(tmp_path / "state")
+    I.ingest_shard(
+        spark, state, docs.filter("doc_id < 250"),
+        emb.filter("vec_id < 250"), phrases=PHRASES,
+    )
+    old_w = load_probe(spark, I._paths(state)["probe"])
+    curated = I._paths(state)["curated"]
+    # the retrain runs over SHIFTED text so the new weights differ and a
+    # missed delta re-score would be a visible value mismatch
+    retrain_docs = _shift(docs)
+    schema = ManifestTable(curated).read(spark).schema
+    orig = ManifestTable.write
+    armed = {"on": True}
+
+    def interpose(self, df, mode="overwrite", **kw):
+        if (
+            armed["on"]
+            and mode == "overwrite"
+            and kw.get("expected_base_version") is not None
+            and self.path == curated
+        ):
+            armed["on"] = False
+            stale = probe_banded_decision(
+                score_with_probe(
+                    docs.filter("doc_id >= 250"), old_w, keep_cols=("source",)
+                )
+            ).select(
+                "doc_id",
+                "source",
+                F.lit(100).alias("est_tokens"),
+                F.lit(0).alias("_u16"),
+                F.lit(True).alias("passes_gates"),
+                F.col("accepted").alias("probe_accepted"),
+                "score_micro",
+                F.lit(False).alias("is_eval"),
+                F.lit(False).alias("is_contaminated"),
+                F.lit(1).alias("pass_id"),
+            )
+            aligned = stale.select(
+                *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+            )
+            ManifestTable(curated).append_with_retry(aligned)
+        return orig(self, df, mode=mode, **kw)
+
+    monkeypatch.setattr(ManifestTable, "write", interpose)
+    rep = I.retrain_probe(spark, state, retrain_docs)
+    assert not armed["on"]  # the race actually fired
+    new_w = load_probe(spark, I._paths(state)["probe"])
+    assert new_w != old_w
+    n_flags = ManifestTable(curated).read(spark).count()
+    assert rep["n_rescored"] == n_flags  # delta rows were re-scored too
+    _assert_flags_match_served_weights(spark, state, retrain_docs)
+
+
+def test_ingest_fence_heals_rows_scored_with_retired_weights(spark, tmp_path, monkeypatch):
+    """Forced interleaving (b) — the one the retrainer CANNOT see: a
+    retrain completes between an ingest's weight load and its flag
+    append, so the appended rows land AFTER the backfill, scored with
+    retired weights. `ingest_shard`'s post-commit freshness fence must
+    detect the registry re-version and re-score its own rows."""
+    from real_time_data_engineering_spark.operators import quality as Q
+
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    state = str(tmp_path / "state")
+    I.ingest_shard(
+        spark, state, docs.filter("doc_id < 250"),
+        emb.filter("vec_id < 250"), phrases=PHRASES,
+    )
+    shard1_shifted = _shift(docs.filter("doc_id < 250"))
+    orig_load = Q.load_probe
+    armed = {"on": True}
+
+    def racing_load(spark_, path):
+        w = orig_load(spark_, path)  # the soon-to-be-retired weights
+        if armed["on"] and path == I._paths(state)["probe"]:
+            armed["on"] = False
+            I.retrain_probe(spark, state, shard1_shifted)
+        return w
+
+    monkeypatch.setattr(Q, "load_probe", racing_load)
+    I.ingest_shard(
+        spark, state, docs.filter("doc_id >= 250"),
+        emb.filter("vec_id >= 250"), phrases=PHRASES,
+    )
+    assert not armed["on"]  # the retrain really raced the load
+    all_docs = shard1_shifted.unionByName(docs.filter("doc_id >= 250"))
+    _assert_flags_match_served_weights(spark, state, all_docs)
+
+
+def test_semantic_rung_enabled_after_disabled_bootstrap_raises(spark, tmp_path):
+    """Enabling the semantic rung on a later pass when the bootstrap
+    ran with it DISABLED (quantizer exists, `_vectors` never committed)
+    must raise instead of silently creating a fresh survivor store in
+    which the bootstrap's kept docs are never semantic candidates — the
+    missing-quantizer ValueError's mirror."""
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    state = str(tmp_path / "state")
+    I.ingest_shard(
+        spark, state, docs.filter("doc_id < 250"),
+        emb.filter("vec_id < 250"), phrases=PHRASES, semantic=False,
+    )
+    with pytest.raises(ValueError, match="ran with it disabled"):
+        I.ingest_shard(
+            spark, state, docs.filter("doc_id >= 250"),
+            emb.filter("vec_id >= 250"), phrases=PHRASES,
+        )
+
+
+def test_streaming_ingest_twin_equals_batch_ladder(spark, tmp_path):
+    """ST2 applied to the curation ladder (r9 verdict item 4): driving
+    the SAME corpus through `run_ingest_shard_stream` (foreachBatch
+    over an availableNow file stream, one file per micro-batch) must
+    leave per-doc state equal to two batch `ingest_shard` passes — and
+    a full checkpoint-style replay of the stream must be a no-op (the
+    `_ingest_log` high-water skip)."""
+    import glob
+    import shutil
+    import time as _time
+
+    from real_time_data_engineering_spark.streaming.ingest import (
+        run_ingest_shard_stream,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    mm = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    mid = (int(mm[0]) + int(mm[1])) // 2
+    stream_dir = tmp_path / "shards"
+    stream_dir.mkdir()
+    for i, pred in enumerate((f"doc_id <= {mid}", f"doc_id > {mid}")):
+        w = str(tmp_path / f"w{i}")
+        docs.filter(pred).coalesce(1).write.parquet(w)
+        shutil.copy(
+            glob.glob(w + "/part-*.parquet")[0],
+            str(stream_dir / f"shard-{i:04d}.parquet"),
+        )
+        _time.sleep(1.1)  # distinct mtimes: discovery order == shard order
+
+    s_state = str(tmp_path / "stream_state")
+    reports = run_ingest_shard_stream(
+        spark, str(stream_dir), s_state, str(tmp_path / "ckpt1"),
+        embeddings=emb, phrases=PHRASES,
+    )
+    assert len(reports) == 2  # one micro-batch per shard file
+    assert [r.pass_id for r in reports] == [0, 1]
+
+    b_state = str(tmp_path / "batch_state")
+    I.ingest_shard(
+        spark, b_state, docs.filter(f"doc_id <= {mid}"),
+        emb.filter(f"vec_id <= {mid}"), phrases=PHRASES,
+    )
+    I.ingest_shard(
+        spark, b_state, docs.filter(f"doc_id > {mid}"),
+        emb.filter(f"vec_id > {mid}"), phrases=PHRASES,
+    )
+    s_inc, b_inc = I.stage_sets(spark, s_state), I.stage_sets(spark, b_state)
+    for stage in (
+        "exact_unique", "neardup_keep", "semantic_keep",
+        "quality_pass", "probe_keep", "decontaminated",
+    ):
+        assert _ids(s_inc[stage]) == _ids(b_inc[stage]), stage
+
+    # replay: a fresh checkpoint re-delivers every file; the ladder's
+    # own high-water mark must skip them all without touching state
+    from real_time_data_engineering_spark.operators.manifest import ManifestTable
+
+    v_before = ManifestTable(I._paths(s_state)["curated"]).snapshot().version
+    replayed = run_ingest_shard_stream(
+        spark, str(stream_dir), s_state, str(tmp_path / "ckpt2"),
+        embeddings=emb, phrases=PHRASES,
+    )
+    assert replayed == []
+    assert ManifestTable(I._paths(s_state)["curated"]).snapshot().version == v_before

@@ -1142,3 +1142,28 @@ def test_gdpr_erasure_is_physical_after_maintenance(spark, tmp_path, mor):
         assert got == left
 
     run()
+
+
+def test_write_expected_base_version_is_a_true_cas(spark, tmp_path):
+    """`expected_base_version` turns write into a compare-and-swap on
+    the snapshot the caller decided from: a stale expectation is
+    refused (CommitConflict, table untouched), a correct one commits
+    at exactly expected+1 — the contract the erasure-log id stamping
+    and the retrain backfill rebase depend on."""
+    t = ManifestTable(str(tmp_path / "t"))
+    df = spark.range(3).withColumnRenamed("id", "k")
+    t.write(df)  # v1
+    with pytest.raises(CommitConflict, match="expected base version"):
+        t.write(df, mode="append", expected_base_version=0)
+    assert t.snapshot().version == 1  # refused commit left no trace
+    assert t.read(spark).count() == 3
+    snap = t.write(df, mode="append", expected_base_version=1)
+    assert snap.version == 2 and t.read(spark).count() == 6
+
+    # bootstrap shape: expected 0 succeeds ONLY on a never-written
+    # table — the blind-overwrite truncation race this closes
+    t2 = ManifestTable(str(tmp_path / "t2"))
+    assert t2.write(df, expected_base_version=0).version == 1
+    with pytest.raises(CommitConflict, match="expected base version"):
+        t2.write(df, expected_base_version=0)
+    assert t2.read(spark).count() == 3

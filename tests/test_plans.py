@@ -352,6 +352,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "s19_range_search",  # threshold scan IS s1's broadcast query fan-out
         "s20_range_search_ivf",  # index radius probe = s8's routing fan-out + bounded refine
         "s21_range_recall",  # composes s19 (s1's fan-out) + s20, inheriting both
+        "s22_semantic_cell_census",  # exact pair truth IS s19's broadcast fan-out
     }
     for name, spec in all_specs().items():
         plan = spec.spark(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
@@ -399,13 +400,13 @@ def test_r3_green_head_keeps_its_positions():
 
 def test_r5_artifact_key_order_is_pinned_verbatim():
     """Append-only pin extension (r5 verdict item 4, extended through
-    r8 per the r6 item 5 / r7 item 6 / r8 item 6 chain): the driver's
-    round-5 through round-8 artifacts each went 50/50 green on exactly
-    the _R3_GREEN_HEAD keys in that order, so the committed
-    CORRECTNESS_r0{5,6,7,8}.json key lists ARE the contract — assert
-    them verbatim against the registry head so no future registration
-    change can silently reshuffle a budgeted artifact away from its
-    last all-green composition."""
+    r9 per the r6 item 5 / r7 item 6 / r8 item 6 / r9 item 5 chain):
+    the driver's round-5 through round-9 artifacts each went 50/50
+    green on exactly the _R3_GREEN_HEAD keys in that order, so the
+    committed CORRECTNESS_r0{5..9}.json key lists ARE the contract —
+    assert them verbatim against the registry head so no future
+    registration change can silently reshuffle a budgeted artifact
+    away from its last all-green composition."""
     import json
     import pathlib
 
@@ -417,6 +418,7 @@ def test_r5_artifact_key_order_is_pinned_verbatim():
         "CORRECTNESS_r06.json",
         "CORRECTNESS_r07.json",
         "CORRECTNESS_r08.json",
+        "CORRECTNESS_r09.json",
     ):
         keys = list(json.loads((root / artifact).read_text()).keys())
         assert keys == list(registry._R3_GREEN_HEAD), artifact
