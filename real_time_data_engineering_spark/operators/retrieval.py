@@ -623,59 +623,82 @@ def mmr_select(
     Scale shape: the shortlist is |queries|·shortlist rows and the sim
     relation |queries|·shortlist² — metadata-sized by construction (the
     expensive retrieval+pair-cosine work happens upstream on verified
-    chains); the k−1 greedy rounds are tiny self-joins, driver-bounded
-    like the Lloyd loop. Returns (query_id, doc_id, pick_order, mmr)."""
-    lam_c = F.lit(lam)
-    seedw = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("doc_id"))
-    sel = (
-        cand.withColumn("_rn", F.row_number().over(seedw))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "query_id",
-            "doc_id",
-            F.lit(1).cast("long").alias("pick_order"),
-            (lam_c * F.col("rel")).alias("mmr"),
+    chains). The greedy itself runs as ONE cogrouped Arrow pass (both
+    relations shuffled once by query_id, then a per-query loop over ≤
+    shortlist² floats in the kernel): the r9 form unrolled the k−1
+    rounds as driver-paced self-joins with an eager checkpoint each —
+    ~5 jobs / ~20 stages for what is per-query O(k·shortlist) float64
+    work (guide §1.2 step 1 — the distributed algorithm had 4 needless
+    barriers; §4.2 — batch the tiny sequential tail into one kernel).
+    Arithmetic is unchanged op-for-op (λ·rel, MAX over available pair
+    cosines, λ·rel − (1−λ)·maxsim, ties on doc_id — all IEEE float64
+    in both forms), so results are bit-identical; the registry s16
+    value-oracle and the golden tests pin that.
+    Returns (query_id, doc_id, pick_order, mmr)."""
+    lam_f = float(lam)
+    k_n = int(k)
+
+    def greedy(key, cpdf, spdf):
+        import pandas as _pd
+
+        q = key[0]
+        rel = {
+            int(d): float(r)
+            for d, r in zip(cpdf["doc_id"].tolist(), cpdf["rel"].tolist())
+        }
+        sim = {
+            (int(a), int(b)): float(c)
+            for a, b, c in zip(
+                spdf["a"].tolist(), spdf["b"].tolist(), spdf["cos"].tolist()
+            )
+        }
+        if not rel:
+            return _pd.DataFrame(
+                {
+                    "query_id": _pd.Series([], dtype="int64"),
+                    "doc_id": _pd.Series([], dtype="int64"),
+                    "pick_order": _pd.Series([], dtype="int64"),
+                    "mmr": _pd.Series([], dtype="float64"),
+                }
+            )
+        # seed: max rel, ties on doc_id ASC (the r9 seed window's order)
+        seed = min(rel, key=lambda d: (-rel[d], d))
+        out_doc = [seed]
+        out_mmr = [lam_f * rel[seed]]
+        selected = [seed]
+        remaining = set(rel) - {seed}
+        for _t in range(2, k_n + 1):
+            best = None
+            best_mmr = None
+            for d in sorted(remaining):
+                pair = [sim[(d, s)] for s in selected if (d, s) in sim]
+                if not pair:
+                    # no sim row to any selected doc — the inner join in
+                    # the unrolled form dropped such candidates; keep
+                    # that exact behaviour
+                    continue
+                mmr_v = lam_f * rel[d] - (1.0 - lam_f) * max(pair)
+                if best is None or mmr_v > best_mmr:
+                    best, best_mmr = d, mmr_v
+            if best is None:
+                break
+            out_doc.append(best)
+            out_mmr.append(best_mmr)
+            selected.append(best)
+            remaining.discard(best)
+        return _pd.DataFrame(
+            {
+                "query_id": [q] * len(out_doc),
+                "doc_id": out_doc,
+                "pick_order": list(range(1, len(out_doc) + 1)),
+                "mmr": out_mmr,
+            }
         )
-        .localCheckpoint(eager=True)  # tiny; consumed every round
+
+    return (
+        cand.groupBy("query_id")
+        .cogroup(sims.groupBy("query_id"))
+        .applyInPandas(
+            greedy, "query_id bigint, doc_id bigint, pick_order bigint, mmr double"
+        )
     )
-    cand = cand.localCheckpoint(eager=True)
-    sims = sims.localCheckpoint(eager=True)
-    for t in range(2, k + 1):
-        chosen = sel.select("query_id", F.col("doc_id").alias("_sel_id"))
-        rem = cand.join(
-            chosen.withColumnRenamed("_sel_id", "doc_id"),
-            ["query_id", "doc_id"],
-            "left_anti",
-        )
-        mx = (
-            rem.join(chosen, "query_id")
-            .join(
-                sims.select(
-                    "query_id",
-                    F.col("a").alias("doc_id"),
-                    F.col("b").alias("_sel_id"),
-                    "cos",
-                ),
-                ["query_id", "doc_id", "_sel_id"],
-            )
-            .groupBy("query_id", "doc_id", "rel")
-            .agg(F.max("cos").alias("maxsim"))
-        )
-        scored = mx.select(
-            "query_id",
-            "doc_id",
-            (lam_c * F.col("rel") - (F.lit(1.0) - lam_c) * F.col("maxsim")).alias("mmr"),
-        )
-        w = Window.partitionBy("query_id").orderBy(F.desc("mmr"), F.asc("doc_id"))
-        pick = (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(
-                "query_id",
-                "doc_id",
-                F.lit(t).cast("long").alias("pick_order"),
-                "mmr",
-            )
-        )
-        sel = sel.unionByName(pick).localCheckpoint(eager=True)
-    return sel

@@ -29,6 +29,12 @@ from ..sources.readers import ensure_min_partitions
 
 QUANT_SCALE = 1_000_000.0
 
+# Driver-combine bound for iterative round stats (kmeans/PQ training):
+# per-task partials are collected directly when their row count is under
+# this, else the distributed pre-aggregation runs. Module-level so tests
+# can force either path and assert bit-identical training output.
+DIRECT_STATS_BOUND = 65_536
+
 
 def quantized(col: Column | str) -> Column:
     """array<float> → array<bigint> via floor(x·1e6) — exact both engines."""
@@ -763,6 +769,13 @@ def kmeans_assign(
             import numpy as _np
             import pandas as _pd
 
+            # combine across ALL Arrow batches of the task before
+            # yielding: the partial relation is then ≤ k rows per TASK
+            # (not per 10k-row batch), which is what makes the one-stage
+            # driver combine below scale-safe to bound (guide §2.3,
+            # "aggregate before you shuffle" — here: before you collect)
+            acc_s: dict = {}
+            acc_n: dict = {}
             for pdf in it:
                 if len(pdf) == 0:
                     continue
@@ -771,36 +784,72 @@ def kmeans_assign(
                 cl = d2.argmin(axis=1)
                 Q = _np.floor(M * QUANT_SCALE).astype(_np.int64)
                 ks, counts = _np.unique(cl, return_counts=True)
-                sums = _np.empty((len(ks), M.shape[1]), dtype=_np.int64)
                 for i, kk in enumerate(ks):
-                    sums[i] = Q[cl == kk].sum(axis=0)
+                    s = Q[cl == kk].sum(axis=0)
+                    kk = int(kk)
+                    if kk in acc_s:
+                        acc_s[kk] += s
+                        acc_n[kk] += int(counts[i])
+                    else:
+                        acc_s[kk] = s
+                        acc_n[kk] = int(counts[i])
+            if acc_s:
+                ks_sorted = sorted(acc_s)
                 yield _pd.DataFrame(
-                    {"cluster": ks.astype("int32"), "n": counts.astype("int64"),
-                     "s": list(sums)}
+                    {
+                        "cluster": _np.array(ks_sorted, dtype="int32"),
+                        "n": _np.array([acc_n[kk] for kk in ks_sorted], dtype="int64"),
+                        "s": [acc_s[kk] for kk in ks_sorted],
+                    }
                 )
 
         return go
 
+    # Round-stats plumbing (guide §2.4 — remove the exchange outright):
+    # the per-task partials are ≤ n_parts·k rows of k·dim int64 sums.
+    # When that is driver-small (the coarse-quantizer regime: k ≤ ~1e4
+    # even at 100 TB), collect them directly and fold in numpy — ONE
+    # stage per Lloyd round instead of map + posexplode/groupBy exchange
+    # + reduce. Integer sums are order-independent, so the fold is
+    # bit-identical to the distributed pre-aggregation it replaces.
+    # Past the bound (huge k · many partitions) the distributed
+    # pre-aggregation path below is unchanged.
+    n_parts = train.rdd.getNumPartitions()
+    direct = n_parts * k <= DIRECT_STATS_BOUND
     for _ in range(max_iter):
         partials = train.mapInPandas(
             partial_fn(centroids), "cluster int, n bigint, s array<bigint>"
         )
-        # k·dim tiny rows after one narrow agg; each pos row carries the
-        # cluster's total n (sum of batch ns, constant across pos)
-        stats = (
-            partials.select("cluster", "n", F.posexplode("s").alias("pos", "sv"))
-            .groupBy("cluster", "pos")
-            .agg(F.sum("sv").alias("s"), F.sum("n").alias("n"))
-            .collect()
-        )
         new_c = centroids.copy()
-        agg_s = {}
-        agg_n = {}
-        for r in stats:
-            agg_s.setdefault(r.cluster, np.zeros(dim, dtype=np.float64))[r.pos] = float(r.s)
-            agg_n[r.cluster] = r.n
-        for cl, sums in agg_s.items():
-            new_c[cl] = sums / (QUANT_SCALE * agg_n[cl])
+        if direct:
+            agg_s = {}
+            agg_n = {}
+            for r in partials.collect():
+                arr = np.asarray(r.s, dtype=np.int64)
+                if r.cluster in agg_s:
+                    agg_s[r.cluster] += arr
+                    agg_n[r.cluster] += r.n
+                else:
+                    agg_s[r.cluster] = arr
+                    agg_n[r.cluster] = r.n
+            for cl, sums in agg_s.items():
+                new_c[cl] = sums.astype(np.float64) / (QUANT_SCALE * agg_n[cl])
+        else:
+            # k·dim tiny rows after one narrow agg; each pos row carries
+            # the cluster's total n (sum of task ns, constant across pos)
+            stats = (
+                partials.select("cluster", "n", F.posexplode("s").alias("pos", "sv"))
+                .groupBy("cluster", "pos")
+                .agg(F.sum("sv").alias("s"), F.sum("n").alias("n"))
+                .collect()
+            )
+            agg_s = {}
+            agg_n = {}
+            for r in stats:
+                agg_s.setdefault(r.cluster, np.zeros(dim, dtype=np.float64))[r.pos] = float(r.s)
+                agg_n[r.cluster] = r.n
+            for cl, sums in agg_s.items():
+                new_c[cl] = sums / (QUANT_SCALE * agg_n[cl])
         if np.array_equal(new_c, centroids):
             break
         centroids = new_c
@@ -914,11 +963,16 @@ def pq_train_codes(
             import pandas as _pd
 
             mm, _kk, ss = Cc.shape
+            # combine across ALL Arrow batches before yielding — ≤ m·k
+            # rows per TASK (see kmeans_assign: makes the one-stage
+            # driver combine boundable, and shrinks the distributed
+            # pre-agg's input at any scale)
+            acc_s: dict = {}
+            acc_n: dict = {}
             for pdf in it:
                 if len(pdf) == 0:
                     continue
                 X = _np.array(list(pdf["v"]), dtype=_np.float64)
-                subs, cls, ns, sums = [], [], [], []
                 for j in range(mm):
                     Xj = X[:, j * ss : (j + 1) * ss]
                     d2 = ((Xj[:, None, :] - Cc[j][None, :, :]) ** 2).sum(axis=2)
@@ -926,39 +980,66 @@ def pq_train_codes(
                     Qj = _np.floor(Xj * QUANT_SCALE).astype(_np.int64)
                     uk, cnt = _np.unique(cl, return_counts=True)
                     for idx, c in enumerate(uk):
-                        subs.append(j)
-                        cls.append(int(c))
-                        ns.append(int(cnt[idx]))
-                        sums.append(Qj[cl == c].sum(axis=0))
+                        key = (j, int(c))
+                        s = Qj[cl == c].sum(axis=0)
+                        if key in acc_s:
+                            acc_s[key] += s
+                            acc_n[key] += int(cnt[idx])
+                        else:
+                            acc_s[key] = s
+                            acc_n[key] = int(cnt[idx])
+            if acc_s:
+                keys = sorted(acc_s)
                 yield _pd.DataFrame(
                     {
-                        "sub": _np.array(subs, dtype="int32"),
-                        "cluster": _np.array(cls, dtype="int32"),
-                        "n": _np.array(ns, dtype="int64"),
-                        "s": sums,
+                        "sub": _np.array([j for j, _ in keys], dtype="int32"),
+                        "cluster": _np.array([c for _, c in keys], dtype="int32"),
+                        "n": _np.array([acc_n[key] for key in keys], dtype="int64"),
+                        "s": [acc_s[key] for key in keys],
                     }
                 )
 
         return go
 
+    # One-stage round stats when the per-task partials are driver-small
+    # (m·k per task; see kmeans_assign for the rationale + parity
+    # argument). The distributed pre-aggregation remains for huge
+    # codebooks · many partitions.
+    n_parts = narrow.rdd.getNumPartitions()
+    direct = n_parts * m * k <= DIRECT_STATS_BOUND
     for _ in range(max_iter):
         partials = narrow.mapInPandas(
             partial_fn(C), "sub int, cluster int, n bigint, s array<bigint>"
         )
-        stats = (
-            partials.select("sub", "cluster", "n", F.posexplode("s").alias("pos", "sv"))
-            .groupBy("sub", "cluster", "pos")
-            .agg(F.sum("sv").alias("s"), F.sum("n").alias("n"))
-            .collect()
-        )
         new_C = C.copy()
-        acc: dict = {}
-        cnt: dict = {}
-        for r in stats:
-            acc.setdefault((r.sub, r.cluster), np.zeros(sub_dim, dtype=np.float64))[r.pos] = float(r.s)
-            cnt[(r.sub, r.cluster)] = r.n
-        for (j, c), s_arr in acc.items():
-            new_C[j, c] = s_arr / (QUANT_SCALE * cnt[(j, c)])
+        if direct:
+            acc: dict = {}
+            cnt: dict = {}
+            for r in partials.collect():
+                key = (r.sub, r.cluster)
+                arr = np.asarray(r.s, dtype=np.int64)
+                if key in acc:
+                    acc[key] += arr
+                    cnt[key] += r.n
+                else:
+                    acc[key] = arr
+                    cnt[key] = r.n
+            for (j, c), s_arr in acc.items():
+                new_C[j, c] = s_arr.astype(np.float64) / (QUANT_SCALE * cnt[(j, c)])
+        else:
+            stats = (
+                partials.select("sub", "cluster", "n", F.posexplode("s").alias("pos", "sv"))
+                .groupBy("sub", "cluster", "pos")
+                .agg(F.sum("sv").alias("s"), F.sum("n").alias("n"))
+                .collect()
+            )
+            acc = {}
+            cnt = {}
+            for r in stats:
+                acc.setdefault((r.sub, r.cluster), np.zeros(sub_dim, dtype=np.float64))[r.pos] = float(r.s)
+                cnt[(r.sub, r.cluster)] = r.n
+            for (j, c), s_arr in acc.items():
+                new_C[j, c] = s_arr / (QUANT_SCALE * cnt[(j, c)])
         if np.array_equal(new_C, C):
             break
         C = new_C
