@@ -49,15 +49,40 @@ def tokens_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def corpus_stats(docs: DataFrame, tok: DataFrame) -> tuple[float, float, DataFrame]:
+def corpus_stats(
+    docs: DataFrame, tok: DataFrame, text_col: str = "text"
+) -> tuple[float, float, DataFrame]:
     """(n_docs, avgdl, dl) — the two O(1) BM25 scalars plus the per-doc
     token-length relation (checkpointed: consumed by both the scalar
-    fetch and the scoring join)."""
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl")).localCheckpoint(eager=True)
-    n_docs = float(docs.count())
-    row = dl.agg(F.sum("dl").alias("s"), F.count("*").alias("c")).first()
+    fetch and the scoring join).
+
+    dl is the SIZE of the token array — a narrow, shuffle-free
+    projection of ``docs`` (`_lex_parts`' stats pass uses the same
+    identity) — so the explode+groupBy exchange and the separate
+    ``docs.count()`` corpus scan both disappear: one checkpoint job +
+    one agg job total. The exact contract is unchanged: n_docs counts
+    ALL docs, avgdl divides by docs with ≥1 token, and the returned
+    ``dl`` relation carries only docs with ≥1 token (what the old
+    groupBy over exploded tokens produced). ``tok`` stays in the
+    signature for the callers' tokenize chain (consumed by
+    `bm25_scores`); it is not re-scanned here."""
+    dl_all = docs.select(
+        "doc_id",
+        F.coalesce(
+            F.size(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("dl"),
+    ).localCheckpoint(eager=True)
+    row = dl_all.agg(
+        F.count("*").alias("n_all"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("s"),
+        F.count_if(F.col("dl") > 0).alias("c"),
+    ).first()
+    n_docs = float(row["n_all"])
     avgdl = float(row["s"]) / float(row["c"])
-    return n_docs, avgdl, dl
+    return n_docs, avgdl, dl_all.filter(F.col("dl") > 0)
 
 
 def bm25_scores(
@@ -76,17 +101,31 @@ def bm25_scores(
     ``exclude_self=True`` there so a document never retrieves itself).
     Constants must make the IEEE chain identical on both engines:
     k1=1.2/b=0.75 fold to the exact doubles 2.2 and 0.25 that the SQL
-    oracles spell literally."""
-    qt = F.broadcast(qterms)
-    tf = tok.join(qt, "term")
+    oracles spell literally.
+
+    ``qterms`` must be duplicate-free (query_id, term) pairs — both
+    callers construct it so (s10 applies `.distinct()`, d40's literal
+    census is distinct by inspection).
+
+    One corpus tokenize pass: per-doc term frequencies are aggregated
+    ONCE keyed (term, doc_id), restricted to the broadcast query
+    vocabulary, and checkpointed; the per-query tf join AND the df
+    census both derive from that bounded relation. (Previously tf and
+    df each re-tokenized the corpus — two scans + two corpus-keyed
+    exchanges — and the tf shuffle carried every (query, occurrence)
+    copy; tf is per-(term, doc) — a term's frequency in a doc does not
+    depend on which query asks — so the query_id join belongs AFTER
+    the aggregation, and df(term) is just the (term, doc) row count.)"""
+    tfd = (
+        tok.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    tf = tfd.join(F.broadcast(qterms), "term")
     if exclude_self:
         tf = tf.filter(F.col("doc_id") != F.col("query_id"))
-    tf = tf.groupBy("query_id", "term", "doc_id").agg(F.count("*").alias("tf"))
-    dfq = (
-        tok.join(F.broadcast(qterms.select("term").distinct()), "term")
-        .groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("df"))
-    )
+    dfq = tfd.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     return _bm25_from_parts(tf, dfq, dl, n_docs, avgdl, k1, b)
 
 
