@@ -342,6 +342,32 @@ class TreeSampler(threading.Thread):
         self._stop.set()
 
 
+def _calibrate_cpu() -> float:
+    """Fixed, single-threaded, deterministic CPU microbenchmark stamped
+    into the bench JSON (`calib_cpu_sec`): the wall seconds this exact
+    machine needs for a constant amount of work (sha256 over 256 MB +
+    a fixed pure-Python loop). Cross-round wall-clock comparisons can
+    then be machine-normalized PRINCIPLED-ly (divide by the calibration
+    ratio) instead of post-hoc (r10's committed artifact was produced
+    on a container ~1.6x slower than r9's and the comparison had to be
+    reconstructed from untouched-lineage medians). Runs before the
+    session exists and is not part of any timed region; min of 3 so a
+    scheduling blip never inflates the constant."""
+    import hashlib
+
+    def once() -> float:
+        t = time.perf_counter()
+        buf = b"\x5a" * (1 << 20)
+        for _ in range(256):
+            hashlib.sha256(buf).digest()
+        acc = 0
+        for i in range(2_000_000):
+            acc = (acc * 1315423911 + i) & 0xFFFFFFFFFFFF
+        return time.perf_counter() - t
+
+    return round(min(once() for _ in range(3)), 4)
+
+
 def _sibling_jvms() -> list[str]:
     """Live JVM processes that would contend for the local[32] cores.
 
@@ -402,12 +428,22 @@ def main() -> None:
         print("bench: RUNNING UNDER CONTENTION — numbers are inflated:", file=sys.stderr)
         for s in contention:
             print(f"  {s}", file=sys.stderr)
+    calib_cpu_sec = _calibrate_cpu()
     t0 = time.time()
-    from real_time_data_engineering_spark.registry import all_specs
+    from real_time_data_engineering_spark import registry
     from real_time_data_engineering_spark.session import get_spark
 
+    # Overlap the registry's module imports (pandas/numpy + the 8 query
+    # modules — pure-Python work) with the JVM launch the main thread
+    # blocks on inside getOrCreate (a socket wait that releases the
+    # GIL): guide §2.6's overlap principle applied to the driver's own
+    # startup path. Python's per-module import locks make the
+    # concurrent import safe.
+    loader = threading.Thread(target=registry._load)
+    loader.start()
     spark = get_spark(app_name="bench")
-    specs = all_specs()
+    loader.join()
+    specs = registry.all_specs()
     startup = time.time() - t0
 
     def run(name: str) -> float:
@@ -731,6 +767,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "calib_cpu_sec": calib_cpu_sec,
         "startup_sec": round(startup, 3),
         "ingestion_sec": ingestion_s,
         "extra_queries": extra_times,
@@ -803,6 +840,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "calib_cpu_sec": calib_cpu_sec,
         "startup_sec": round(startup, 3),
         "extra_suite_sec": round(sum(extra_times.values()), 3),
         "n_extra_queries": len(extra_times),

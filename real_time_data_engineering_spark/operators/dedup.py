@@ -29,6 +29,20 @@ from pyspark.sql import functions as F
 from ..functions.text import fingerprint, normalize_text, tokens, word_ngrams_tokens
 from ..sources.readers import ensure_min_partitions
 
+# Driver union-find tier for connected components: when the
+# (checkpointed) edge set is provably driver-small, ONE bounded collect
+# + an in-memory union-find replaces the whole iterative min-label loop
+# (each round of which costs a join + groupBy exchange + checkpoint +
+# convergence probe). Bound is in BYTES of the edge payload — measured
+# on the materialized edge relation before collecting, so the decision
+# never guesses — mirroring similarity.DIRECT_STATS_BOUND's
+# bounded-collect + distributed-fallback pattern. Near-dup edge sets
+# are pair-graph sized (≪ corpus: only colliding docs appear), so even
+# at 100 TB most real runs fit; past the bound the distributed
+# min-label propagation below runs unchanged. Module-level so tests
+# can force either path and assert identical output.
+DIRECT_EDGE_BOUND = 64 * 1024 * 1024
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup groups: fingerprint → keeper (min id) + copy count.
@@ -640,6 +654,53 @@ def fingerprint_neardup_pairs(
     )
 
 
+def _cc_driver_union_find(edges: DataFrame) -> DataFrame:
+    """Bounded-collect tier of `connected_components`: union-find over
+    the (symmetric, distinct, checkpointed) edge relation, returning the
+    identical (node, cluster_id = component min, cluster_size) contract
+    with the identical schema (node/cluster_id keep the edge column
+    type, cluster_size is long — matching the distributed path's
+    count)."""
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edges.collect():
+        s, t = row[0], row[1]
+        if s not in parent:
+            parent[s] = s
+        if t not in parent:
+            parent[t] = t
+        rs, rt = find(s), find(t)
+        if rs != rt:
+            parent[rs] = rt
+    comps: dict = {}
+    for node in parent:
+        comps.setdefault(find(node), []).append(node)
+    out = []
+    for members in comps.values():
+        label = min(members)
+        size = len(members)
+        out.extend((node, label, size) for node in members)
+    node_t = edges.schema["s"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("node", node_t),
+            T.StructField("cluster_id", node_t),
+            T.StructField("cluster_size", T.LongType()),
+        ]
+    )
+    return edges.sparkSession.createDataFrame(out, schema)
+
+
 def connected_components(
     pairs: DataFrame, src: str = "d1", dst: str = "d2", max_iter: int = 20
 ) -> DataFrame:
@@ -659,6 +720,14 @@ def connected_components(
     equivalence + deep-chain convergence tested in
     tests/test_fuzzy_ops.py). localCheckpoint truncates the iterative
     lineage so plans don't grow unboundedly.
+
+    When the materialized edge set measures under ``DIRECT_EDGE_BOUND``
+    bytes, the rounds are skipped entirely: one bounded collect feeds a
+    driver-side union-find computing the same (node, min-of-component,
+    size) fixpoint — identical output by construction (component
+    membership is join-order independent; Python's min over int/str
+    orders exactly like Spark's MIN: numeric, and UTF-8 binary order ==
+    code-point order for strings).
     """
     edges = (
         pairs.select(F.col(src).alias("s"), F.col(dst).alias("t"))
@@ -666,6 +735,17 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # byte-measured gate over the ALREADY-materialized relation (one
+    # cheap agg job; octet_length of the string rendering upper-bounds
+    # the in-driver footprint for both numeric and string ids)
+    probe = edges.agg(
+        F.sum(
+            F.octet_length(F.col("s").cast("string"))
+            + F.octet_length(F.col("t").cast("string"))
+        ).alias("b"),
+    ).first()
+    if (probe["b"] or 0) <= DIRECT_EDGE_BOUND:
+        return _cc_driver_union_find(edges)
     labels = edges.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))
     prev_sum = None
     for _ in range(max_iter):

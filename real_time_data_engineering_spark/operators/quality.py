@@ -105,22 +105,58 @@ def repetition_stats(
     # Materialize the token array ONCE: expressions referenced inside
     # HOF lambdas are inlined and re-evaluated per element otherwise.
     toked = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
-    grams = toked.select(
-        id_col,
-        F.explode(
-            F.zip_with(
-                F.slice("_toks", 1, F.size("_toks") - 1),
-                F.slice("_toks", 2, F.size("_toks") - 1),
-                lambda a, b: F.concat_ws(" ", a, b),
-            )
-        ).alias("gram"),
+    # Every gram of a document lives in ONE input row, so the per-gram
+    # frequencies never needed a shuffle: sort the gram array and fold
+    # run-length statistics in a single JVM-codegen aggregate — grouping
+    # by equality (groupBy) and adjacency after a total-order sort count
+    # the same multiset. Replaces the explode → groupBy(id, gram) →
+    # groupBy(id) double exchange with a narrow projection: d12 is now
+    # shuffle-free end-to-end like d13 (r11; guide §2.4). Per run of
+    # length L: distinct += 1 at run start, maxrun tracks the longest,
+    # dup accumulates L for L ≥ 2 (+2 when the run reaches 2 — counting
+    # the first instance retroactively — then +1 per further repeat).
+    gram = F.zip_with(
+        F.slice("_toks", 1, F.size("_toks") - 1),
+        F.slice("_toks", 2, F.size("_toks") - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
-    per_gram = grams.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
-    agg = per_gram.groupBy(id_col).agg(
-        F.sum("c").alias("n_grams"),
-        F.count("*").alias("distinct_grams"),
-        F.max("c").alias("max_gram_count"),
-        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("dup_grams"),
+    base = toked.select(F.col(id_col), gram.alias("_grams")).filter(F.size("_grams") > 0)
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("maxrun"),
+        zero.alias("dup"),
+        zero.alias("distinct"),
+    )
+
+    def _step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + F.lit(1)).otherwise(F.lit(1)).cast("long")
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["maxrun"], run).alias("maxrun"),
+            (
+                acc["dup"]
+                + F.when(run == 2, F.lit(2)).when(run > 2, F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("dup"),
+            (acc["distinct"] + F.when(run == 1, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("distinct"),
+        )
+
+    agg = base.select(
+        F.col(id_col),
+        F.size("_grams").cast("long").alias("n_grams"),
+        F.aggregate(F.array_sort("_grams"), init, _step).alias("_st"),
+    ).select(
+        id_col,
+        "n_grams",
+        F.col("_st.distinct").alias("distinct_grams"),
+        F.col("_st.maxrun").alias("max_gram_count"),
+        F.col("_st.dup").alias("dup_grams"),
     )
     top_frac = F.col("max_gram_count").cast("double") / F.col("n_grams").cast("double")
     dup_frac = F.col("dup_grams").cast("double") / F.col("n_grams").cast("double")
@@ -159,11 +195,14 @@ def contamination_stats(
     """
     from .dedup import shingle_exploded
 
-    grams = (
-        shingle_exploded(df, n, text_col, id_col)
-        .distinct()
-        .withColumn("_is_eval", is_eval)
-    )
+    # shingle_exploded is per-doc-distinct BY CONSTRUCTION
+    # (word_ngrams_tokens wraps the gram array in array_distinct), and
+    # doc_id disambiguates across docs — so (doc_id, shingle) is
+    # already globally distinct and a .distinct() here would be a
+    # semantic no-op costing a full corpus-keyed exchange (removed in
+    # r11; guide §2.4). The train side is now SHUFFLE-FREE up to the
+    # final doc-keyed aggregation.
+    grams = shingle_exploded(df, n, text_col, id_col).withColumn("_is_eval", is_eval)
     eval_grams = grams.filter(F.col("_is_eval")).select("shingle").distinct()
     train_grams = grams.filter(~F.col("_is_eval"))
     hits = train_grams.join(

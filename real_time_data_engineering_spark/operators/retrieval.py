@@ -65,10 +65,18 @@ def corpus_stats(
     ``dl`` relation carries only docs with ≥1 token (what the old
     groupBy over exploded tokens produced). ``tok`` stays in the
     signature for the callers' tokenize chain (consumed by
-    `bm25_scores`); it is not re-scanned here."""
+    `bm25_scores`); it is not re-scanned here — so ``text_col`` MUST
+    name the same column ``tok`` was built from (both callers use the
+    defaults), or dl and tf would tokenize different columns.
+
+    The NULL-text guard is ``greatest(size, 0)``, not ``coalesce``:
+    under legacy (non-ANSI) sizeOfNull, size(NULL) is -1 — which
+    coalesce would pass through, corrupting sum(dl) — while greatest
+    clamps it AND covers the ANSI NULL case (greatest skips NULLs), so
+    the identity holds under either config."""
     dl_all = docs.select(
         "doc_id",
-        F.coalesce(
+        F.greatest(
             F.size(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")),
             F.lit(0),
         )
@@ -257,10 +265,12 @@ def _lex_parts(docs: DataFrame, text_col: str):
     # caller's repartition, and an agg over `doclen` would re-run the
     # tokenize+groupBy chain — both measured as a 2.6x write-time
     # regression before this form. size() counts the same [a-z]+ runs
-    # tokens_df explodes; NULL text coalesces to 0 tokens.
+    # tokens_df explodes; NULL text clamps to 0 tokens via greatest —
+    # config-independent (legacy sizeOfNull returns -1, ANSI returns
+    # NULL; greatest clamps the former and skips the latter).
     stats = (
         docs.select(
-            F.coalesce(
+            F.greatest(
                 F.size(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")),
                 F.lit(0),
             ).alias("dl0")

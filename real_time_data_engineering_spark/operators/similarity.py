@@ -30,10 +30,14 @@ from ..sources.readers import ensure_min_partitions
 QUANT_SCALE = 1_000_000.0
 
 # Driver-combine bound for iterative round stats (kmeans/PQ training):
-# per-task partials are collected directly when their row count is under
-# this, else the distributed pre-aggregation runs. Module-level so tests
-# can force either path and assert bit-identical training output.
-DIRECT_STATS_BOUND = 65_536
+# per-task partials are collected directly when their BYTE footprint
+# (partial rows × sum-vector width × 8 — each row carries a dim- or
+# sub_dim-length int64 array) is under this, else the distributed
+# pre-aggregation runs. Bytes, not rows (r10 verdict #8): a row bound
+# lets driver bytes scale with dim. 64 MiB ≡ the old 65,536-row bound
+# at dim 128. Module-level so tests can force either path and assert
+# bit-identical training output.
+DIRECT_STATS_BOUND = 64 * 1024 * 1024
 
 
 def quantized(col: Column | str) -> Column:
@@ -815,7 +819,7 @@ def kmeans_assign(
     # Past the bound (huge k · many partitions) the distributed
     # pre-aggregation path below is unchanged.
     n_parts = train.rdd.getNumPartitions()
-    direct = n_parts * k <= DIRECT_STATS_BOUND
+    direct = n_parts * k * dim * 8 <= DIRECT_STATS_BOUND
     for _ in range(max_iter):
         partials = train.mapInPandas(
             partial_fn(centroids), "cluster int, n bigint, s array<bigint>"
@@ -1006,7 +1010,7 @@ def pq_train_codes(
     # argument). The distributed pre-aggregation remains for huge
     # codebooks · many partitions.
     n_parts = narrow.rdd.getNumPartitions()
-    direct = n_parts * m * k <= DIRECT_STATS_BOUND
+    direct = n_parts * m * k * sub_dim * 8 <= DIRECT_STATS_BOUND
     for _ in range(max_iter):
         partials = narrow.mapInPandas(
             partial_fn(C), "sub int, cluster int, n bigint, s array<bigint>"

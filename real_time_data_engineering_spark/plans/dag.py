@@ -99,7 +99,11 @@ class DagRunner:
             m = self.models[name]
             for d in m.deps:
                 if d in futures:
-                    futures[d].result()  # propagate dep failures too
+                    # propagate dep failures too; the timeout is a
+                    # belt-and-suspenders hang bound (r10 verdict #1) —
+                    # FIFO + topo submission already guarantees progress,
+                    # so a wait this long can only mean a wedged action
+                    futures[d].result(timeout=600)
             t0 = time.perf_counter()
             df = m.fn(res.built)
             if m.materialization == "table" and self.warehouse_dir:
@@ -117,6 +121,6 @@ class DagRunner:
             for name in order:
                 futures[name] = pool.submit(build, name)
             for name in order:
-                futures[name].result()
+                futures[name].result(timeout=600)
         res.order = list(order)
         return res

@@ -223,9 +223,15 @@ def test_registered_embedding_paths_never_collect_corpus(spark, monkeypatch):
     """d7/d15's registered lineage must not collect corpus data to the
     driver (the 100 TB stance: the BLAS all-pairs kernel that collects
     the embedding table is a rerank helper, not the capability).
-    Connected components may collect O(1) convergence probes only."""
+    Connected components may collect O(1) convergence probes plus AT
+    MOST ONE byte-bounded edge-set collect (the r11 driver union-find
+    tier: the gate measures the materialized edge relation against
+    ``DIRECT_EDGE_BOUND`` before collecting, and the distributed
+    min-label fallback past the bound stays probe-only — forced below
+    by shrinking the bound)."""
     from pyspark.sql import DataFrame
 
+    from real_time_data_engineering_spark.operators import dedup as D
     from real_time_data_engineering_spark.registry import get
 
     sizes = []
@@ -241,6 +247,13 @@ def test_registered_embedding_paths_never_collect_corpus(spark, monkeypatch):
     assert sizes == []  # pure plan construction: zero driver collects
     get("d19_embedding_neardup_lsh").spark(spark, SF_DIR)
     assert sizes == []  # the LSH scale path is collect-free too
+    get("d15_dup_clusters").spark(spark, SF_DIR)
+    big = [n for n in sizes if n > 1]
+    assert len(big) <= 1, sizes  # one sanctioned bounded edge collect
+    # UNBOUNDED case: with the driver tier forced off, the lineage must
+    # degrade to O(1) probes only — the 100 TB stance is the fallback
+    sizes.clear()
+    monkeypatch.setattr(D, "DIRECT_EDGE_BOUND", -1)
     get("d15_dup_clusters").spark(spark, SF_DIR)
     assert all(n <= 1 for n in sizes), sizes
 
