@@ -31,17 +31,20 @@ from ..sources.readers import ensure_min_partitions
 
 # Driver union-find tier for connected components: when the
 # (checkpointed) edge set is provably driver-small, ONE bounded collect
-# + an in-memory union-find replaces the whole iterative min-label loop
-# (each round of which costs a join + groupBy exchange + checkpoint +
+# + an in-memory union-find replaces the whole iterative round loop
+# (each round of which costs joins + exchanges + a checkpoint + a
 # convergence probe). Bound is in BYTES of the edge payload — measured
 # on the materialized edge relation before collecting, so the decision
 # never guesses — mirroring similarity.DIRECT_STATS_BOUND's
-# bounded-collect + distributed-fallback pattern. Near-dup edge sets
-# are pair-graph sized (≪ corpus: only colliding docs appear), so even
-# at 100 TB most real runs fit; past the bound the distributed
-# min-label propagation below runs unchanged. Module-level so tests
-# can force either path and assert identical output.
-DIRECT_EDGE_BOUND = 64 * 1024 * 1024
+# bounded-collect + distributed-fallback pattern. 4 MiB (~10^5 edges)
+# sits under the measured crossover: at the r11 10x replica's
+# ~megabyte clique-heavy edge set the distributed star path already
+# beat the driver tier (10.75 s vs 20.6 s p50 — a row-based collect +
+# pure-Python union-find lose to 32 cores well before driver memory is
+# at risk), while bench/oracle-scale edge sets (tens of KB) stay on
+# the two-job driver path. Module-level so tests can force either path
+# and assert identical output.
+DIRECT_EDGE_BOUND = 4 * 1024 * 1024
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -167,6 +170,18 @@ def jaccard_pairs_canonical(
         base.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select(F.col(id_col).alias("_rep"), F.col(text_col), "_fp")
+        # The unrolled pair plan references the rep election ~9 times
+        # with no common-subexpression reuse across join sides. The r10
+        # dead end measured the EAGER localCheckpoint as a sf0.1 loss
+        # (2.38→2.83 s); the r11 re-test settled it: at 10x replica
+        # scale materializing once wins big (7.25→5.33 s p50, −26% —
+        # the duplication factor makes the 9 recomputes real), and the
+        # LAZY spill-backed persist (the repo's standard DISK_ONLY
+        # policy, same as the shingle relation below) wins at BOTH
+        # scales (same-session A/B at sf0.1: none 3.20 / eager-ckpt
+        # 2.83 / persist 2.64 s p50) because it adds no up-front job —
+        # the first consumer materializes it in-stage.
+        .persist(StorageLevel.DISK_ONLY)
     )
     members = base.select("_fp", F.col(id_col))
 
@@ -709,25 +724,24 @@ def connected_components(
     cluster_id = min node id in the component. Singletons (nodes in no
     pair) are not rows here — join back to the corpus for them.
 
-    Iterative min-label propagation: each round, every node takes the
-    min of its own label and its neighbors' labels. Labels decrease
-    monotonically, so the sum of labels is a convergence metric that
-    needs no join to compare — one cheap agg per round. Rounds needed =
-    graph diameter; near-dup clusters are shallow (pairs/chains), so
-    this converges in a handful of rounds. At petabyte scale with deep
-    components, use `connected_components_star` below (large-star/
-    small-star, O(log n) rounds — same fixpoint, same output contract;
-    equivalence + deep-chain convergence tested in
-    tests/test_fuzzy_ops.py). localCheckpoint truncates the iterative
-    lineage so plans don't grow unboundedly.
+    Two tiers, gated by the MEASURED byte size of the materialized edge
+    set (r11; the r10 ``DIRECT_STATS_BOUND`` pattern):
 
-    When the materialized edge set measures under ``DIRECT_EDGE_BOUND``
-    bytes, the rounds are skipped entirely: one bounded collect feeds a
-    driver-side union-find computing the same (node, min-of-component,
-    size) fixpoint — identical output by construction (component
-    membership is join-order independent; Python's min over int/str
-    orders exactly like Spark's MIN: numeric, and UTF-8 binary order ==
-    code-point order for strings).
+    * under ``DIRECT_EDGE_BOUND``: one bounded collect feeds a
+      driver-side union-find computing the (node, min-of-component,
+      size) fixpoint directly — identical output by construction
+      (component membership is join-order independent; Python's min
+      over int/str orders exactly like Spark's MIN: numeric, and UTF-8
+      binary order == code-point order for strings). At bench scale
+      this replaces ~8 rounds × (join + exchange + checkpoint + probe)
+      with two jobs (d15: 105 → 13 jobs per run).
+    * past the bound: `connected_components_star` (large-star/
+      small-star, O(log n) rounds regardless of diameter) over the
+      already-materialized edges. Adopted over the previous min-label
+      propagation on the r11 10x-replica measurement — star 10.75 s vs
+      min-label 19.3 s p50 on a ~megabyte clique-heavy edge set, with
+      set-identical output (also pinned by tests/test_fuzzy_ops.py's
+      equivalence + deep-chain tests).
     """
     edges = (
         pairs.select(F.col(src).alias("s"), F.col(dst).alias("t"))
@@ -746,36 +760,11 @@ def connected_components(
     ).first()
     if (probe["b"] or 0) <= DIRECT_EDGE_BOUND:
         return _cc_driver_union_find(edges)
-    labels = edges.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))
-    prev_sum = None
-    for _ in range(max_iter):
-        prop = (
-            edges.join(labels, edges.s == labels.node)
-            .select(F.col("t").alias("node"), "label")
-        )
-        labels = labels.unionByName(prop).groupBy("node").agg(F.min("label").alias("label"))
-        # path halving (pointer jumping): every label is itself a node,
-        # so following the label's own label doubles propagation reach —
-        # chains converge in O(log diameter) rounds instead of diameter
-        # rounds (at 0.4s of job overhead per round, a 12-hop chain cost
-        # 12 rounds before this). Monotone-min is preserved, so the
-        # label-sum convergence probe is unchanged.
-        hop = labels.select(F.col("node").alias("pnode"), F.col("label").alias("plabel"))
-        labels = (
-            labels.join(hop, labels.label == hop.pnode, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("plabel", "label")).alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
-    return labels.join(sizes, "label").select(
-        "node", F.col("label").alias("cluster_id"), "cluster_size"
+    # the symmetric set restricted to s < t IS the canonical undirected
+    # edge set star starts from (its own least/greatest/distinct pass
+    # then runs over an already-checkpointed, already-distinct relation)
+    return connected_components_star(
+        edges.filter(F.col("s") < F.col("t")), src="s", dst="t", max_iter=max_iter
     )
 
 

@@ -20,6 +20,16 @@ _SCALE_INVARIANT = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let AQE re-optimize INSIDE cached plans (off by default): the
+    # dedup ladder persists its exploded working relations DISK_ONLY,
+    # and with this off the persisted subtree keeps the static
+    # shuffle-partition count — tiny partitions at bench scale (the
+    # measured source of d8's 8-core-beats-32 anti-scaling: r11 A/B
+    # d8 1.84→1.13 s, d15 3.18→2.04, d5 1.18→0.92 at c32), unsized
+    # partitions at any scale. AQE decides by bytes
+    # (advisoryPartitionSizeInBytes), so this is scale-adaptive, not a
+    # local tune; results are unaffected (execution layout only).
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.compression.codec": "zstd",

@@ -10,7 +10,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from real_time_data_engineering_spark.registry import all_specs
+from real_time_data_engineering_spark.registry import all_specs  # noqa: F401 (single-plan helpers)
 
 from conftest import SF_DIR
 
@@ -227,7 +227,7 @@ def test_registered_embedding_paths_never_collect_corpus(spark, monkeypatch):
     MOST ONE byte-bounded edge-set collect (the r11 driver union-find
     tier: the gate measures the materialized edge relation against
     ``DIRECT_EDGE_BOUND`` before collecting, and the distributed
-    min-label fallback past the bound stays probe-only — forced below
+    star fallback past the bound stays probe-only — forced below
     by shrinking the bound)."""
     from pyspark.sql import DataFrame
 
@@ -340,7 +340,7 @@ def test_blocked_allpairs_plans_one_shuffle_no_collectlimit(spark):
     assert "CollectLimit" not in plan, plan
 
 
-def test_no_registered_query_plans_a_cartesian_product(spark):
+def test_no_registered_query_plans_a_cartesian_product(all_plans):
     """Blanket 100 TB gate over the ENTIRE registered surface: no query
     may plan an unbroadcast CartesianProduct — the one join shape that
     is quadratic in cluster traffic no matter the data. The only
@@ -367,8 +367,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "s21_range_recall",  # composes s19 (s1's fan-out) + s20, inheriting both
         "s22_semantic_cell_census",  # exact pair truth IS s19's broadcast fan-out
     }
-    for name, spec in all_specs().items():
-        plan = spec.spark(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    for name, plan in all_plans.items():
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
         if name not in BROADCAST_FANOUT_OK:
             assert "BroadcastNestedLoopJoin" not in plan, (
@@ -515,7 +514,7 @@ def _has_partitionless_window(plan: str) -> bool:
     return False
 
 
-def test_no_registered_query_plans_an_unsanctioned_global_window(spark):
+def test_no_registered_query_plans_an_unsanctioned_global_window(all_plans):
     """Blanket gate (r5 verdict item 6, the BNLJ-gate precedent): a
     partition-less Window moves ALL rows to one partition — the one
     window shape that cannot scale out — so every registered query's
@@ -540,8 +539,7 @@ def test_no_registered_query_plans_an_unsanctioned_global_window(spark):
         "d31_zipf_fit": "OLS over <=100 quantized log-rank rows",
     }
     offenders = {}
-    for name, spec in all_specs().items():
-        plan = spec.spark(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    for name, plan in all_plans.items():
         if _has_partitionless_window(plan):
             offenders[name] = True
     unsanctioned = sorted(set(offenders) - set(GLOBAL_WINDOW_BOUNDED_OK))

@@ -1,9 +1,10 @@
 """Round-11 optimization equivalence tests.
 
-The r11 round added a bounded driver union-find tier to
-``connected_components`` (one byte-measured edge collect replacing the
-iterative min-label rounds when the edge set is driver-small, mirroring
-r10's ``DIRECT_STATS_BOUND`` pattern). Both paths must produce
+The r11 round rebuilt ``connected_components`` as two tiers gated by
+the measured edge-set byte size: a bounded driver union-find under
+``DIRECT_EDGE_BOUND`` (mirroring r10's ``DIRECT_STATS_BOUND`` pattern)
+and the large-star/small-star variant past it (adopted on the r11
+replica measurement). Both paths must produce
 IDENTICAL output — component membership is join-order independent and
 min-of-component is deterministic, so this is an exactness contract.
 These tests force each path via the module constant and assert
